@@ -1,0 +1,274 @@
+"""Vectorized geometry kernels (numpy) — the engine's batch compute core.
+
+Each kernel reproduces the observable semantics of a reference routine
+(cited per function) but is re-derived as an array program: points are
+processed in whole Arrow batches inside pandas UDFs, never row-at-a-time.
+
+The ray-cast point-in-ring kernel preserves the reference's exact crossing
+rules (>= comparisons, MacMartin above/below discard) so that join outputs
+match the reference row-for-row — including points exactly on edges.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Bbox = Tuple[float, float, float, float]
+
+#: chunk size for the points axis of the (points x edges) crossing matrix;
+#: bounds kernel working memory to ~chunk * n_edges * 8B per temp array,
+#: independent of Arrow batch size.
+_PIP_CHUNK = 4096
+
+
+def signed_area(ring: np.ndarray, fast: bool = False) -> float:
+    """Signed ring area, >= 0 for counter-clockwise orientation.
+
+    Semantics of ref ppge/pyshp/__init__.py:201-214 (closed-ring shoelace,
+    2x area when ``fast``); z/m ordinates beyond the first two are ignored.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    x = ring[:, 0]
+    y = ring[:, 1]
+    # closed ring: wrap with the second vertex like the reference does
+    x_ext = np.concatenate([x, x[1:2]])
+    y_ext = np.concatenate([y, y[1:2]])
+    i = np.arange(1, len(ring))
+    area2 = float(np.sum(x_ext[i] * (y_ext[i + 1] - y_ext[i - 1])))
+    return area2 if fast else area2 / 2.0
+
+
+def is_cw(ring) -> bool:
+    """True for clockwise (negatively signed area); ref :217-222."""
+    return signed_area(ring, fast=True) < 0
+
+
+def rewind(ring):
+    """Reverse vertex order; ref :225-227."""
+    return list(reversed(list(ring)))
+
+
+def ring_bbox(ring) -> Bbox:
+    """(xmin, ymin, xmax, ymax) of a ring; ref :230-234."""
+    arr = np.asarray(ring, dtype=np.float64)
+    return (
+        float(arr[:, 0].min()),
+        float(arr[:, 1].min()),
+        float(arr[:, 0].max()),
+        float(arr[:, 1].max()),
+    )
+
+
+def bbox_overlap(b1: Bbox, b2: Bbox) -> bool:
+    """Axis-aligned rectangle intersection; ref :237-242."""
+    return (
+        b1[0] <= b2[2] and b1[2] >= b2[0] and b1[1] <= b2[3] and b1[3] >= b2[1]
+    )
+
+
+def bbox_contains(b1: Bbox, b2: Bbox) -> bool:
+    """Strict containment of b2 in b1; ref :245-250."""
+    return b1[0] < b2[0] and b1[2] > b2[2] and b1[1] < b2[1] and b1[3] > b2[3]
+
+
+def bbox_overlap_mask(
+    px_min, py_min, px_max, py_max, bbox: Bbox
+) -> np.ndarray:
+    """Vectorized bbox-overlap of N boxes against one box -> bool[N]."""
+    return (
+        (px_min <= bbox[2])
+        & (px_max >= bbox[0])
+        & (py_min <= bbox[3])
+        & (py_max >= bbox[1])
+    )
+
+
+def points_in_ring(
+    points_x: np.ndarray, points_y: np.ndarray, ring: np.ndarray
+) -> np.ndarray:
+    """Ray-cast crossing-parity containment of N points in one ring.
+
+    Vectorized re-derivation of the reference's scalar MacMartin kernel
+    (ref ppge/pyshp/__init__.py:253-295): shoot a +X ray per point, count
+    edge crossings, preserving the exact >= comparison rules so boundary
+    behavior matches the reference bit-for-bit. Edges whose endpoints lie
+    on the same side of the test Y are discarded by a boolean mask (the
+    MacMartin shortcut expressed as vectorized selection).
+
+    :returns: bool[N] inside flags.
+    """
+    ring = np.asarray(ring, dtype=np.float64)
+    x0 = ring[:-1, 0]  # edge start vertices (ring is closed)
+    y0 = ring[:-1, 1]
+    x1 = ring[1:, 0]
+    y1 = ring[1:, 1]
+
+    px = np.asarray(points_x, dtype=np.float64)
+    py = np.asarray(points_y, dtype=np.float64)
+    inside = np.zeros(len(px), dtype=bool)
+
+    for lo in range(0, len(px), _PIP_CHUNK):
+        hi = min(lo + _PIP_CHUNK, len(px))
+        tx = px[lo:hi, None]  # (n, 1)
+        ty = py[lo:hi, None]
+
+        yflag0 = y0[None, :] >= ty  # (n, m)
+        yflag1 = y1[None, :] >= ty
+        straddle = yflag0 != yflag1
+
+        xflag0 = x0[None, :] >= tx
+        xflag1 = x1[None, :] >= tx
+        same_x_side = xflag0 == xflag1
+
+        # both endpoints right of the point -> certain hit
+        certain = straddle & same_x_side & xflag0
+
+        # endpoints on opposite X sides -> compute ray intersection.
+        # denominator y0-y1 is nonzero wherever straddle holds.
+        denom = y0[None, :] - y1[None, :]
+        denom = np.where(denom == 0.0, 1.0, denom)
+        crossing_x = x1[None, :] - (y1[None, :] - ty) * (
+            x0[None, :] - x1[None, :]
+        ) / denom
+        computed = straddle & ~same_x_side & (crossing_x >= tx)
+
+        crossings = (certain | computed).sum(axis=1)
+        inside[lo:hi] = (crossings % 2).astype(bool)
+    return inside
+
+
+def ring_contains_point(ring, point) -> bool:
+    """Scalar convenience wrapper over :func:`points_in_ring`; ref :253-295."""
+    res = points_in_ring(
+        np.array([point[0]]), np.array([point[1]]), np.asarray(ring)
+    )
+    return bool(res[0])
+
+
+def ring_contains_ring(ring1, ring2) -> bool:
+    """All vertices of ring2 inside ring1; ref :346-348."""
+    arr = np.asarray(ring2, dtype=np.float64)
+    return bool(points_in_ring(arr[:, 0], arr[:, 1], np.asarray(ring1)).all())
+
+
+def points_in_polygon(
+    points_x: np.ndarray, points_y: np.ndarray, rings: Sequence
+) -> np.ndarray:
+    """Even-odd containment of N points in a polygon given as GeoJSON rings
+    (first exterior, rest holes). Crossing parity across all rings — a point
+    is inside iff it is inside an odd number of rings, which equals
+    "in exterior and not in a hole" for valid non-nested rings.
+    """
+    px = np.asarray(points_x, dtype=np.float64)
+    py = np.asarray(points_y, dtype=np.float64)
+    inside = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        arr = np.asarray(ring, dtype=np.float64)
+        # cheap bbox prefilter per ring (the P5 pushdown idea, ref :1381-1388)
+        bb = ring_bbox(arr)
+        cand = (px >= bb[0]) & (px <= bb[2]) & (py >= bb[1]) & (py <= bb[3])
+        if not cand.any():
+            continue
+        sub = points_in_ring(px[cand], py[cand], arr)
+        idx = np.flatnonzero(cand)
+        inside[idx] ^= sub
+    return inside
+
+
+def ring_sample(ring, ccw: bool = False) -> Tuple[float, float]:
+    """Interior sample point of a ring via the first non-collinear vertex
+    triplet whose orientation matches the ring and whose centroid passes the
+    point-in-ring test. Semantics of ref ppge/pyshp/__init__.py:298-343.
+    """
+    coords = [list(p) for p in ring]
+    triplet: List[list] = []
+
+    def stream():
+        for p in coords:
+            yield p
+        yield coords[1]
+
+    for p in stream():
+        if p not in triplet:
+            triplet.append(p)
+        if len(triplet) == 3:
+            (ax, ay), (bx, by), (cx, cy) = (
+                triplet[0][:2],
+                triplet[1][:2],
+                triplet[2][:2],
+            )
+            is_line = (ay - by) * (ax - cx) == (ay - cy) * (ax - bx)
+            if not is_line:
+                closed = triplet + [triplet[0]]
+                if ccw == (not is_cw(np.asarray(closed)[:, :2])):
+                    xm = (ax + bx + cx) / 3.0
+                    ym = (ay + by + cy) / 3.0
+                    if ring_contains_point(np.asarray(coords)[:, :2],
+                                           (xm, ym)):
+                        return xm, ym
+            triplet.pop(0)
+    raise ValueError("Unable to find a ring sample point.")
+
+
+def organize_polygon_rings(
+    rings: Sequence, return_errors: Optional[dict] = None
+) -> List[List]:
+    """Group closed rings into polygons: CW rings are exteriors, CCW are
+    holes; holes are matched to exteriors by bbox containment, then a
+    point-in-ring test on a hole sample point, then smallest-|area| tiebreak;
+    orphan holes are promoted to exteriors; all-hole input is treated as
+    exteriors. Semantics of ref ppge/pyshp/__init__.py:351-473.
+    """
+    exteriors, holes = [], []
+    for ring in rings:
+        (exteriors if is_cw(np.asarray(ring)[:, :2]) else holes).append(
+            list(ring)
+        )
+
+    if len(exteriors) == 1:
+        return [[exteriors[0]] + holes]
+
+    if not exteriors:
+        if return_errors is not None:
+            return_errors["polygon_only_holes"] = len(holes)
+        return [[h] for h in holes]
+
+    if not holes:
+        return [[e] for e in exteriors]
+
+    ext_arrays = [np.asarray(e)[:, :2] for e in exteriors]
+    ext_bboxes = [ring_bbox(a) for a in ext_arrays]
+    ext_areas = [abs(signed_area(a, fast=True)) for a in ext_arrays]
+
+    assignments: dict = {}
+    orphan_holes = []
+    for hole_i, hole in enumerate(holes):
+        hole_arr = np.asarray(hole)[:, :2]
+        hb = ring_bbox(hole_arr)
+        candidates = [
+            i for i, eb in enumerate(ext_bboxes) if bbox_contains(eb, hb)
+        ]
+        if len(candidates) > 1:
+            sample = ring_sample(hole, ccw=not is_cw(hole_arr))
+            candidates = [
+                i
+                for i in candidates
+                if ring_contains_point(ext_arrays[i], sample)
+            ]
+        if len(candidates) > 1:
+            candidates = [min(candidates, key=lambda i: ext_areas[i])]
+        if not candidates:
+            orphan_holes.append(hole_i)
+        else:
+            assignments.setdefault(candidates[0], []).append(hole_i)
+
+    polys = []
+    for ext_i, ext in enumerate(exteriors):
+        polys.append([ext] + [holes[h] for h in assignments.get(ext_i, [])])
+    for hole_i in orphan_holes:
+        polys.append([holes[hole_i]])
+    if orphan_holes and return_errors is not None:
+        return_errors["polygon_orphaned_holes"] = len(orphan_holes)
+    return polys
