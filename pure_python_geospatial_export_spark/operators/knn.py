@@ -1,0 +1,141 @@
+"""Grid-partitioned kNN join (SURVEY J4).
+
+Semantics: for every left point, the k nearest right points (squared
+Euclidean distance in degree space, deterministic (dist, id) tiebreak)
+among candidates within the (2*ring+1)^2 cell neighborhood at ``res``.
+
+Plan: the right side is exploded to its neighbor cells (x (2*ring+1)^2,
+a column-level ``explode`` over a constant offset array — no UDF), then an
+equi shuffle join on the neighbor cell key, distance math in columns, and
+a window top-k. The explode factor is the classic space/shuffle trade:
+9x replication of the (smaller) right side buys an equi-join the shuffle
+planner and AQE can handle, vs an unbounded theta join.
+
+Exactness: candidates outside the neighborhood are excluded BY DEFINITION
+(grid kNN). Choose ``res`` so the neighborhood radius (360/2^res * ring
+degrees) bounds the expected kth-neighbor distance; ``knn_exact`` is the
+brute-force oracle for validation and small dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geom_udfs import grid_xy_cols
+
+
+def _with_xy(df: DataFrame, res: int, lon: str, lat: str) -> DataFrame:
+    x, y = grid_xy_cols(F.col(lon), F.col(lat), res)
+    return df.withColumn("_gx", x).withColumn("_gy", y)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    id_right: str,
+    k: int = 3,
+    res: int = 4,
+    ring: int = 1,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Returns (id_left, id_right, dist_sq, rank) with rank<=k."""
+    n = 1 << res
+    lft = _with_xy(left, res, lon, lat).select(
+        F.col(id_left).alias("_lid"),
+        F.col(lon).alias("_llon"),
+        F.col(lat).alias("_llat"),
+        "_gx",
+        "_gy",
+    )
+    offsets = [(dx, dy) for dx in range(-ring, ring + 1)
+               for dy in range(-ring, ring + 1)]
+    rgt = (
+        _with_xy(right, res, lon, lat)
+        .select(
+            F.col(id_right).alias("_rid"),
+            F.col(lon).alias("_rlon"),
+            F.col(lat).alias("_rlat"),
+            "_gx",
+            "_gy",
+        )
+        .withColumn(
+            "_off",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                    for dx, dy in offsets
+                ])
+            ),
+        )
+        # neighbor cell this right point is visible from: lon wraps, lat clamps
+        .withColumn("_nx", F.pmod(F.col("_gx") + F.col("_off.dx"), F.lit(n)))
+        .withColumn("_ny", F.col("_gy") + F.col("_off.dy"))
+        .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .drop("_off", "_gx", "_gy")
+    )
+    joined = lft.join(
+        rgt, (lft["_gx"] == rgt["_nx"]) & (lft["_gy"] == rgt["_ny"])
+    ).where(F.col("_lid") != F.col("_rid"))
+    dist = (F.col("_llon") - F.col("_rlon")) ** 2 + (
+        F.col("_llat") - F.col("_rlat")
+    ) ** 2
+    w = Window.partitionBy("_lid").orderBy(
+        F.col("dist_sq").asc(), F.col("_rid").asc()
+    )
+    return (
+        joined.withColumn("dist_sq", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_lid").alias(id_left),
+            F.col("_rid").alias(id_right),
+            "dist_sq",
+            "rank",
+        )
+    )
+
+
+def knn_exact(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    id_right: str,
+    k: int = 3,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Brute-force kNN via broadcast cross join — the validation oracle and
+    the right plan when one side is small enough to broadcast."""
+    lft = left.select(
+        F.col(id_left).alias("_lid"),
+        F.col(lon).alias("_llon"),
+        F.col(lat).alias("_llat"),
+    )
+    rgt = right.select(
+        F.col(id_right).alias("_rid"),
+        F.col(lon).alias("_rlon"),
+        F.col(lat).alias("_rlat"),
+    )
+    joined = lft.crossJoin(F.broadcast(rgt)).where(
+        F.col("_lid") != F.col("_rid")
+    )
+    dist = (F.col("_llon") - F.col("_rlon")) ** 2 + (
+        F.col("_llat") - F.col("_rlat")
+    ) ** 2
+    w = Window.partitionBy("_lid").orderBy(
+        F.col("dist_sq").asc(), F.col("_rid").asc()
+    )
+    return (
+        joined.withColumn("dist_sq", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_lid").alias(id_left),
+            F.col("_rid").alias(id_right),
+            "dist_sq",
+            "rank",
+        )
+    )

@@ -1,0 +1,117 @@
+"""Point-in-polygon spatial join (SURVEY J3) — the engine's flagship operator.
+
+Two-phase plan, Spark-first:
+
+1. **Coarse cell equi-join**: points get a cell id at resolution ``res``
+   via pure column arithmetic; polygons are exploded to their covering
+   cells (driver-side, tiny) and broadcast. The join is a broadcast hash
+   join on ``cell_id`` — zero shuffle of the 10^12-row points side.
+2. **Exact refine**: rows landing in a provably-interior (``is_full``)
+   cell pass immediately (no Python); only boundary-cell rows run the
+   Arrow-batched ray-cast kernel. For a state-sized polygon at res 7+,
+   interior cells dominate, so the Python refine touches a thin boundary
+   band only.
+
+Skew: with a broadcast join there is no shuffle to skew; hot cells only
+matter for the OPTIONAL shuffle strategy used when the polygon layer is
+too big to broadcast. ``strategy='shuffle_salted'`` implements the
+north-rule salting: a histogram of point cells finds hot cells, hot
+points get a deterministic salt, and the polygon-cell side is exploded
+by salt factor so no single reducer drains a whole hot cell. AQE skew
+join (enabled in session defaults) is the runtime backstop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geom_udfs import cell_id_col, make_pip_refine
+from ..sources.polygons import load_rings, polygon_cells
+
+DEFAULT_RES = 7
+
+
+def points_with_cell(
+    points: DataFrame, res: int = DEFAULT_RES,
+    lon: str = "lon", lat: str = "lat",
+) -> DataFrame:
+    return points.withColumn(
+        "cell_id", cell_id_col(F.col(lon), F.col(lat), res)
+    )
+
+
+def spatial_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = DEFAULT_RES,
+    strategy: str = "broadcast",
+    rings_by_id: Optional[Dict[int, dict]] = None,
+    hot_cell_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Join points (must carry ``lon``/``lat``) against a polygon layer by
+    containment. Returns the points columns + (polygon_id, name).
+
+    ``strategy``:
+      * ``broadcast`` — polygon cell cover broadcast; no points shuffle.
+      * ``shuffle_salted`` — for huge polygon layers: shuffle join on
+        (cell_id, salt) with hot-cell salting.
+    """
+    spark = points.sparkSession
+    if rings_by_id is None:
+        rings_by_id = load_rings(polygons)
+    cover = polygon_cells(spark, rings_by_id, res)
+    pts = points_with_cell(points, res)
+    refine = make_pip_refine(rings_by_id)
+
+    if strategy == "broadcast":
+        joined = pts.join(F.broadcast(cover), "cell_id")
+    elif strategy == "shuffle_salted":
+        # histogram of point counts per cell -> per-cell salt factor
+        hist = (
+            pts.groupBy("cell_id")
+            .count()
+            .where(F.col("count") > hot_cell_threshold)
+            .collect()
+        )
+        salt_of = {
+            int(r["cell_id"]): int(math.ceil(r["count"] / hot_cell_threshold))
+            for r in hist
+        }
+        salt_map = F.create_map(
+            *[F.lit(v) for kv in salt_of.items() for v in kv]
+        ) if salt_of else None
+        if salt_map is not None:
+            pts = pts.withColumn(
+                "_salt_n", F.coalesce(salt_map[F.col("cell_id")], F.lit(1))
+            )
+        else:
+            pts = pts.withColumn("_salt_n", F.lit(1))
+        pts = pts.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("lon"), F.col("lat")),
+                            F.col("_salt_n"))
+        )
+        cover = cover.withColumn(
+            "_salt_n",
+            F.coalesce(
+                salt_map[F.col("cell_id")] if salt_map is not None
+                else F.lit(1),
+                F.lit(1),
+            ),
+        ).withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.col("_salt_n") - 1))
+        )
+        joined = pts.join(cover, ["cell_id", "_salt"]).drop(
+            "_salt", "_salt_n"
+        )
+    else:
+        raise ValueError("unknown strategy %r" % strategy)
+
+    out = joined.where(
+        F.col("is_full")
+        | refine(F.col("polygon_id"), F.col("lon"), F.col("lat"))
+    )
+    return out.drop("is_full")

@@ -1,0 +1,82 @@
+"""Raster<->vector tile assignment + per-tile rollups (SURVEY J5, A1).
+
+Tile assignment is PURE COLUMN MATH (floor-divide into the hierarchical
+grid) — at 10^12 rows it runs at scan speed inside whole-stage codegen,
+and ``groupBy(tile_id)`` benefits from map-side partial aggregation.
+The per-tile bbox aggregate generalizes the reference's running-bbox
+accumulation (ref ppge/pyshp/__init__.py:2052-2080) into a distributed
+min/max agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geom_udfs import cell_id_col, grid_xy_cols
+
+
+def assign_tiles(
+    df: DataFrame, res: int, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Attach tile_id / tile_x / tile_y at ``res``."""
+    x, y = grid_xy_cols(F.col(lon), F.col(lat), res)
+    return (
+        df.withColumn("tile_id", cell_id_col(F.col(lon), F.col(lat), res))
+        .withColumn("tile_x", x)
+        .withColumn("tile_y", y)
+    )
+
+
+def tile_stats(
+    df: DataFrame, res: int, lon: str = "lon", lat: str = "lat"
+) -> DataFrame:
+    """Per-tile rollup: row count + observed point bbox (A1 analogue)."""
+    return (
+        assign_tiles(df, res, lon, lat)
+        .groupBy("tile_id", "tile_x", "tile_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min(lon).alias("xmin"),
+            F.min(lat).alias("ymin"),
+            F.max(lon).alias("xmax"),
+            F.max(lat).alias("ymax"),
+        )
+    )
+
+
+def tile_pyramid(df_tiles: DataFrame, res: int, levels: int) -> DataFrame:
+    """Hierarchical rollup: aggregate tile stats up ``levels`` parents.
+
+    Each level halves the grid (x>>1, y>>1) — the hypertable-rollup
+    pattern expressed as repeated groupBy over derived parent ids, letting
+    Catalyst pipeline the cascades.
+    """
+    out = df_tiles.withColumn("level", F.lit(res))
+    cur = df_tiles
+    for step in range(1, levels + 1):
+        r = res - step
+        if r < 0:
+            break
+        parent = (
+            cur.withColumn("tile_x", F.floor(F.col("tile_x") / 2).cast("long"))
+            .withColumn("tile_y", F.floor(F.col("tile_y") / 2).cast("long"))
+            .withColumn(
+                "tile_id",
+                (F.lit(r * (2**58)) + F.col("tile_x") * F.lit(2**29)
+                 + F.col("tile_y")).cast("long"),
+            )
+            .groupBy("tile_id", "tile_x", "tile_y")
+            .agg(
+                F.sum("n_points").alias("n_points"),
+                F.min("xmin").alias("xmin"),
+                F.min("ymin").alias("ymin"),
+                F.max("xmax").alias("xmax"),
+                F.max("ymax").alias("ymax"),
+            )
+        )
+        out = out.unionByName(
+            parent.withColumn("level", F.lit(r)), allowMissingColumns=True
+        )
+        cur = parent
+    return out

@@ -1,0 +1,216 @@
+"""E2E Spark tests: derived points, spatial join, tiles, kNN — each checked
+against an independent pure-Python/numpy oracle (the reference test suite's
+oracle pattern, ref ppge-tests/test-ppge.py:43-68).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pure_python_geospatial_export_spark.functions.points import (
+    derive_point_py,
+    with_point,
+)
+from pure_python_geospatial_export_spark.geo import cells, kernels
+from pure_python_geospatial_export_spark.geo import wkt as wktmod
+from pure_python_geospatial_export_spark.operators.knn import (
+    knn_exact,
+    knn_join,
+)
+from pure_python_geospatial_export_spark.operators.spatial_join import (
+    spatial_join,
+)
+from pure_python_geospatial_export_spark.operators.tiles import (
+    tile_pyramid,
+    tile_stats,
+)
+from pure_python_geospatial_export_spark.sources.pages import synth_pages
+from pure_python_geospatial_export_spark.sources.polygons import (
+    FIXTURE_POLYGONS,
+    fixture_layer,
+    grid_layer,
+    load_rings,
+)
+
+N_PAGES = 2000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = with_point(synth_pages(spark, N_PAGES)).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def pages_pd(pages):
+    return pages.select("page_id", "url", "lon", "lat").toPandas()
+
+
+def test_derived_points_match_python_oracle(pages_pd):
+    for row in pages_pd.itertuples():
+        lon, lat = derive_point_py(row.url)
+        assert row.lon == lon and row.lat == lat, row.url
+
+
+def _oracle_join(pages_pd, layer):
+    """Pure-python containment oracle over the polygon layer."""
+    expected = set()
+    for pid, name, wkt_str in layer:
+        rings = wktmod.loads(wkt_str)["coordinates"]
+        inside = kernels.points_in_polygon(
+            pages_pd["lon"].to_numpy(), pages_pd["lat"].to_numpy(), rings
+        )
+        for page_id in pages_pd["page_id"].to_numpy()[inside]:
+            expected.add((int(page_id), name))
+    return expected
+
+
+def test_spatial_join_matches_oracle(spark, pages, pages_pd):
+    # points are worldwide; the two-state layer catches only a few, so also
+    # use a big grid layer for coverage
+    layer_df = fixture_layer(spark)
+    got = {
+        (int(r["page_id"]), r["name"])
+        for r in spatial_join(pages, layer_df, res=7)
+        .select("page_id", "name")
+        .collect()
+    }
+    assert got == _oracle_join(pages_pd, FIXTURE_POLYGONS)
+
+
+def test_spatial_join_grid_with_holes(spark, pages, pages_pd):
+    layer_df = grid_layer(spark, nx=6, ny=6, hole_every=3)
+    layer = [(r["polygon_id"], r["name"], r["wkt"])
+             for r in layer_df.collect()]
+    got = {
+        (int(r["page_id"]), r["name"])
+        for r in spatial_join(pages, layer_df, res=6)
+        .select("page_id", "name")
+        .collect()
+    }
+    expected = _oracle_join(pages_pd, layer)
+    assert got == expected
+    assert expected, "grid layer should contain some pages"
+
+
+def test_spatial_join_salted_equals_broadcast(spark, pages):
+    layer_df = fixture_layer(spark)
+    a = {
+        (int(r["page_id"]), r["name"])
+        for r in spatial_join(pages, layer_df, res=7)
+        .select("page_id", "name").collect()
+    }
+    b = {
+        (int(r["page_id"]), r["name"])
+        for r in spatial_join(
+            pages, layer_df, res=7, strategy="shuffle_salted",
+            hot_cell_threshold=50,
+        ).select("page_id", "name").collect()
+    }
+    assert a == b
+
+
+def test_tile_stats_matches_oracle(pages, pages_pd):
+    res = 5
+    got = {
+        int(r["tile_id"]): (
+            int(r["n_points"]), r["xmin"], r["ymin"], r["xmax"], r["ymax"]
+        )
+        for r in tile_stats(pages, res).collect()
+    }
+    ids = cells.cell_id(
+        pages_pd["lon"].to_numpy(), pages_pd["lat"].to_numpy(), res
+    )
+    expected = {}
+    for cid in np.unique(ids):
+        m = ids == cid
+        expected[int(cid)] = (
+            int(m.sum()),
+            pages_pd["lon"].to_numpy()[m].min(),
+            pages_pd["lat"].to_numpy()[m].min(),
+            pages_pd["lon"].to_numpy()[m].max(),
+            pages_pd["lat"].to_numpy()[m].max(),
+        )
+    assert got == expected
+
+
+def test_tile_pyramid_conserves_counts(pages):
+    res = 5
+    base = tile_stats(pages, res)
+    pyr = tile_pyramid(base, res, levels=3).cache()
+    counts = {
+        int(r["level"]): int(r["total"])
+        for r in pyr.groupBy("level")
+        .agg(F.sum("n_points").alias("total"))
+        .collect()
+    }
+    assert len(set(counts.values())) == 1, counts
+    assert counts[res] == N_PAGES
+
+
+def _oracle_knn(pages_pd, k, res, ring):
+    """numpy oracle replicating grid-kNN semantics exactly."""
+    n = 1 << res
+    lon = pages_pd["lon"].to_numpy()
+    lat = pages_pd["lat"].to_numpy()
+    pid = pages_pd["page_id"].to_numpy()
+    x = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(int)
+    y = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(int)
+    out = set()
+    for i in range(len(pid)):
+        dx = np.abs(x - x[i])
+        dx = np.minimum(dx, n - dx)  # lon wrap
+        cand = (dx <= ring) & (np.abs(y - y[i]) <= ring) & (pid != pid[i])
+        d = (lon[cand] - lon[i]) ** 2 + (lat[cand] - lat[i]) ** 2
+        ids = pid[cand]
+        order = np.lexsort((ids, d))[:k]
+        for rank, j in enumerate(order, 1):
+            out.add((int(pid[i]), int(ids[j]), rank))
+    return out
+
+
+def test_knn_join_matches_oracle(pages, pages_pd):
+    small = pages.where(F.col("page_id") < 300)
+    small_pd = pages_pd[pages_pd["page_id"] < 300]
+    got = {
+        (int(r["page_id"]), int(r["nbr_id"]), int(r["rank"]))
+        for r in knn_join(
+            small,
+            small.select(
+                F.col("page_id").alias("nbr_id"), "lon", "lat"
+            ),
+            "page_id",
+            "nbr_id",
+            k=3,
+            res=3,
+            ring=1,
+        ).collect()
+    }
+    assert got == _oracle_knn(small_pd, k=3, res=3, ring=1)
+
+
+def test_knn_exact_matches_bruteforce(pages, pages_pd):
+    small = pages.where(F.col("page_id") < 200)
+    small_pd = pages_pd[pages_pd["page_id"] < 200]
+    got = {
+        (int(r["page_id"]), int(r["nbr_id"]), int(r["rank"]))
+        for r in knn_exact(
+            small,
+            small.select(F.col("page_id").alias("nbr_id"), "lon", "lat"),
+            "page_id",
+            "nbr_id",
+            k=2,
+        ).collect()
+    }
+    lon = small_pd["lon"].to_numpy()
+    lat = small_pd["lat"].to_numpy()
+    pid = small_pd["page_id"].to_numpy()
+    expected = set()
+    for i in range(len(pid)):
+        d = (lon - lon[i]) ** 2 + (lat - lat[i]) ** 2
+        mask = pid != pid[i]
+        order = np.lexsort((pid[mask], d[mask]))[:2]
+        for rank, j in enumerate(order, 1):
+            expected.add((int(pid[i]), int(pid[mask][j]), rank))
+    assert got == expected
