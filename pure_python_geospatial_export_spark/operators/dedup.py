@@ -1,0 +1,287 @@
+"""Deduplication operators for web-scale corpus curation.
+
+All candidate generation is JVM-side column math (xxhash64, array ops) —
+the classic LSH trick of turning O(n^2) similarity into equi-joins that
+shuffle on band keys. Only SimHash uses an Arrow kernel (numpy bit
+packing). Design notes per operator:
+
+* exact:   md5(text) groupBy — one shuffle, map-side partial agg.
+* MinHash: k universal hashes ((a*h+b) mod P) over 3-token shingles,
+  banded; candidate pairs come from a self-equi-join on (band, band_hash)
+  so only colliding docs ever meet; verify = exact shingle Jaccard via
+  array_intersect/array_union.
+* SimHash: 64-bit sign-aggregated token hashes; near-dup candidates share
+  one of four 16-bit chunks (guarantees recall for Hamming distance <= 3).
+* At 10^12 docs the band join is the shuffle to watch: band keys are
+  uniformly distributed by construction (hash outputs), so no salting is
+  needed; AQE handles stragglers from pathological near-dup clusters.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions.text import tokens_col
+
+#: Mersenne prime 2^31-1: (a*h'+b) stays within int64 under ANSI mode
+MINHASH_P = 2_147_483_647
+
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(64)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(64)]
+
+
+def shingles_col(text, size: int = 3):
+    """Distinct ``size``-token shingles; whole text when too short."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(size - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.try_element_at(toks, i + F.lit(j)) for j in range(size)],
+        ),
+    )
+    return F.array_distinct(
+        F.when(n >= size, sh).otherwise(F.array(text))
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: (text_hash, rep_id, n_dups) per duplicated content."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, shingles, sig: array<long>[num_hashes]) — all column math."""
+    if num_hashes > len(MINHASH_A):
+        raise ValueError("at most %d hashes" % len(MINHASH_A))
+    sh = shingles_col(F.col(text_col), shingle_size)
+    out = df.select(F.col(id_col), sh.alias("shingles"))
+    # base hash per shingle, reduced mod P so a*h+b never overflows int64
+    out = out.withColumn(
+        "_h", F.transform(F.col("shingles"),
+                          lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)))
+    )
+    sig = F.array(*[
+        F.array_min(
+            F.transform(
+                F.col("_h"),
+                lambda h: F.pmod(
+                    h * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j]),
+                    F.lit(MINHASH_P),
+                ),
+            )
+        )
+        for j in range(num_hashes)
+    ])
+    return out.withColumn("sig", sig).drop("_h")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 16
+) -> DataFrame:
+    """Self-join on (band_idx, band_hash) -> distinct (id_a, id_b), a<b."""
+    first = sig_df.select(F.size("sig").alias("n")).first()
+    n_hashes = int(first["n"])
+    rows = n_hashes // bands
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows + j + 1)
+                                .cast("string")
+                                for j in range(rows)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    left = banded.select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), "band", "band_hash"
+    )
+    return (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs -> pairs >= threshold."""
+    sh = df.select(
+        F.col(id_col),
+        shingles_col(F.col(text_col), shingle_size).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        joined.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash LSH near-dup: (id_a, id_b, jaccard)."""
+    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_size)
+    cands = lsh_candidate_pairs(sig, id_col, bands)
+    return jaccard_verify(cands, df, id_col, text_col, threshold,
+                          shingle_size)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (no LSH) — the small-data oracle path
+    and the verify stage's standalone form; broadcast the smaller side."""
+    sh = df.select(
+        F.col(id_col),
+        shingles_col(F.col(text_col), shingle_size).alias("sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        joined.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc: token hashes JVM-side (xxhash64), bit
+    aggregation in a numpy Arrow kernel."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            tokens_col(F.col(text_col)), lambda t: F.xxhash64(t)
+        ).alias("tok_hashes"),
+    )
+
+    @F.pandas_udf(LongType())
+    def _simhash(tok_hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(tok_hashes), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, hs in enumerate(tok_hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = (arr[:, None] >> shifts) & np.uint64(1)
+            votes = bits.astype(np.int64) * 2 - 1
+            sign = votes.sum(axis=0) >= 0
+            out[i] = np.int64(
+                np.bitwise_or.reduce(
+                    (sign.astype(np.uint64) << shifts)
+                ).astype(np.int64)
+            )
+        return pd.Series(out)
+
+    return hashed.select(
+        F.col(id_col), _simhash(F.col("tok_hashes")).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates: docs sharing one of four 16-bit chunks
+    (complete for Hamming distance <= 3), then exact Hamming filter via
+    bit_count(xor)."""
+    chunks = sim_df.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_idx"),
+                    F.shiftrightunsigned("simhash", 16 * c)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("chunk"),
+                )
+                for c in range(4)
+            ])
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_idx", "ch.chunk")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sim_a"),
+        "chunk_idx",
+        "chunk",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sim_b"),
+        "chunk_idx",
+        "chunk",
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

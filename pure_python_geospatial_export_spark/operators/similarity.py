@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set, dot products as column expressions (zip_with + aggregate, JVM-side,
+  deterministic left-fold order so the DuckDB oracle reproduces bit-equal
+  doubles), window top-k. The baseline and the verify oracle.
+* ``lsh_topk`` — the scale path: sign-of-random-projection LSH buckets
+  (Arrow numpy matmul kernel), candidates restricted to probe buckets
+  (multi-probe by Hamming-1), exact cosine re-rank inside buckets. At
+  10^12 vectors the bucket join replaces the cross join; recall is tunable
+  via n_planes/probes.
+* ``embedding_near_duplicates`` — cosine >= threshold pairs via the same
+  LSH buckets (near-dup dedup for embedding space).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_cols(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, id, score, rank)."""
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    joined = base.crossJoin(F.broadcast(q)).where(
+        F.col("_qid") != F.col("_id")
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("score").desc(), F.col("_id").asc()
+    )
+    return (
+        joined.withColumn("score", cosine_cols(F.col("_qvec"),
+                                               F.col("_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_id").alias(id_col),
+            "score",
+            "rank",
+        )
+    )
+
+
+def _make_bucket_udf(n_planes: int, dim: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    @F.pandas_udf(LongType())
+    def bucket(vec: pd.Series) -> pd.Series:
+        mat = np.stack(vec.to_numpy())
+        signs = (mat.astype(np.float64) @ planes) >= 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return bucket
+
+
+def lsh_buckets(
+    df: DataFrame, vec_col: str, n_planes: int = 12, seed: int = 42
+) -> DataFrame:
+    """Attach a sign-LSH bucket id (int64 of n_planes sign bits)."""
+    dim = len(df.select(vec_col).first()[0])
+    bucket = _make_bucket_udf(n_planes, dim, seed)
+    return df.withColumn("bucket", bucket(F.col(vec_col)))
+
+
+def lsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 5,
+    n_planes: int = 10,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: join on LSH bucket (with Hamming-<=1 multi-probe),
+    exact cosine re-rank within candidates."""
+    base = lsh_buckets(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        "_vec", n_planes, seed,
+    )
+    q = lsh_buckets(
+        queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+        ),
+        "_qvec", n_planes, seed,
+    )
+    # multi-probe: query probes its bucket plus all Hamming-<=h flips
+    probes = [F.col("bucket")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << b))
+            for b in range(n_planes)
+        ]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << b1) | (1 << b2)))
+            for b1 in range(n_planes)
+            for b2 in range(b1 + 1, n_planes)
+        ]
+    q = q.withColumn("probe", F.explode(F.array(*probes))).drop("bucket")
+    joined = base.join(
+        F.broadcast(q), base["bucket"] == q["probe"]
+    ).where(F.col("_qid") != F.col("_id"))
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("score").desc(), F.col("_id").asc()
+    )
+    return (
+        joined.withColumn("score", cosine_cols(F.col("_qvec"),
+                                               F.col("_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_id").alias(id_col),
+            "score",
+            "rank",
+        )
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, score) pairs with cosine >= threshold, candidates from
+    shared LSH bucket."""
+    b = lsh_buckets(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        "_vec", n_planes, seed,
+    )
+    a = b.select(
+        F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"), "bucket"
+    )
+    c = b.select(
+        F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(c, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("score", cosine_cols(F.col("vec_a"), F.col("vec_b")))
+        .where(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+        .distinct()
+    )

@@ -1,0 +1,270 @@
+"""Tests for training-data pipeline operators (text analysis, dedup,
+similarity, multimodal plumbing) over the driver-provided documents /
+embeddings tables, each against an independent python/numpy oracle.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pure_python_geospatial_export_spark.functions import text as T
+from pure_python_geospatial_export_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")).cache()
+    df.count()
+    return df
+
+
+def _py_tokens(s):
+    return s.strip().split()
+
+
+def test_token_count_oracle(docs, docs_pd):
+    got = {
+        int(r["doc_id"]): int(r["tc"])
+        for r in docs.select(
+            "doc_id", T.token_count(F.col("text")).alias("tc")
+        ).collect()
+    }
+    for row in docs_pd.itertuples():
+        assert got[row.doc_id] == len(_py_tokens(row.text))
+
+
+def test_stopword_and_quality_oracle(docs, docs_pd):
+    got = {
+        int(r["doc_id"]): (r["sw"], r["q"])
+        for r in docs.select(
+            "doc_id",
+            T.stopword_ratio(F.col("text")).alias("sw"),
+            T.quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    for row in docs_pd.itertuples():
+        toks = _py_tokens(row.text)
+        sw = sum(t in T.STOPWORDS for t in toks) / len(toks)
+        punct = sum(c in ".,;:!?" for c in row.text) / len(row.text)
+        q = (
+            0.4 * min(len(toks) / 100.0, 1.0)
+            + 0.3 * min(sw * 3.0, 1.0)
+            + 0.3 * max(1.0 - punct * 5.0, 0.0)
+        )
+        g_sw, g_q = got[row.doc_id]
+        assert g_sw == pytest.approx(sw, abs=1e-12)
+        assert g_q == pytest.approx(q, abs=1e-12)
+
+
+def test_lang_id_votes(spark):
+    rows = [
+        (1, "the cat and the dog of the house is here"),
+        (2, "der hund und die katze ist das tier"),
+        (3, "le chat et la maison est les arbres"),
+        (4, "xyzzy qwerty plugh"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {
+        int(r["id"]): r["lang"]
+        for r in df.select(
+            "id", T.lang_id(F.col("text")).alias("lang")
+        ).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_fingerprint_oracle(docs, docs_pd):
+    import hashlib
+
+    got = {
+        int(r["doc_id"]): r["fp"]
+        for r in docs.select(
+            "doc_id", T.fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    for row in docs_pd.itertuples():
+        toks = _py_tokens(row.text)
+        if len(toks) >= 3:
+            fp = min(
+                hashlib.md5(
+                    " ".join(toks[i:i + 3]).encode()).hexdigest()
+                for i in range(len(toks) - 2)
+            )
+        else:
+            fp = hashlib.md5(row.text.encode()).hexdigest()
+        assert got[row.doc_id] == fp
+
+
+def test_exact_duplicates(spark):
+    rows = [(1, "aa bb"), (2, "aa bb"), (3, "cc"), (4, "aa bb"), (5, "cc")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (int(r["rep_id"]), int(r["n_dups"]))
+        for r in dedup.exact_duplicates(df, "doc_id", "text").collect()
+    }
+    assert got == {(1, 3), (3, 2)}
+
+
+def _py_shingles(s, size=3):
+    toks = _py_tokens(s)
+    if len(toks) >= size:
+        return {" ".join(toks[i:i + size])
+                for i in range(len(toks) - size + 1)}
+    return {s}
+
+
+def test_minhash_near_duplicates(spark, docs):
+    # construct known near-dups: doc + same doc with one token changed
+    base = docs.limit(30).select("doc_id", "text")
+    mutated = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
+    )
+    both = base.unionByName(mutated)
+    got = dedup.near_duplicates_minhash(
+        both, "doc_id", "text", threshold=0.5
+    ).collect()
+    pairs = {(int(r["id_a"]), int(r["id_b"])) for r in got}
+    # every (doc, doc+100000) pair must be found (jaccard ~ (n-2)/(n+1))
+    expected_subset = {
+        (int(r["doc_id"]), int(r["doc_id"]) + 100000)
+        for r in base.collect()
+    }
+    assert expected_subset <= pairs
+    # verify jaccard values against python oracle
+    texts = {int(r["doc_id"]): r["text"] for r in both.collect()}
+    for r in got:
+        sa = _py_shingles(texts[int(r["id_a"])])
+        sb = _py_shingles(texts[int(r["id_b"])])
+        jac = len(sa & sb) / len(sa | sb)
+        assert r["jaccard"] == pytest.approx(jac, abs=1e-12)
+
+
+def test_ngram_jaccard_matches_minhash_verify(spark):
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e f g zz"),
+        (3, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (int(r["id_a"]), int(r["id_b"])): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.0).collect()
+    }
+    sa, sb = _py_shingles(rows[0][1]), _py_shingles(rows[1][1])
+    assert got[(1, 2)] == pytest.approx(len(sa & sb) / len(sa | sb))
+    assert got[(1, 3)] == 0.0
+
+
+def test_simhash_near_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again tomorrow"),
+        (3, "completely unrelated content about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sim = dedup.simhash(df, "doc_id", "text")
+    vals = {int(r["doc_id"]): int(r["simhash"]) for r in sim.collect()}
+    ham12 = bin(vals[1] ^ vals[2]).count("1")
+    ham13 = bin(vals[1] ^ vals[3]).count("1")
+    assert ham12 < ham13
+    pairs = dedup.simhash_near_pairs(sim, "doc_id",
+                                     max_hamming=max(ham12, 3)).collect()
+    ids = {(int(r["id_a"]), int(r["id_b"])) for r in pairs}
+    if ham12 <= 3:
+        assert (1, 2) in ids
+    for r in pairs:
+        assert int(r["hamming"]) == bin(
+            vals[r["id_a"]] ^ vals[r["id_b"]]).count("1")
+
+
+def _np_topk(emb_pd, qids, k):
+    mat = np.stack(emb_pd["embedding"].to_numpy()).astype(np.float64)
+    ids = emb_pd["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    out = set()
+    for q in qids:
+        qi = np.flatnonzero(ids == q)[0]
+        scores = mat @ mat[qi] / (norms * norms[qi])
+        mask = ids != q
+        order = np.lexsort((ids[mask], -scores[mask]))[:k]
+        for rank, j in enumerate(order, 1):
+            out.add((q, int(ids[mask][j]), rank))
+    return out
+
+
+def test_cosine_topk_matches_numpy(emb):
+    emb_pd = emb.toPandas()
+    qids = [0, 1, 2]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    got = {
+        (int(r["query_id"]), int(r["vec_id"]), int(r["rank"]))
+        for r in similarity.cosine_topk(
+            emb, queries, "vec_id", "embedding", "query_id", "qvec", k=5
+        ).collect()
+    }
+    assert got == _np_topk(emb_pd, qids, 5)
+
+
+def test_lsh_topk_recall(emb):
+    emb_pd = emb.toPandas()
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    got = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in similarity.lsh_topk(
+            emb, queries, "vec_id", "embedding", "query_id", "qvec",
+            k=5, n_planes=6, probe_hamming=2,
+        ).collect()
+    }
+    exact = {(q, v) for q, v, _ in _np_topk(emb_pd, qids, 5)}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall  # ANN: majority recall at tiny scale
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [
+        (1, "image", "image/png", "PNGBYTES" * 10, 32, 32, None),
+        (2, "audio", "audio/wav", "WAVBYTES" * 5, None, None, 2000),
+        (3, "video", "video/mp4", "MP4BYTES" * 7, 64, 64, 3500),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(df, fake=True).collect()
+    assert len(feats) == 3
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(df, fake=False)
+    frames = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    assert {(int(r["media_id"]), int(r["frame_ts_ms"])) for r in frames} == {
+        (3, 0), (3, 1000), (3, 2000), (3, 3000)
+    }
