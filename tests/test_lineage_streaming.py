@@ -1,0 +1,131 @@
+"""Tests: per-partition metrics, checkpoint/resume, streaming ingest."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pure_python_geospatial_export_spark.functions.geom_udfs import (
+    cell_id_col,
+)
+from pure_python_geospatial_export_spark.functions.points import with_point
+from pure_python_geospatial_export_spark.plans.lineage import (
+    ResumableRun,
+    partition_metrics,
+)
+from pure_python_geospatial_export_spark.sources.pages import synth_pages
+from pure_python_geospatial_export_spark.streaming.ingest import (
+    run_available_now,
+    stream_pages,
+    windowed_cell_counts,
+)
+
+
+def test_partition_metrics(spark):
+    df = spark.range(0, 1000, 1, 8)
+    m = partition_metrics(df).collect()
+    assert len(m) == 8
+    assert sum(r["n_rows"] for r in m) == 1000
+    assert all(r["n_bytes"] > 0 for r in m)
+    assert sorted(r["partition_id"] for r in m) == list(range(8))
+
+
+def _units_df(spark, n=500):
+    pages = with_point(synth_pages(spark, n))
+    return pages.withColumn(
+        "unit", cell_id_col(F.col("lon"), F.col("lat"), 2)
+    )
+
+
+def test_resumable_run_resumes(spark, tmp_path):
+    df = _units_df(spark)
+    units = [int(r["unit"]) for r in df.select("unit").distinct().collect()]
+    assert len(units) > 4
+    half = set(units[: len(units) // 2])
+
+    out = str(tmp_path / "run")
+    rr = ResumableRun(spark, out, unit_col="unit")
+
+    # first (partial) run: only half the units available
+    s1 = rr.run(df.where(F.col("unit").isin(list(half))))
+    assert s1["processed_units"] == len(half)
+    assert not s1["resumed"]
+
+    # second run with the full input resumes: only the remainder processed
+    s2 = rr.run(df)
+    assert s2["resumed"]
+    assert s2["processed_units"] == len(units) - len(half)
+
+    # third run: nothing left to do
+    s3 = rr.run(df)
+    assert s3["processed_units"] == 0
+
+    # final output equals one-shot processing
+    got = rr.output().count()
+    assert got == df.count()
+    manifest = spark.read.parquet(os.path.join(out, "manifest"))
+    assert manifest.select("unit").distinct().count() == len(units)
+
+
+def test_resumable_run_with_process_fn(spark, tmp_path):
+    df = _units_df(spark, 300)
+    rr = ResumableRun(spark, str(tmp_path / "run2"), unit_col="unit")
+
+    def proc(d):
+        return d.groupBy("unit", "lang").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    rr.run(df, process=proc, collect_metrics=True)
+    out = rr.output()
+    assert out.agg(F.sum("n")).first()[0] == 300
+    metrics = spark.read.parquet(str(tmp_path / "run2" / "metrics"))
+    assert metrics.count() > 0
+
+
+def test_streaming_windowed_cell_counts(spark, tmp_path):
+    src = str(tmp_path / "pages_parquet")
+    ckpt = str(tmp_path / "ckpt")
+    pages = synth_pages(spark, 400)
+    pages.write.parquet(src)
+
+    stream = stream_pages(spark, src)
+    assert stream.isStreaming
+    agg = windowed_cell_counts(stream, res=3, window="30 minutes")
+    run_available_now(agg, "cell_counts", ckpt)
+    got = spark.sql(
+        "select sum(n_pages) as total, count(*) as groups from cell_counts"
+    ).first()
+    assert got["total"] == 400
+
+    # batch equivalent must agree group-for-group
+    batch = (
+        windowed_cell_counts.__wrapped__(pages, 3, "30 minutes")
+        if hasattr(windowed_cell_counts, "__wrapped__")
+        else None
+    )
+    from pure_python_geospatial_export_spark.functions.points import (
+        lat_col,
+        lon_col,
+    )
+
+    batch = (
+        pages.withColumn("lon", lon_col(F.col("url")))
+        .withColumn("lat", lat_col(F.col("url")))
+        .withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), 3))
+        .groupBy(F.window("warc_ts", "30 minutes").alias("win"), "cell_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "cell_id",
+            F.col("n_pages"),
+        )
+    )
+    expected = {
+        (r["window_start"], int(r["cell_id"])): int(r["n_pages"])
+        for r in batch.collect()
+    }
+    streamed = {
+        (r["window_start"], int(r["cell_id"])): int(r["n_pages"])
+        for r in spark.table("cell_counts").collect()
+    }
+    assert streamed == expected
