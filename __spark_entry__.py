@@ -1,38 +1,529 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial join on sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the corpus-curation operators); ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL for every SQL-expressible query. Column names
+and arithmetic are mirrored exactly so the driver's value-hash compare is
+bit-level.
+
+Doc points derive from the pinned sha256 formula
+(pure_python_geospatial_export_spark/functions/points.py) applied to a
+synthetic per-doc url ``doc://<doc_id>`` — identical string on both sides.
 """
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pure_python_geospatial_export_spark.functions import text as T
+from pure_python_geospatial_export_spark.functions.geom_udfs import (
+    cell_id_col,
+    point_in_bbox_col,
+    wkt_roundtrip,
+)
+from pure_python_geospatial_export_spark.functions.points import (
+    lat_col,
+    lon_col,
+    point_sql,
+)
+from pure_python_geospatial_export_spark.geo import wkt as wktmod
+from pure_python_geospatial_export_spark.operators import dedup, similarity
+from pure_python_geospatial_export_spark.operators.knn import (
+    knn_exact,
+    knn_join,
+)
+from pure_python_geospatial_export_spark.operators.spatial_join import (
+    spatial_join,
+)
+from pure_python_geospatial_export_spark.operators.tiles import tile_stats
+from pure_python_geospatial_export_spark.sources.export import (
+    Field,
+    FieldType,
+    GeometryFormat,
+    _lines_df,
+)
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# ---------------------------------------------------------------------------
+# shared polygon layer: the two reference states + a 4x4 grid (some holed)
+# ---------------------------------------------------------------------------
+
+_URL_EXPR_SQL = "concat('doc://', CAST(doc_id AS VARCHAR))"
+_LON_SQL, _LAT_SQL = point_sql(_URL_EXPR_SQL)
+
+PTS_CTE = (
+    "WITH pts AS (SELECT doc_id, %s AS lon, %s AS lat FROM documents)"
+    % (_LON_SQL, _LAT_SQL)
+)
+
+
+def _rects():
+    """(polygon_id, name, outer(x0,y0,x1,y1), hole|None) — single source of
+    truth for both the Spark layer (as WKT) and the SQL oracle predicates."""
+    rects = [
+        (1, "Wyoming",
+         (-111.020843268199, 41.0013336343981,
+          -104.052453769699, 44.9981946924588), None),
+        (2, "Colorado",
+         (-109.042545474199, 36.9963964708165,
+          -102.041551293899, 41.0034439410838), None),
+    ]
+    x0w, y0w, x1w, y1w = -130.0, 20.0, -60.0, 55.0
+    nx = ny = 4
+    w = (x1w - x0w) / nx
+    h = (y1w - y0w) / ny
+    pid = 1000
+    for iy in range(ny):
+        for ix in range(nx):
+            ox0 = x0w + ix * w
+            oy0 = y0w + iy * h
+            outer = (ox0, oy0, ox0 + w, oy0 + h)
+            hole = None
+            if pid % 3 == 0:
+                hole = (ox0 + w * 0.4, oy0 + h * 0.4,
+                        ox0 + w * 0.6, oy0 + h * 0.6)
+            rects.append((pid, "grid_%d_%d" % (ix, iy), outer, hole))
+            pid += 1
+    return rects
+
+
+def _rect_ring(x0, y0, x1, y1):
+    return [[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]]
+
+
+def _layer_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for pid, name, outer, hole in _rects():
+        rings = [_rect_ring(*outer)]
+        if hole:
+            rings.append(_rect_ring(*hole))
+        rows.append(
+            (pid, name, wktmod.dumps(dict(type="Polygon",
+                                          coordinates=rings)))
+        )
+    return spark.createDataFrame(rows, ["polygon_id", "name", "wkt"])
+
+
+def _rect_pred_sql(outer, hole) -> str:
+    x0, y0, x1, y1 = outer
+    pred = (
+        "lon >= %r AND lon <= %r AND lat >= %r AND lat <= %r"
+        % (x0, x1, y0, y1)
+    )
+    if hole:
+        hx0, hy0, hx1, hy1 = hole
+        pred += (
+            " AND NOT (lon > %r AND lon < %r AND lat > %r AND lat < %r)"
+            % (hx0, hx1, hy0, hy1)
+        )
+    return pred
+
+
+def _docs_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    return docs.withColumn("lon", lon_col(url)).withColumn(
+        "lat", lat_col(url)
+    )
+
+
+def _tile_sql(res: int, lon="lon", lat="lat") -> str:
+    n = 1 << res
+    x = (
+        "least(greatest(CAST(floor((%s + 180.0) / 360.0 * %d) AS BIGINT), "
+        "0), %d)" % (lon, n, n - 1)
+    )
+    y = (
+        "least(greatest(CAST(floor((%s + 90.0) / 180.0 * %d) AS BIGINT), "
+        "0), %d)" % (lat, n, n - 1)
+    )
+    return "(%d + (%s) * %d + (%s))" % (res * (2**58), x, 2**29, y)
+
+
+# ---------------------------------------------------------------------------
+# golden WKT round-trip cases (reference-recorded 16-decimal strings)
+# ---------------------------------------------------------------------------
+
+
+def _golden_wkts():
+    path = os.path.join(HERE, "tests", "fixtures", "golden_geometry.json")
+    with open(path) as f:
+        golden = json.load(f)
+    return sorted(
+        (name, e["wkt_16"]) for name, e in golden["dumps"].items()
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir)
+    return (
+        spatial_join(pts, _layer_df(spark), res=6)
+        .select("doc_id", "name")
+    )
+
+
+def _q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir)
+    parts = []
+    for pid, name, outer, _hole in _rects():
+        x0, y0, x1, y1 = outer
+        parts.append(
+            pts.where(
+                point_in_bbox_col(F.col("lon"), F.col("lat"),
+                                  x0, y0, x1, y1)
+            ).select(F.lit(name).alias("name"), "doc_id")
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    return union.groupBy("name").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir)
+    return pts.select(
+        "doc_id",
+        cell_id_col(F.col("lon"), F.col("lat"), 6).alias("tile_id"),
+    )
+
+
+def _q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir)
+    return tile_stats(pts, 5).select(
+        "tile_id", "n_points", "xmin", "ymin", "xmax", "ymax"
+    )
+
+
+def _q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir)
+    nbrs = pts.select(F.col("doc_id").alias("nbr_id"), "lon", "lat")
+    return knn_join(pts, nbrs, "doc_id", "nbr_id", k=3, res=3, ring=1)
+
+
+def _q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir)
+    nbrs = pts.select(F.col("doc_id").alias("nbr_id"), "lon", "lat")
+    return knn_exact(pts, nbrs, "doc_id", "nbr_id", k=2)
+
+
+def _both_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_both_docs(spark, sf_dir), "doc_id",
+                                  "text")
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _q_lang_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    return similarity.cosine_topk(
+        emb, queries, "vec_id", "embedding", "query_id", "qvec", k=5
+    )
+
+
+def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.withColumn("window_start", F.date_trunc("hour", F.col("ts")))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+            ).alias("sum_cents"),
+        )
+    )
+
+
+def _q_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(_golden_wkts(), ["case_id", "wkt"])
+    return df.select(
+        "case_id", wkt_roundtrip(F.col("wkt")).alias("wkt_out")
+    )
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup fixture: every doc + a one-token-appended mutation
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
+    )
+    return dedup.near_duplicates_minhash(
+        docs.unionByName(mutated), "doc_id", "text", threshold=0.5
+    )
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
+    )
+    sim = dedup.simhash(docs.unionByName(mutated), "doc_id", "text")
+    return dedup.simhash_near_pairs(sim, "doc_id", max_hamming=3)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.9, n_planes=8
+    )
+
+
+def _q_geojson_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir).limit(100)
+    src = pts.select(
+        "doc_id",
+        F.concat(
+            F.lit("POINT ("), F.col("lon").cast("string"), F.lit(" "),
+            F.col("lat").cast("string"), F.lit(")"),
+        ).alias("geom"),
+        "lang",
+    )
+    schema = [
+        Field("geom", FieldType.GEOM),
+        Field("doc_id", FieldType.INT),
+        Field("lang", FieldType.STR),
+    ]
+    return _lines_df(src, schema, "geom", GeometryFormat.WKT, "geojson",
+                     None)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial join + tile assignment on sf0.001 documents."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _docs_points(spark, sf_dir)
+    joined = spatial_join(pts, _layer_df(spark), res=6)
+    return joined.select(
+        "doc_id",
+        "name",
+        cell_id_col(F.col("lon"), F.col("lat"), 6).alias("cell_id"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pip_join": _q_pip_join,
+        "bbox_filter": _q_bbox_filter,
+        "tile_assign": _q_tile_assign,
+        "tile_stats": _q_tile_stats,
+        "knn_grid": _q_knn_grid,
+        "knn_exact": _q_knn_exact,
+        "dedup_exact": _q_dedup_exact,
+        "fingerprint": _q_fingerprint,
+        "text_quality": _q_text_quality,
+        "lang_pred": _q_lang_pred,
+        "similarity_topk": _q_similarity_topk,
+        "events_window": _q_events_window,
+        "wkt_roundtrip": _q_wkt_roundtrip,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "geojson_lines": _q_geojson_lines,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # pip_join: per-polygon containment predicates (rectangles +-holes)
+    pip_parts = [
+        "SELECT doc_id, '%s' AS name FROM pts WHERE %s"
+        % (name, _rect_pred_sql(outer, hole))
+        for _pid, name, outer, hole in _rects()
+    ]
+    pip_sql = PTS_CTE + " " + " UNION ALL ".join(pip_parts)
+
+    bbox_parts = [
+        "SELECT doc_id, '%s' AS name FROM pts WHERE %s"
+        % (name, _rect_pred_sql(outer, None))
+        for _pid, name, outer, _h in _rects()
+    ]
+    bbox_sql = (
+        PTS_CTE
+        + ", hits AS (" + " UNION ALL ".join(bbox_parts) + ") "
+        + "SELECT name, COUNT(*) AS n_docs FROM hits GROUP BY name"
+    )
+
+    tile_assign_sql = (
+        PTS_CTE + " SELECT doc_id, %s AS tile_id FROM pts" % _tile_sql(6)
+    )
+
+    tile_stats_sql = (
+        PTS_CTE
+        + " SELECT %s AS tile_id, COUNT(*) AS n_points, "
+          "min(lon) AS xmin, min(lat) AS ymin, "
+          "max(lon) AS xmax, max(lat) AS ymax "
+          "FROM pts GROUP BY 1" % _tile_sql(5)
+    )
+
+    n3 = 1 << 3
+    knn_grid_sql = (
+        PTS_CTE
+        + """, g AS (
+            SELECT doc_id, lon, lat,
+              least(greatest(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n1}) AS gx,
+              least(greatest(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n1}) AS gy
+            FROM pts
+          ), pairs AS (
+            SELECT a.doc_id AS doc_id, b.doc_id AS nbr_id,
+              (a.lon - b.lon) * (a.lon - b.lon)
+              + (a.lat - b.lat) * (a.lat - b.lat) AS dist_sq
+            FROM g a JOIN g b
+              ON a.doc_id <> b.doc_id
+             AND least(abs(a.gx - b.gx), {n} - abs(a.gx - b.gx)) <= 1
+             AND abs(a.gy - b.gy) <= 1
+          )
+          SELECT doc_id, nbr_id, dist_sq, rank FROM (
+            SELECT doc_id, nbr_id, dist_sq,
+              CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY dist_sq ASC, nbr_id ASC) AS INTEGER) AS rank
+            FROM pairs
+          ) WHERE rank <= 3""".format(n=n3, n1=n3 - 1)
+    )
+
+    knn_exact_sql = (
+        PTS_CTE
+        + """ SELECT doc_id, nbr_id, dist_sq, rank FROM (
+            SELECT a.doc_id AS doc_id, b.doc_id AS nbr_id,
+              (a.lon - b.lon) * (a.lon - b.lon)
+              + (a.lat - b.lat) * (a.lat - b.lat) AS dist_sq,
+              CAST(row_number() OVER (PARTITION BY a.doc_id
+                   ORDER BY (a.lon - b.lon) * (a.lon - b.lon)
+                          + (a.lat - b.lat) * (a.lat - b.lat) ASC,
+                          b.doc_id ASC) AS INTEGER) AS rank
+            FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+          ) WHERE rank <= 2"""
+    )
+
+    dedup_exact_sql = (
+        "WITH both_docs AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 100000, text FROM documents) "
+        "SELECT md5(text) AS text_hash, min(doc_id) AS rep_id, "
+        "COUNT(*) AS n_dups FROM both_docs GROUP BY 1"
+    )
+
+    fingerprint_sql = (
+        "SELECT doc_id, %s AS fp FROM documents" % T.fingerprint_sql("text")
+    )
+
+    text_quality_sql = (
+        "SELECT doc_id, CAST(%s AS INTEGER) AS n_tokens, %s AS stop_ratio, "
+        "%s AS punct_ratio, %s AS quality FROM documents"
+        % (
+            T.token_count_sql("text"),
+            T.stopword_ratio_sql("text"),
+            T.punct_ratio_sql("text"),
+            T.quality_score_sql("text"),
+        )
+    )
+
+    lang_pred_sql = (
+        "SELECT doc_id, %s AS lang_pred FROM documents"
+        % T.lang_id_sql("text")
+    )
+
+    similarity_sql = """
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+          FROM embeddings WHERE vec_id < 5
+        ), base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ), scored AS (
+          SELECT q.query_id, base.vec_id,
+            list_dot_product(q.qvec, base.vec)
+              / (sqrt(list_dot_product(q.qvec, q.qvec))
+                 * sqrt(list_dot_product(base.vec, base.vec))) AS score
+          FROM base, q WHERE q.query_id <> base.vec_id
+        )
+        SELECT query_id, vec_id, score, rank FROM (
+          SELECT query_id, vec_id, score,
+            CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM scored
+        ) WHERE rank <= 5"""
+
+    events_sql = (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "COUNT(*) AS n_events, "
+        "SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents "
+        "FROM events GROUP BY 1, 2"
+    )
+
+    wkt_values = ", ".join(
+        "('%s', '%s')" % (cid, w.replace("'", "''"))
+        for cid, w in _golden_wkts()
+    )
+    wkt_roundtrip_sql = (
+        "SELECT case_id, wkt AS wkt_out FROM (VALUES %s) AS t(case_id, wkt)"
+        % wkt_values
+    )
+
+    return {
+        "pip_join": pip_sql,
+        "bbox_filter": bbox_sql,
+        "tile_assign": tile_assign_sql,
+        "tile_stats": tile_stats_sql,
+        "knn_grid": knn_grid_sql,
+        "knn_exact": knn_exact_sql,
+        "dedup_exact": dedup_exact_sql,
+        "fingerprint": fingerprint_sql,
+        "text_quality": text_quality_sql,
+        "lang_pred": lang_pred_sql,
+        "similarity_topk": similarity_sql,
+        "events_window": events_sql,
+        "wkt_roundtrip": wkt_roundtrip_sql,
+        # minhash_pairs / simhash_pairs / embedding_near_dup /
+        # geojson_lines: intentionally no SQL oracle (xxhash64/LSH/json
+        # internals are not SQL-expressible); driver rows-only check.
+    }

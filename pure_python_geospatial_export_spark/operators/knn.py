@@ -79,9 +79,10 @@ def knn_join(
     joined = lft.join(
         rgt, (lft["_gx"] == rgt["_nx"]) & (lft["_gy"] == rgt["_ny"])
     ).where(F.col("_lid") != F.col("_rid"))
-    dist = (F.col("_llon") - F.col("_rlon")) ** 2 + (
-        F.col("_llat") - F.col("_rlat")
-    ) ** 2
+    dlon = F.col("_llon") - F.col("_rlon")
+    dlat = F.col("_llat") - F.col("_rlat")
+    # explicit multiply (not pow) so the DuckDB oracle's d*d bit-matches
+    dist = dlon * dlon + dlat * dlat
     w = Window.partitionBy("_lid").orderBy(
         F.col("dist_sq").asc(), F.col("_rid").asc()
     )
@@ -122,9 +123,10 @@ def knn_exact(
     joined = lft.crossJoin(F.broadcast(rgt)).where(
         F.col("_lid") != F.col("_rid")
     )
-    dist = (F.col("_llon") - F.col("_rlon")) ** 2 + (
-        F.col("_llat") - F.col("_rlat")
-    ) ** 2
+    dlon = F.col("_llon") - F.col("_rlon")
+    dlat = F.col("_llat") - F.col("_rlat")
+    # explicit multiply (not pow) so the DuckDB oracle's d*d bit-matches
+    dist = dlon * dlon + dlat * dlat
     w = Window.partitionBy("_lid").orderBy(
         F.col("dist_sq").asc(), F.col("_rid").asc()
     )

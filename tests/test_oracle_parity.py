@@ -1,0 +1,84 @@
+"""Local replica of the driver's correctness gate: every queries() entry
+with an oracle_sql() twin is executed in Spark AND DuckDB on the same
+parquet tables; row multisets must match exactly (bit-level for doubles).
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, "%s.parquet" % t)
+        if os.path.exists(path):
+            con.sql(
+                "CREATE VIEW %s AS SELECT * FROM read_parquet('%s')"
+                % (t, path)
+            )
+    return con
+
+
+def _norm_val(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _norm_rows(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        tuple(_norm_val(r[i]) for i in order) for r in rows
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+
+    res = duck.sql(ORACLES[name])
+    duck_cols = res.columns
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        "column mismatch: %s vs %s" % (spark_cols, duck_cols)
+    )
+    a = _norm_rows(spark_rows, spark_cols)
+    b = _norm_rows(duck_rows, duck_cols)
+    assert len(a) == len(b), "row count %d vs %d" % (len(a), len(b))
+    diffs = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not diffs, "first diffs: %s" % diffs[:3]
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert df.columns == ["doc_id", "name", "cell_id"]
+    assert len(rows) >= 0
