@@ -1,0 +1,111 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...}
+
+The flagship measurement is the north-rule metric: pages/sec through the
+full spatial-join + tile-assign pipeline over a synthesized pages table
+(distributed generation, size scaled to the sf directory).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    pages_n = int(os.environ.get("SPARK_GRAFT_PAGES_N",
+                                 str(int(5_000_000 * sf_num))))
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from pure_python_geospatial_export_spark.functions.points import (
+        with_point,
+    )
+    from pure_python_geospatial_export_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        tile_stats,
+    )
+    from pure_python_geospatial_export_spark.session import get_spark
+    from pure_python_geospatial_export_spark.sources.pages import synth_pages
+
+    spark = get_spark(app_name="ppge-bench", master="local[%d]" % cpus,
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # --- flagship: pages spatial-join + tile-assign throughput ----------
+    pages = with_point(synth_pages(spark, pages_n, partitions=cpus * 2))
+    layer = entry_mod._layer_df(spark)
+
+    def flagship():
+        joined = spatial_join(pages, layer, res=6)
+        out = joined.groupBy("name", "cell_id").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        out.write.format("noop").mode("overwrite").save()
+
+    timed("flagship_pages_join", flagship)
+    pages_per_sec = round(pages_n / timings["flagship_pages_join"], 1)
+
+    # --- driver-contract queries at sf ----------------------------------
+    queries = entry_mod.queries()
+    headline = [
+        "pip_join",
+        "tile_stats",
+        "knn_grid",
+        "dedup_exact",
+        "text_quality",
+        "similarity_topk",
+        "events_window",
+        "minhash_pairs",
+    ]
+    for name in headline:
+        df_fn = queries[name]
+        timed(
+            name,
+            lambda fn=df_fn: fn(spark, sf_dir)
+            .write.format("noop").mode("overwrite").save(),
+        )
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "spatial-join+tile-assign pages/sec (flagship) "
+                  "+ headline query wall times",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        "pages_n": pages_n,
+        "pages_per_sec": pages_per_sec,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""spark-submit entry point for the flagship pipeline.
+
+Usage (cluster or local):
+  spark-submit --py-files dist/ppge_spark.zip scripts/flagship_job.py \
+      --pages-n 500000 --res 6 [--master local[8]] [--out /path]
+
+Runs: synthesize pages -> derive points -> spatial join against the
+fixture+grid polygon layer -> per-(polygon, cell) rollup, and prints one
+JSON line with wall time + pages/sec. This is the job the scaling bench
+launches at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages-n", type=int, default=500_000)
+    ap.add_argument("--res", type=int, default=6)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--out", default=None,
+                    help="optional parquet output dir (else noop sink)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from pure_python_geospatial_export_spark.functions.points import (
+        with_point,
+    )
+    from pure_python_geospatial_export_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from pure_python_geospatial_export_spark.session import get_spark
+    from pure_python_geospatial_export_spark.sources.pages import synth_pages
+
+    master = args.master or "local[%d]" % args.cpus
+    ncores = args.cpus if "local[" not in master else int(
+        master.split("[")[1].rstrip("]").replace("*", str(args.cpus))
+    )
+    spark = get_spark(app_name="ppge-flagship", master=master,
+                      shuffle_partitions=max(ncores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages = with_point(
+        synth_pages(spark, args.pages_n, partitions=max(ncores * 2, 16))
+    )
+    layer = entry_mod._layer_df(spark)
+
+    t0 = time.time()
+    joined = spatial_join(pages, layer, res=args.res)
+    out = joined.groupBy("name", "cell_id").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    else:
+        out.write.format("noop").mode("overwrite").save()
+    wall = time.time() - t0
+
+    print(json.dumps({
+        "job": "flagship_spatial_join",
+        "master": master,
+        "pages_n": args.pages_n,
+        "wall_sec": round(wall, 3),
+        "pages_per_sec": round(args.pages_n / wall, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Two-parallelism scaling bench (north rule: efficiency >= 0.8 N -> 4N).
+
+Runs the flagship job in FRESH subprocesses at local[8] and local[32] on
+the identical input (deterministic synthesis), computes throughput at both
+and the scaling efficiency, and writes BENCH/BASELINE.md.
+
+  python scripts/scaling_bench.py [--pages-n 2000000] [--repeats 2]
+
+Efficiency definition: speedup(8->32) / 4, with speedup = T8 / T32
+(ideal linear scaling gives 1.0). Best-of-``repeats`` wall times are used
+to suppress JVM warmup noise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_once(cpus: int, pages_n: int) -> dict:
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "scripts", "flagship_job.py"),
+        "--pages-n", str(pages_n),
+        "--master", "local[%d]" % cpus,
+        "--cpus", str(cpus),
+    ]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, check=True
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages-n", type=int, default=2_000_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    results = {}
+    for cpus in (args.low, args.high):
+        runs = [run_once(cpus, args.pages_n) for _ in range(args.repeats)]
+        best = min(runs, key=lambda r: r["wall_sec"])
+        results[cpus] = {"best": best, "all": runs}
+        print("local[%d]: %s" % (cpus, best))
+
+    t_low = results[args.low]["best"]["wall_sec"]
+    t_high = results[args.high]["best"]["wall_sec"]
+    factor = args.high / args.low
+    speedup = t_low / t_high
+    efficiency = speedup / factor
+
+    summary = {
+        "pages_n": args.pages_n,
+        "low_cpus": args.low,
+        "high_cpus": args.high,
+        "wall_low_sec": t_low,
+        "wall_high_sec": t_high,
+        "pages_per_sec_low": results[args.low]["best"]["pages_per_sec"],
+        "pages_per_sec_high": results[args.high]["best"]["pages_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# BENCH/BASELINE — measured engine numbers\n\n"
+            "## Scaling (north rule: efficiency >= 0.8 from N to 4N)\n\n"
+            "Sandbox proxy for two cluster sizes: the identical flagship "
+            "job (synthesize %d pages -> derive points -> spatial join vs "
+            "18-polygon layer -> per-(polygon,cell) rollup) run in fresh "
+            "JVMs at local[%d] and local[%d].\n\n"
+            "| parallelism | wall (s) | pages/sec |\n"
+            "| --- | --- | --- |\n"
+            "| local[%d] | %.3f | %.1f |\n"
+            "| local[%d] | %.3f | %.1f |\n\n"
+            "- speedup %d->%d cores: **%.2fx**\n"
+            "- scaling efficiency (speedup / %.0f): **%.3f**\n\n"
+            "Raw runs (best-of-%d reported above):\n\n```json\n%s\n```\n"
+            % (
+                args.pages_n, args.low, args.high,
+                args.low, t_low, summary["pages_per_sec_low"],
+                args.high, t_high, summary["pages_per_sec_high"],
+                args.low, args.high, speedup, factor, efficiency,
+                args.repeats,
+                json.dumps(
+                    {str(k): v for k, v in results.items()}, indent=1
+                ),
+            )
+        )
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
