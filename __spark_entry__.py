@@ -169,7 +169,7 @@ def _golden_wkts():
 def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _docs_points(spark, sf_dir)
     return (
-        spatial_join(pts, _layer_df(spark), res=6)
+        spatial_join(pts, _layer_df(spark), res=7)
         .select("doc_id", "name")
     )
 
@@ -345,7 +345,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial join + tile assignment on sf0.001 documents."""
     sf_dir = "/root/testdata/sf0.001"
     pts = _docs_points(spark, sf_dir)
-    joined = spatial_join(pts, _layer_df(spark), res=6)
+    joined = spatial_join(pts, _layer_df(spark), res=7)
     return joined.select(
         "doc_id",
         "name",

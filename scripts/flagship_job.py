@@ -2,7 +2,7 @@
 
 Usage (cluster or local):
   spark-submit --py-files dist/ppge_spark.zip scripts/flagship_job.py \
-      --pages-n 500000 --res 6 [--master local[8]] [--out /path]
+      --pages-n 500000 --res 8 [--master local[8]] [--out /path]
 
 Runs: synthesize pages -> derive points -> spatial join against the
 fixture+grid polygon layer -> per-(polygon, cell) rollup, and prints one
@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages-n", type=int, default=500_000)
-    ap.add_argument("--res", type=int, default=6)
+    ap.add_argument("--res", type=int, default=8)
     ap.add_argument("--master", default=None)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
