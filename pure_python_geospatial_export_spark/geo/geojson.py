@@ -119,6 +119,25 @@ def get_srid(geom: dict):
     return meta_srid if meta_srid is not None else crs_srid
 
 
+def _round_coords(coords, precision: int):
+    if isinstance(coords, (list, tuple)):
+        return [_round_coords(c, precision) for c in coords]
+    return round(coords, precision)
+
+
+def round_geom(geom: dict, precision: int) -> dict:
+    """Round all coordinates to ``precision`` decimals (C7/A7 parity with
+    ref geomet/util.py:73-108); GeometryCollections recurse."""
+    if geom["type"] == "GeometryCollection":
+        return dict(
+            type="GeometryCollection",
+            geometries=[round_geom(g, precision)
+                        for g in geom["geometries"]],
+        )
+    return dict(type=geom["type"],
+                coordinates=_round_coords(geom["coordinates"], precision))
+
+
 def srid_keys(srid: int) -> dict:
     """The dual meta/crs SRID representation the reference emits on WKB load
     (ref geomet/wkb.py:328-336)."""
