@@ -58,6 +58,12 @@ def main() -> None:
     )
     layer = entry_mod._layer_df(spark)
 
+    # untimed warmup: JVM codegen + Python UDF worker pool spin-up, so the
+    # timed region measures steady-state compute (what a long cluster job
+    # looks like) rather than per-process cold start
+    warm = with_point(synth_pages(spark, 20_000, partitions=ncores))
+    spatial_join(warm, layer, res=args.res).groupBy("name").count().collect()
+
     t0 = time.time()
     joined = spatial_join(pages, layer, res=args.res)
     out = joined.groupBy("name", "cell_id").agg(
