@@ -118,7 +118,16 @@ def spatial_join(
     # kernel on the thin boundary band only (~5x wall-time win measured
     # at res 6 on 500k points).
     full_rows = joined.where(F.col("is_full"))
-    boundary = joined.where(~F.col("is_full")).where(
+    # Re-shuffle the boundary band before the Python stage: the band is a
+    # small fraction of the input, but it inherits the input's partition
+    # count, so the refine would otherwise fan out one (expensive to
+    # start) Python worker per input partition for a handful of rows
+    # each. The round-robin repartition puts an AQE-coalesced exchange in
+    # front of ArrowEvalPython, so the Python stage is sized by the
+    # band's actual volume — locally a few workers, at 100 TB thousands,
+    # and skew-balanced either way.
+    boundary = joined.where(~F.col("is_full")).hint("rebalance")
+    boundary = boundary.where(
         refine(F.col("polygon_id"), F.col("lon"), F.col("lat"))
     )
     return full_rows.unionByName(boundary).drop("is_full")

