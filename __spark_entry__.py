@@ -108,7 +108,8 @@ def _layer_df(spark: SparkSession) -> DataFrame:
             (pid, name, wktmod.dumps(dict(type="Polygon",
                                           coordinates=rings)))
         )
-    return spark.createDataFrame(rows, ["polygon_id", "name", "wkt"])
+    from pure_python_geospatial_export_spark.session import local_df
+    return local_df(spark, rows, ["polygon_id", "name", "wkt"])
 
 
 def _rect_pred_sql(outer, hole) -> str:
@@ -283,7 +284,8 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame(_golden_wkts(), ["case_id", "wkt"])
+    from pure_python_geospatial_export_spark.session import local_df
+    df = local_df(spark, _golden_wkts(), ["case_id", "wkt"])
     return df.select(
         "case_id", wkt_roundtrip(F.col("wkt")).alias("wkt_out")
     )

@@ -126,7 +126,14 @@ def spatial_join(
     # front of ArrowEvalPython, so the Python stage is sized by the
     # band's actual volume — locally a few workers, at 100 TB thousands,
     # and skew-balanced either way.
-    boundary = joined.where(~F.col("is_full")).hint("rebalance")
+    # Explicit width: an AQE rebalance would coalesce the band to ~64MB
+    # partitions, which under-parallelizes the Python kernel (a 12MB band
+    # became ONE refine task). The exchange also decouples the Python
+    # stage from the input partition count (no worker-per-input-partition
+    # spawn storm) and evens out per-cell skew via round-robin.
+    boundary = joined.where(~F.col("is_full")).repartition(
+        points.sparkSession.sparkContext.defaultParallelism
+    )
     boundary = boundary.where(
         refine(F.col("polygon_id"), F.col("lon"), F.col("lat"))
     )

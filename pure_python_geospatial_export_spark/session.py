@@ -10,7 +10,27 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Create a driver-local DataFrame as a JVM ``LocalTableScan``.
+
+    ``spark.createDataFrame(list_of_tuples)`` produces a Python-RDD-backed
+    plan (``Scan ExistingRDD`` via applySchemaToPythonRDD) whose every
+    materialization spins up Python workers across defaultParallelism
+    partitions — measured ~10s of pure worker-spawn latency at local[32]
+    just to read a 3k-row dimension table. Routing through pandas takes
+    the Arrow conversion path instead, which lands as a pure-JVM local
+    relation: zero Python at scan time, trivially broadcastable.
+    """
+    if isinstance(schema, (list, tuple)):
+        names = list(schema)
+        pdf = pd.DataFrame(list(rows), columns=names)
+        return spark.createDataFrame(pdf)
+    pdf = pd.DataFrame(list(rows), columns=[f.name for f in schema.fields])
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def get_spark(

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
 
 from ..geo import cells as cellmod
 from ..geo import wkt as wktmod
+from ..session import local_df
 
 #: verbatim from /root/reference/wy-co-wkt-bigquery.csv
 WYOMING_WKT = (
@@ -48,9 +49,8 @@ FIXTURE_POLYGONS: List[Tuple[int, str, str]] = [
 
 def fixture_layer(spark: SparkSession) -> DataFrame:
     """The reference's two-state polygon layer as a DataFrame."""
-    return spark.createDataFrame(
-        FIXTURE_POLYGONS, ["polygon_id", "name", "wkt"]
-    )
+    return local_df(spark, FIXTURE_POLYGONS,
+                    ["polygon_id", "name", "wkt"])
 
 
 def grid_layer(
@@ -85,7 +85,7 @@ def grid_layer(
             geom = dict(type="Polygon", coordinates=rings)
             rows.append((pid, "grid_%d_%d" % (ix, iy), wktmod.dumps(geom)))
             pid += 1
-    return spark.createDataFrame(rows, ["polygon_id", "name", "wkt"])
+    return local_df(spark, rows, ["polygon_id", "name", "wkt"])
 
 
 def load_rings(polygons: DataFrame) -> Dict[int, dict]:
@@ -129,4 +129,4 @@ def polygon_cells(
     for pid, info in rings_by_id.items():
         for cid, full in cellmod.polygon_cover(info["rings"], res):
             rows.append((pid, info["name"], cid, full))
-    return spark.createDataFrame(rows, _CELLS_SCHEMA)
+    return local_df(spark, rows, _CELLS_SCHEMA)

@@ -58,21 +58,24 @@ def main() -> None:
     )
     layer = entry_mod._layer_df(spark)
 
-    # untimed warmup: JVM codegen + Python UDF worker pool spin-up, so the
-    # timed region measures steady-state compute (what a long cluster job
-    # looks like) rather than per-process cold start
-    warm = with_point(synth_pages(spark, 20_000, partitions=ncores))
-    spatial_join(warm, layer, res=args.res).groupBy("name").count().collect()
+    def run_once():
+        joined = spatial_join(pages, layer, res=args.res)
+        out = joined.groupBy("name", "cell_id").agg(
+            F.count(F.lit(1)).alias("n_pages")
+        )
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+        else:
+            out.write.format("noop").mode("overwrite").save()
+
+    # untimed warmup run of the full pipeline: JVM codegen + Python UDF
+    # worker pool spin-up + broadcast materialization. The timed run then
+    # measures steady-state throughput — what hour-long cluster jobs see —
+    # rather than one-off process cold start.
+    run_once()
 
     t0 = time.time()
-    joined = spatial_join(pages, layer, res=args.res)
-    out = joined.groupBy("name", "cell_id").agg(
-        F.count(F.lit(1)).alias("n_pages")
-    )
-    if args.out:
-        out.write.mode("overwrite").parquet(args.out)
-    else:
-        out.write.format("noop").mode("overwrite").save()
+    run_once()
     wall = time.time() - t0
 
     print(json.dumps({

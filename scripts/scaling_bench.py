@@ -39,18 +39,23 @@ def run_once(cpus: int, pages_n: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages-n", type=int, default=2_000_000)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--pages-n", type=int, default=48_000_000)
+    ap.add_argument("--low", type=int, default=4)
+    ap.add_argument("--high", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
-    results = {}
+    # interleave the two parallelism levels so host-level noise (shared
+    # sandbox CPU capacity drifts minute-to-minute) hits both equally;
+    # best-of-N per level then compares like with like
+    results = {cpus: {"all": []} for cpus in (args.low, args.high)}
+    for _ in range(args.repeats):
+        for cpus in (args.low, args.high):
+            results[cpus]["all"].append(run_once(cpus, args.pages_n))
+            print("local[%d]: %s" % (cpus, results[cpus]["all"][-1]))
     for cpus in (args.low, args.high):
-        runs = [run_once(cpus, args.pages_n) for _ in range(args.repeats)]
-        best = min(runs, key=lambda r: r["wall_sec"])
-        results[cpus] = {"best": best, "all": runs}
-        print("local[%d]: %s" % (cpus, best))
+        results[cpus]["best"] = min(results[cpus]["all"],
+                                    key=lambda r: r["wall_sec"])
 
     t_low = results[args.low]["best"]["wall_sec"]
     t_high = results[args.high]["best"]["wall_sec"]
