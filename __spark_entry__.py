@@ -269,6 +269,46 @@ def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function coverage (SURVEY §2.5): per-user running event
+    count and cumulative value, plus previous event type (lag)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("int").alias("seq"),
+        F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+        .over(w).alias("running_cents"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column extraction: sum of props.k per event_type."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("long")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (
@@ -369,6 +409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_pred": _q_lang_pred,
         "similarity_topk": _q_similarity_topk,
         "events_window": _q_events_window,
+        "events_running": _q_events_running,
+        "events_json": _q_events_json,
+        "bpe_tokens": _q_bpe_tokens,
         "wkt_roundtrip": _q_wkt_roundtrip,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -502,6 +545,27 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY 1, 2"
     )
 
+    events_running_sql = (
+        "SELECT event_id, user_id, "
+        "CAST(row_number() OVER w AS INTEGER) AS seq, "
+        "SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w "
+        "AS running_cents, "
+        "lag(event_type) OVER w AS prev_type "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+
+    events_json_sql = (
+        "SELECT event_type, "
+        "SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+        "COUNT(*) AS n_events FROM events GROUP BY 1"
+    )
+
+    bpe_tokens_sql = (
+        "SELECT doc_id, CAST(%s AS INTEGER) AS n_bpe_tokens FROM documents"
+        % T.bpe_token_count_sql("text")
+    )
+
     wkt_values = ", ".join(
         "('%s', '%s')" % (cid, w.replace("'", "''"))
         for cid, w in _golden_wkts()
@@ -524,6 +588,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_pred": lang_pred_sql,
         "similarity_topk": similarity_sql,
         "events_window": events_sql,
+        "events_running": events_running_sql,
+        "events_json": events_json_sql,
+        "bpe_tokens": bpe_tokens_sql,
         "wkt_roundtrip": wkt_roundtrip_sql,
         # minhash_pairs / simhash_pairs / embedding_near_dup /
         # geojson_lines: intentionally no SQL oracle (xxhash64/LSH/json

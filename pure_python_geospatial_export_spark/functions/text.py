@@ -41,6 +41,23 @@ def token_count_sql(col: str = "text") -> str:
     return "len(regexp_split_to_array(trim(%s), '\\s+'))" % col
 
 
+#: BPE-ish pre-tokenizer: word pieces, numbers, or single punctuation —
+#: the GPT-2-style coarse split (letters | digits | non-space symbol runs)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count BPE-ish pre-tokens via regexp extraction (JVM-side)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def bpe_token_count_sql(col: str = "text") -> str:
+    return (
+        "len(regexp_extract_all(%s, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+        % col
+    )
+
+
 def _count_in_list(text: Column, words: list) -> Column:
     toks = tokens_col(text)
     in_set = F.array(*[F.lit(w) for w in words])

@@ -51,6 +51,7 @@ def spatial_join(
     strategy: str = "broadcast",
     rings_by_id: Optional[Dict[int, dict]] = None,
     hot_cell_threshold: int = 2_000_000,
+    cover: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Join points (must carry ``lon``/``lat``) against a polygon layer by
     containment. Returns the points columns + (polygon_id, name).
@@ -63,7 +64,8 @@ def spatial_join(
     spark = points.sparkSession
     if rings_by_id is None:
         rings_by_id = load_rings(polygons)
-    cover = polygon_cells(spark, rings_by_id, res)
+    if cover is None:
+        cover = polygon_cells(spark, rings_by_id, res)
     pts = points_with_cell(points, res)
     refine = make_pip_refine(rings_by_id)
 
