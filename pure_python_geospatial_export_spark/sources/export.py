@@ -158,7 +158,15 @@ def _lines_df(df: DataFrame, schema: List[Field], geom_key: str,
         fieldnames.append(geom_col)
 
     out_schema = StructType(list(_LINE_SCHEMA))
-    cols = [f.name for f in schema]
+    # schema fields resolve CASE-SENSITIVELY against the input columns,
+    # like the reference's row-dict lookups (a schema asking for 'name'
+    # against a CSV with header 'NAME' yields None -> str(None) == "None";
+    # Spark's case-insensitive resolution would silently find it)
+    cols = [
+        F.col("`%s`" % f.name) if f.name in df.columns
+        else F.lit(None).cast("string").alias(f.name)
+        for f in schema
+    ]
     if order_col:
         out_schema = StructType(
             list(_LINE_SCHEMA) + [df.schema[order_col]]

@@ -702,9 +702,17 @@ def write_shapefile_df(
     (ref ppge/__init__.py:192-271): infer shapetype from first non-null
     geometry, skip type-mismatched shapes, promote Point->MultiPoint,
     null-shape for unparseable geometry, fixed WGS-84 .prj."""
+    from pyspark.sql import functions as F
+
     from .export import FieldType, parse_geometry_safely
 
-    cols = [f.name for f in schema]
+    # case-SENSITIVE field resolution (match the reference's row-dict
+    # lookups; see sources/export.py)
+    cols = [
+        F.col("`%s`" % f.name) if f.name in df.columns
+        else F.lit(None).cast("string").alias(f.name)
+        for f in schema
+    ]
     src = df.select(*(cols + ([order_col] if order_col else [])))
     if order_col:
         src = src.orderBy(order_col)
