@@ -1,0 +1,115 @@
+"""Iceberg-style spatial table layout: cell-partitioned, Morton-clustered.
+
+The scan-level spatial pushdown the reference hand-rolls (seek past
+non-matching record bodies via bbox headers, ref
+ppge/pyshp/__init__.py:1381-1388) becomes PHYSICAL LAYOUT here:
+
+* the table is written partitioned by a coarse cell (``part_cell``, low
+  resolution) — spatial predicates on cells turn into partition pruning
+  the Catalyst optimizer applies for free;
+* within each partition, rows are sorted by the fine-resolution Morton
+  code — neighbors cluster into the same parquet row groups, so
+  row-group min/max stats prune fine-grained cell ranges too.
+
+At 100 TB this is the difference between scanning the world and scanning
+one state's worth of files for a regional query.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geom_udfs import cell_id_col, grid_xy_cols
+from ..geo import cells as cellmod
+
+PART_RES = 3   # 8x8 world partitions by default
+SORT_RES = 12  # fine Morton clustering
+
+
+def morton_col(lon, lat, res: int):
+    """Z-order code as a column expression (bit-interleave via shifts)."""
+    x, y = grid_xy_cols(lon, lat, res)
+
+    def spread(v):
+        v = v.cast("long")
+        masks = [
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ]
+        for shift, mask in masks:
+            v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+        return v
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
+
+
+def write_spatial_table(
+    df: DataFrame,
+    path: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    part_res: int = PART_RES,
+    sort_res: int = SORT_RES,
+    mode: str = "overwrite",
+) -> None:
+    """Write a points table cell-partitioned + Morton-sorted."""
+    out = (
+        df.withColumn(
+            "part_cell", cell_id_col(F.col(lon), F.col(lat), part_res)
+        )
+        .withColumn("morton", morton_col(F.col(lon), F.col(lat), sort_res))
+        .repartition("part_cell")
+        # sort by the partition column FIRST: the partitioned-write path
+        # re-sorts rows by partition key when its required ordering is not
+        # already satisfied, and that sort need not be stable — sorting by
+        # (part_cell, morton) satisfies the writer and keeps morton order
+        .sortWithinPartitions("part_cell", "morton")
+    )
+    out.write.mode(mode).partitionBy("part_cell").parquet(path)
+
+
+def read_cells(
+    spark: SparkSession,
+    path: str,
+    cell_ids: Iterable[int],
+    part_res: int = PART_RES,
+) -> DataFrame:
+    """Read only the partitions covering the requested (any-resolution)
+    cells — spatial predicate -> partition pruning."""
+    parents = set()
+    for c in cell_ids:
+        x, y, res = cellmod.decode(int(c))
+        r = int(res)
+        if r < part_res:
+            raise ValueError("query cells must be at res >= part_res")
+        shift = r - part_res
+        parents.add(int(cellmod.encode(int(x) >> shift, int(y) >> shift,
+                                       part_res)))
+    df = spark.read.parquet(path)
+    return df.where(F.col("part_cell").isin(sorted(parents)))
+
+
+def read_bbox(
+    spark: SparkSession,
+    path: str,
+    bbox,
+    part_res: int = PART_RES,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Read rows intersecting a bbox: partition pruning on the coarse
+    cells covering the bbox + exact bbox filter (P3) on the survivors."""
+    cover = cellmod.bbox_cover(tuple(bbox), part_res)
+    df = spark.read.parquet(path).where(
+        F.col("part_cell").isin([int(c) for c in cover])
+    )
+    return df.where(
+        (F.col(lon) >= F.lit(bbox[0])) & (F.col(lon) <= F.lit(bbox[2]))
+        & (F.col(lat) >= F.lit(bbox[1])) & (F.col(lat) <= F.lit(bbox[3]))
+    )

@@ -1,0 +1,88 @@
+"""Spatial table layout tests: partition pruning actually prunes files,
+Morton clustering sorts within partitions, bbox reads are exact."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pure_python_geospatial_export_spark.functions.points import with_point
+from pure_python_geospatial_export_spark.geo import cells as cellmod
+from pure_python_geospatial_export_spark.sources.layout import (
+    morton_col,
+    read_bbox,
+    read_cells,
+    write_spatial_table,
+)
+from pure_python_geospatial_export_spark.sources.pages import synth_pages
+
+
+def _table(spark, tmp_path, n=3000):
+    path = str(tmp_path / "spatial_table")
+    pages = with_point(synth_pages(spark, n))
+    write_spatial_table(pages, path, part_res=3, sort_res=12)
+    return path, pages
+
+
+def test_partition_pruning_reaches_files(spark, tmp_path):
+    path, pages = _table(spark, tmp_path)
+    # query one fine cell around a known point
+    qcell = int(cellmod.cell_id_scalar(-104.786, 41.14, 8))
+    df = read_cells(spark, path, [qcell], part_res=3)
+    # files actually TOUCHED at execution (inputFiles() reports the
+    # unpruned relation)
+    touched = {
+        r["f"] for r in df.select(
+            F.input_file_name().alias("f")).distinct().collect()
+    }
+    all_files = set(spark.read.parquet(path).inputFiles())
+    assert len(touched) < len(all_files), (
+        "pruned scan must touch fewer files (%d vs %d)"
+        % (len(touched), len(all_files))
+    )
+    assert len(touched) >= 1
+    # and the optimized plan pushes the filter into partition pruning
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "part_cell" in plan
+
+
+def test_read_bbox_exact(spark, tmp_path):
+    path, pages = _table(spark, tmp_path)
+    bbox = (-111.0, 41.0, -104.0, 45.0)
+    got = sorted(
+        int(r["page_id"]) for r in read_bbox(spark, path, bbox).collect()
+    )
+    pd = pages.select("page_id", "lon", "lat").toPandas()
+    m = (
+        (pd["lon"] >= bbox[0]) & (pd["lon"] <= bbox[2])
+        & (pd["lat"] >= bbox[1]) & (pd["lat"] <= bbox[3])
+    )
+    expected = sorted(int(v) for v in pd["page_id"][m])
+    assert got == expected
+    assert expected, "bbox should catch some pages"
+
+
+def test_morton_col_matches_numpy(spark):
+    pages = with_point(synth_pages(spark, 500))
+    got = {
+        int(r["page_id"]): int(r["m"])
+        for r in pages.select(
+            "page_id", morton_col(F.col("lon"), F.col("lat"), 12).alias("m")
+        ).collect()
+    }
+    pd = pages.select("page_id", "lon", "lat").toPandas()
+    expected = cellmod.morton_id(
+        pd["lon"].to_numpy(), pd["lat"].to_numpy(), 12
+    )
+    for pid, m in zip(pd["page_id"], expected):
+        assert got[int(pid)] == int(m)
+
+
+def test_sorted_within_partitions(spark, tmp_path):
+    path, _ = _table(spark, tmp_path)
+    df = spark.read.parquet(path)
+    # within each file, morton must be non-decreasing
+    import pyarrow.parquet as pq
+
+    files = [f.replace("file:", "") for f in df.inputFiles()][:5]
+    for f in files:
+        col = pq.read_table(f, columns=["morton"])["morton"].to_numpy()
+        assert (np.diff(col) >= 0).all(), f
