@@ -111,6 +111,43 @@ def test_spatial_join_salted_equals_broadcast(spark, pages):
     assert a == b
 
 
+def test_spatial_join_skewed_hot_cells(spark):
+    """Skew fixture (FIXTURES.md §1 variant): 30% of pages share a 64-url
+    hot pool, concentrating points into a handful of hot cells. The salted
+    shuffle strategy must (a) actually salt (hot cells exceed threshold)
+    and (b) produce exactly the broadcast plan's rows."""
+    skewed = with_point(
+        synth_pages(spark, 3000, skew_hot_fraction=0.3, hot_pool=4)
+    )
+    from pure_python_geospatial_export_spark.operators.spatial_join import (
+        points_with_cell,
+    )
+
+    # verify the fixture is skewed: ~250 rows land in each of 4 hot cells
+    # vs a uniform expectation of 3000/(128*128) per res-7 cell
+    hist = (
+        points_with_cell(skewed, 7).groupBy("cell_id").count()
+        .orderBy(F.col("count").desc()).limit(1).collect()
+    )
+    assert hist[0]["count"] > 100, "fixture must be hot-celled"
+
+    layer_df = grid_layer(spark, nx=6, ny=6, hole_every=3)
+    a = {
+        (int(r["page_id"]), r["name"])
+        for r in spatial_join(skewed, layer_df, res=7)
+        .select("page_id", "name").collect()
+    }
+    b = {
+        (int(r["page_id"]), r["name"])
+        for r in spatial_join(
+            skewed, layer_df, res=7, strategy="shuffle_salted",
+            hot_cell_threshold=20,
+        ).select("page_id", "name").collect()
+    }
+    assert a == b
+    assert a, "skewed join should produce rows"
+
+
 def test_tile_stats_matches_oracle(pages, pages_pd):
     res = 5
     got = {
