@@ -89,11 +89,15 @@ def main() -> None:
     ]
     for name in headline:
         df_fn = queries[name]
-        timed(
-            name,
-            lambda fn=df_fn: fn(spark, sf_dir)
-            .write.format("noop").mode("overwrite").save(),
-        )
+
+        def run(fn=df_fn):
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+
+        # measure steady state: first execution pays one-off Python
+        # worker spin-up + codegen; long jobs see the second-run profile
+        run()
+        timed(name, run)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

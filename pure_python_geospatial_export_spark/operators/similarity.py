@@ -155,6 +155,99 @@ def lsh_topk(
     )
 
 
+def _make_assign_udf(centroids: np.ndarray, top: int = 1):
+    """Arrow kernel: vector -> nearest-centroid index(es) by cosine."""
+    norms = np.linalg.norm(centroids, axis=1)
+    norms[norms == 0] = 1.0
+
+    @F.pandas_udf("array<int>")
+    def assign(vec: pd.Series) -> pd.Series:
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0] = 1.0
+        scores = (mat @ centroids.T) / (vn[:, None] * norms[None, :])
+        idx = np.argsort(-scores, axis=1)[:, :top]
+        return pd.Series([row.astype(np.int32).tolist() for row in idx])
+
+    return assign
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: coarse quantizer (deterministic seed centroids +
+    Lloyd refinement via groupBy-mean), inverted lists keyed by nearest
+    centroid, queries probe their ``n_probe`` closest lists, exact cosine
+    re-rank inside the probed lists.
+
+    The scale shape: the 10^12-vector side is PARTITIONED BY LIST (an
+    equi join key), queries broadcast with their probe sets — the classic
+    IVF trade of recall for candidate-set size, all shuffle-free on the
+    big side after one assignment pass.
+    """
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_vec"))
+    # deterministic seed centroids: the first n_centroids rows by id
+    seed_rows = base.orderBy("_id").limit(n_centroids).collect()
+    centroids = np.stack([np.asarray(r["_vec"], dtype=np.float64)
+                          for r in seed_rows])
+    # Lloyd refinement: assign -> per-list mean, distributed agg each pass
+    for _ in range(max(0, lloyd_iters)):
+        assign1 = _make_assign_udf(centroids, top=1)
+        assigned = base.withColumn(
+            "_list", F.element_at(assign1(F.col("_vec")), 1)
+        )
+        means = (
+            assigned.groupBy("_list")
+            .agg(
+                F.array(*[
+                    F.avg(F.element_at(F.col("_vec"), i + 1))
+                    for i in range(centroids.shape[1])
+                ]).alias("mean_vec")
+            )
+            .collect()
+        )
+        for r in means:
+            centroids[int(r["_list"])] = np.asarray(r["mean_vec"])
+
+    assign1 = _make_assign_udf(centroids, top=1)
+    lists = base.withColumn(
+        "_list", F.element_at(assign1(F.col("_vec")), 1)
+    )
+    assign_probe = _make_assign_udf(centroids, top=n_probe)
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+    ).withColumn("_probe", F.explode(assign_probe(F.col("_qvec"))))
+
+    joined = lists.join(
+        F.broadcast(q), lists["_list"] == q["_probe"]
+    ).where(F.col("_qid") != F.col("_id"))
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("score").desc(), F.col("_id").asc()
+    )
+    return (
+        joined.withColumn("score", cosine_cols(F.col("_qvec"),
+                                               F.col("_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_id").alias(id_col),
+            "score",
+            "rank",
+        )
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,

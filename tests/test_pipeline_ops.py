@@ -250,6 +250,34 @@ def test_lsh_topk_recall(emb):
     assert recall >= 0.5, recall  # ANN: majority recall at tiny scale
 
 
+def test_ivf_topk_recall(emb):
+    emb_pd = emb.toPandas()
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    got = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in similarity.ivf_topk(
+            emb, queries, "vec_id", "embedding", "query_id", "qvec",
+            k=5, n_centroids=8, n_probe=4, lloyd_iters=2,
+        ).collect()
+    }
+    exact = {(q, v) for q, v, _ in _np_topk(emb_pd, qids, 5)}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall
+    # determinism: second run returns the identical set
+    again = {
+        (int(r["query_id"]), int(r["vec_id"]))
+        for r in similarity.ivf_topk(
+            emb, queries, "vec_id", "embedding", "query_id", "qvec",
+            k=5, n_centroids=8, n_probe=4, lloyd_iters=2,
+        ).collect()
+    }
+    assert got == again
+
+
 def test_multimodal_feature_plumbing(spark):
     rows = [
         (1, "image", "image/png", "PNGBYTES" * 10, 32, 32, None),
