@@ -63,6 +63,15 @@ def get_spark(
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
         .config("spark.sql.session.timeZone", "UTC")
+        # fork workers from a daemon that has numpy/pandas/pyarrow already
+        # imported — fresh Python stages otherwise pay ~2s import per
+        # worker slot (see daemon_preload docstring)
+        .config(
+            "spark.python.daemon.module",
+            "pure_python_geospatial_export_spark.daemon_preload",
+        )
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
