@@ -140,3 +140,100 @@ def spatial_join(
         refine(F.col("polygon_id"), F.col("lon"), F.col("lat"))
     )
     return full_rows.unionByName(boundary).drop("is_full")
+
+
+def spatial_join_big_layer(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = DEFAULT_RES,
+) -> DataFrame:
+    """Point-in-polygon join for polygon layers TOO BIG to broadcast or
+    collect (millions of polygons): fully distributed, no driver-side
+    layer materialization anywhere.
+
+    Plan:
+      1. cover = polygons.mapInPandas(polygon_cover per row)  — the cell
+         explode runs executor-side over Arrow batches of WKT rows;
+      2. points ⋈ cover on cell_id — a plain shuffle equi join (AQE
+         picks broadcast automatically if the cover is in fact small);
+      3. full-cell rows pass; boundary rows join BACK to the polygon WKT
+         (equi join on polygon_id) and run the ray-cast kernel with the
+         ring coordinates parsed per Arrow batch — grouped by polygon
+         within each batch so the kernel still sees large point blocks.
+
+    Same results as ``spatial_join`` (tested); trades the broadcast for
+    two shuffles, which is the correct shape when the layer itself is
+    fact-sized.
+    """
+    import pandas as pd
+
+    from ..geo import kernels, wkt as wktmod
+    from ..geo.cells import polygon_cover
+
+    def cover_kernel(batches):
+        for pdf in batches:
+            pids, names, cids, fulls = [], [], [], []
+            for pid, name, wkt_str in zip(
+                pdf["polygon_id"], pdf["name"], pdf["wkt"]
+            ):
+                geom = wktmod.loads(wkt_str)
+                rings = (
+                    geom["coordinates"] if geom["type"] == "Polygon"
+                    else [r for p in geom["coordinates"] for r in p]
+                )
+                for cid, full in polygon_cover(rings, res):
+                    pids.append(pid)
+                    names.append(name)
+                    cids.append(cid)
+                    fulls.append(full)
+            yield pd.DataFrame({
+                "polygon_id": pd.Series(pids, dtype="int64"),
+                "name": pd.Series(names, dtype="object"),
+                "cell_id": pd.Series(cids, dtype="int64"),
+                "is_full": pd.Series(fulls, dtype="bool"),
+            })
+
+    cover = polygons.select("polygon_id", "name", "wkt").mapInPandas(
+        cover_kernel,
+        "polygon_id long, name string, cell_id long, is_full boolean",
+    )
+
+    pts = points_with_cell(points, res)
+    joined = pts.join(cover, "cell_id")
+    full_rows = joined.where(F.col("is_full")).drop("is_full")
+
+    boundary = (
+        joined.where(~F.col("is_full"))
+        .drop("is_full", "name")
+        .join(polygons.select("polygon_id", "wkt"), "polygon_id")
+        .repartition("polygon_id")
+    )
+
+    def refine_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.drop(columns=["wkt"]).iloc[0:0]
+                continue
+            keep = pd.Series(False, index=pdf.index)
+            for wkt_str, grp in pdf.groupby("wkt", sort=False):
+                geom = wktmod.loads(wkt_str)
+                rings = (
+                    geom["coordinates"] if geom["type"] == "Polygon"
+                    else [r for p in geom["coordinates"] for r in p]
+                )
+                inside = kernels.points_in_polygon(
+                    grp["lon"].to_numpy(), grp["lat"].to_numpy(), rings
+                )
+                keep.loc[grp.index] = inside
+            yield pdf[keep].drop(columns=["wkt"])
+
+    import pyspark.sql.types as T
+
+    out_fields = [f for f in boundary.schema.fields if f.name != "wkt"]
+    refined = boundary.mapInPandas(
+        refine_kernel, T.StructType(out_fields)
+    )
+    refined = refined.join(
+        polygons.select("polygon_id", "name"), "polygon_id"
+    )
+    return full_rows.unionByName(refined, allowMissingColumns=False)

@@ -148,6 +148,28 @@ def test_spatial_join_skewed_hot_cells(spark):
     assert a, "skewed join should produce rows"
 
 
+def test_spatial_join_big_layer_equals_broadcast(spark, pages):
+    from pure_python_geospatial_export_spark.operators.spatial_join import (
+        spatial_join_big_layer,
+    )
+
+    layer_df = grid_layer(spark, nx=6, ny=6, hole_every=3).unionByName(
+        fixture_layer(spark)
+    )
+    a = {
+        (int(r["page_id"]), r["name"])
+        for r in spatial_join(pages, layer_df, res=6)
+        .select("page_id", "name").collect()
+    }
+    b = {
+        (int(r["page_id"]), r["name"])
+        for r in spatial_join_big_layer(pages, layer_df, res=6)
+        .select("page_id", "name").collect()
+    }
+    assert a == b
+    assert a
+
+
 def test_tile_stats_matches_oracle(pages, pages_pd):
     res = 5
     got = {
