@@ -323,3 +323,35 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def deduplicate_exact(df: DataFrame, id_col: str, text_col: str
+                      ) -> DataFrame:
+    """Filter ``df`` to one representative row (min id) per exact text;
+    the user-facing corpus-cleaning form of :func:`exact_duplicates`."""
+    reps = exact_duplicates(df, id_col, text_col).select(
+        F.col("rep_id").alias(id_col)
+    )
+    return df.join(reps, id_col, "left_semi")
+
+
+def deduplicate_near(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Filter near-duplicates: for every MinHash-verified pair above
+    ``threshold``, drop the higher-id member. Greedy per-pair policy —
+    one shuffle-free anti join against the set of dropped ids. (Not a
+    full connected-components union: at web scale the greedy policy is
+    the standard first pass; CC clustering can follow on the survivors.)
+    """
+    pairs = near_duplicates_minhash(
+        df, id_col, text_col, threshold, num_hashes, bands, shingle_size
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")

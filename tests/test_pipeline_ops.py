@@ -296,3 +296,18 @@ def test_multimodal_feature_plumbing(spark):
     assert {(int(r["media_id"]), int(r["frame_ts_ms"])) for r in frames} == {
         (3, 0), (3, 1000), (3, 2000), (3, 3000)
     }
+
+
+def test_deduplicate_filters(spark):
+    rows = [
+        (1, "aa bb cc dd ee ff"), (2, "aa bb cc dd ee ff"),  # exact dup
+        (3, "aa bb cc dd ee zz"),                            # near dup of 1
+        (4, "totally different content here entirely now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = dedup.deduplicate_exact(df, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in exact.collect()) == [1, 3, 4]
+    near = dedup.deduplicate_near(df, "doc_id", "text", threshold=0.3)
+    kept = sorted(r["doc_id"] for r in near.collect())
+    assert 1 in kept and 4 in kept
+    assert 2 not in kept  # exact dup is also a near dup
