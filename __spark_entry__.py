@@ -309,6 +309,29 @@ def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'error' event picks up the latest prior (or
+    simultaneous) 'click' by the same user."""
+    from pure_python_geospatial_export_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+        .alias("click_cents"),
+    )
+    out = asof_join(errors, clicks, key="user_id",
+                    right_cols=["click_id", "click_cents"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_click_id").alias("prev_click_id"),
+        F.col("asof_click_cents").alias("prev_click_cents"),
+    )
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (
@@ -410,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": _q_similarity_topk,
         "events_window": _q_events_window,
         "events_running": _q_events_running,
+        "events_asof": _q_events_asof,
         "events_json": _q_events_json,
         "bpe_tokens": _q_bpe_tokens,
         "wkt_roundtrip": _q_wkt_roundtrip,
@@ -555,6 +579,18 @@ def oracle_sql() -> dict[str, str]:
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
     )
 
+    events_asof_sql = (
+        "WITH errors AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'error'), "
+        "clicks AS (SELECT user_id, ts, event_id AS click_id, "
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS click_cents "
+        "FROM events WHERE event_type = 'click') "
+        "SELECT e.event_id, e.user_id, c.click_id AS prev_click_id, "
+        "c.click_cents AS prev_click_cents "
+        "FROM errors e ASOF LEFT JOIN clicks c "
+        "ON e.user_id = c.user_id AND e.ts >= c.ts"
+    )
+
     events_json_sql = (
         "SELECT event_type, "
         "SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
@@ -589,6 +625,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": similarity_sql,
         "events_window": events_sql,
         "events_running": events_running_sql,
+        "events_asof": events_asof_sql,
         "events_json": events_json_sql,
         "bpe_tokens": bpe_tokens_sql,
         "wkt_roundtrip": wkt_roundtrip_sql,
