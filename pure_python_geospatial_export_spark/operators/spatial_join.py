@@ -120,19 +120,13 @@ def spatial_join(
     # kernel on the thin boundary band only (~5x wall-time win measured
     # at res 6 on 500k points).
     full_rows = joined.where(F.col("is_full"))
-    # Re-shuffle the boundary band before the Python stage: the band is a
-    # small fraction of the input, but it inherits the input's partition
-    # count, so the refine would otherwise fan out one (expensive to
-    # start) Python worker per input partition for a handful of rows
-    # each. The round-robin repartition puts an AQE-coalesced exchange in
-    # front of ArrowEvalPython, so the Python stage is sized by the
-    # band's actual volume — locally a few workers, at 100 TB thousands,
-    # and skew-balanced either way.
-    # Explicit width: an AQE rebalance would coalesce the band to ~64MB
-    # partitions, which under-parallelizes the Python kernel (a 12MB band
-    # became ONE refine task). The exchange also decouples the Python
-    # stage from the input partition count (no worker-per-input-partition
-    # spawn storm) and evens out per-cell skew via round-robin.
+    # Round-robin exchange on the boundary band. NOTE: Catalyst pushes
+    # the (deterministic) UDF filter back through the repartition, so in
+    # the optimized plan the exchange lands ABOVE the refine — what it
+    # buys is a skew-balanced, right-width stage boundary for whatever
+    # consumes the band next, at negligible cost (the band is thin). The
+    # worker-spawn storms this node was first added for are now solved at
+    # the root by the preloading daemon (see daemon_preload.py).
     boundary = joined.where(~F.col("is_full")).repartition(
         points.sparkSession.sparkContext.defaultParallelism
     )
