@@ -43,22 +43,31 @@ def synth_pages(
         F.lit(".test/page/"),
         F.col("page_id").cast("string"),
     )
+    # url_key: the identifier the url (and therefore the text) derives
+    # from — page_id normally; a small pool id for skewed hot rows, so
+    # the "text is byte-identical per url" invariant (input_hint) holds
+    # by construction even when urls repeat
     if skew_hot_fraction > 0:
         mod = max(1, round(1.0 / skew_hot_fraction))
+        is_hot = F.col("page_id") % mod == 0
+        url_key = F.when(
+            is_hot, (F.col("page_id") % hot_pool)
+        ).otherwise(F.col("page_id"))
         url = F.when(
-            F.col("page_id") % mod == 0,
+            is_hot,
             F.concat(
                 F.lit("https://hot.test/page/"),
                 (F.col("page_id") % hot_pool).cast("string"),
             ),
         ).otherwise(base_url)
     else:
+        url_key = F.col("page_id")
         url = base_url
 
-    df = df.withColumn("url", url)
+    df = df.withColumn("url", url).withColumn("_url_key", url_key)
     text = F.concat(
         F.lit("page "),
-        F.col("page_id").cast("string"),
+        F.col("_url_key").cast("string"),
         F.lit(" body "),
         F.substring(F.sha2(F.col("url"), 256), 1, 8),
     )

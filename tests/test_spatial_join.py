@@ -273,3 +273,26 @@ def test_knn_exact_matches_bruteforce(pages, pages_pd):
         for rank, j in enumerate(order, 1):
             expected.add((int(pid[i]), int(pid[mask][j]), rank))
     assert got == expected
+
+
+def test_text_byte_identical_per_url_invariant(spark):
+    """input_hint invariant: extracted text is byte-identical per url —
+    both in the synthesized table (incl. the skew variant, where urls
+    repeat) and after passing through the spatial join."""
+    skewed = with_point(
+        synth_pages(spark, 2000, skew_hot_fraction=0.3, hot_pool=4)
+    )
+    per_url = skewed.groupBy("url").agg(
+        F.countDistinct("text").alias("n_texts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    assert per_url.where(F.col("n_texts") != 1).count() == 0
+    assert per_url.where(F.col("n_rows") > 1).count() > 0, (
+        "skew variant must actually repeat urls"
+    )
+
+    joined = spatial_join(skewed, fixture_layer(spark), res=7)
+    pre = {r["url"]: r["text"] for r in skewed.select("url", "text")
+           .distinct().collect()}
+    for r in joined.select("url", "text").collect():
+        assert r["text"] == pre[r["url"]], "engine must not mutate text"
