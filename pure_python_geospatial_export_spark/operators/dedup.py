@@ -335,6 +335,26 @@ def deduplicate_exact(df: DataFrame, id_col: str, text_col: str
     return df.join(reps, id_col, "left_semi")
 
 
+def deduplicate_clustered(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Filter near-duplicates via connected-components clustering: keep
+    the min-id representative of every duplicate cluster (transitive
+    closure of MinHash-verified pairs), unlike the greedy per-pair drop
+    of :func:`deduplicate_near`."""
+    pairs = near_duplicates_minhash(df, id_col, text_col, threshold,
+                                    **minhash_kwargs)
+    clusters = duplicate_clusters(pairs, id_col)
+    drops = clusters.where(
+        F.col(id_col) != F.col("cluster_id")
+    ).select(id_col)
+    return df.join(drops, id_col, "left_anti")
+
+
 def deduplicate_near(
     df: DataFrame,
     id_col: str,
@@ -355,3 +375,55 @@ def deduplicate_near(
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, id_col, "left_anti")
+
+
+def duplicate_clusters(
+    pairs: DataFrame, id_col: str = "id", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> (id, cluster_id)
+    with cluster_id = min member id.
+
+    Iterative label propagation entirely in DataFrame ops: each pass
+    joins every node's current label against its neighbors' and keeps the
+    minimum; converges in O(component diameter) passes (near-dup clusters
+    are shallow — a handful of passes at web scale). Each pass is one
+    shuffle on the node id; the frontier is checkpointed per pass via
+    localCheckpoint to keep lineage flat.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"),
+                         F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neighbor_labels = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

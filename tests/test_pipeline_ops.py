@@ -311,3 +311,50 @@ def test_deduplicate_filters(spark):
     kept = sorted(r["doc_id"] for r in near.collect())
     assert 1 in kept and 4 in kept
     assert 2 not in kept  # exact dup is also a near dup
+
+
+def test_duplicate_clusters_union_find_oracle(spark):
+    # chain 1-2-3-4, pair 10-11, triangle 20-21-22, singleton edge 30-31
+    pair_list = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22),
+                 (20, 22), (30, 31)]
+    pairs = spark.createDataFrame(pair_list, ["id_a", "id_b"])
+    got = {
+        int(r["id"]): int(r["cluster_id"])
+        for r in dedup.duplicate_clusters(pairs, "id").collect()
+    }
+
+    # python union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for n in parent:
+        expected[n] = find(n)
+    assert got == expected
+    assert got[4] == 1 and got[11] == 10 and got[22] == 20
+
+
+def test_deduplicate_clustered(spark):
+    rows = [
+        (1, "aa bb cc dd ee ff gg"),
+        (2, "aa bb cc dd ee ff zz"),   # near 1
+        (3, "aa bb cc dd ee qq zz"),   # near 2 (transitively near 1)
+        (4, "completely different words in this one here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(
+        r["doc_id"] for r in dedup.deduplicate_clustered(
+            df, "doc_id", "text", threshold=0.25).collect()
+    )
+    assert 1 in kept and 4 in kept
+    assert 2 not in kept
