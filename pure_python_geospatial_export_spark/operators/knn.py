@@ -30,6 +30,22 @@ def _with_xy(df: DataFrame, res: int, lon: str, lat: str) -> DataFrame:
     return df.withColumn("_gx", x).withColumn("_gy", y)
 
 
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(lon1, lat1, lon2, lat2):
+    """Great-circle distance in km as a column expression (JVM trig)."""
+    rlat1 = F.radians(lat1)
+    rlat2 = F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -40,8 +56,13 @@ def knn_join(
     ring: int = 1,
     lon: str = "lon",
     lat: str = "lat",
+    metric: str = "euclidean_sq",
 ) -> DataFrame:
-    """Returns (id_left, id_right, dist_sq, rank) with rank<=k."""
+    """Returns (id_left, id_right, dist_sq, rank) with rank<=k.
+
+    ``metric``: ``euclidean_sq`` (degree-space, bit-reproducible in SQL)
+    or ``haversine`` (great-circle km; dist_sq column then carries km).
+    """
     n = 1 << res
     lft = _with_xy(left, res, lon, lat).select(
         F.col(id_left).alias("_lid"),
@@ -79,10 +100,14 @@ def knn_join(
     joined = lft.join(
         rgt, (lft["_gx"] == rgt["_nx"]) & (lft["_gy"] == rgt["_ny"])
     ).where(F.col("_lid") != F.col("_rid"))
-    dlon = F.col("_llon") - F.col("_rlon")
-    dlat = F.col("_llat") - F.col("_rlat")
-    # explicit multiply (not pow) so the DuckDB oracle's d*d bit-matches
-    dist = dlon * dlon + dlat * dlat
+    if metric == "haversine":
+        dist = haversine_km(F.col("_llon"), F.col("_llat"),
+                            F.col("_rlon"), F.col("_rlat"))
+    else:
+        dlon = F.col("_llon") - F.col("_rlon")
+        dlat = F.col("_llat") - F.col("_rlat")
+        # explicit multiply (not pow): the DuckDB oracle's d*d bit-matches
+        dist = dlon * dlon + dlat * dlat
     w = Window.partitionBy("_lid").orderBy(
         F.col("dist_sq").asc(), F.col("_rid").asc()
     )

@@ -296,3 +296,45 @@ def test_text_byte_identical_per_url_invariant(spark):
            .distinct().collect()}
     for r in joined.select("url", "text").collect():
         assert r["text"] == pre[r["url"]], "engine must not mutate text"
+
+
+def test_knn_haversine_matches_numpy(pages, pages_pd):
+    from pure_python_geospatial_export_spark.operators.knn import knn_join
+
+    small = pages.where(F.col("page_id") < 200)
+    small_pd = pages_pd[pages_pd["page_id"] < 200]
+    got = {}
+    for r in knn_join(
+        small, small.select(F.col("page_id").alias("nbr_id"), "lon", "lat"),
+        "page_id", "nbr_id", k=2, res=2, ring=1, metric="haversine",
+    ).collect():
+        got[(int(r["page_id"]), int(r["rank"]))] = (
+            int(r["nbr_id"]), r["dist_sq"]
+        )
+
+    # numpy haversine oracle over the same cell-neighborhood candidates
+    n = 1 << 2
+    lon = np.radians(small_pd["lon"].to_numpy())
+    lat = np.radians(small_pd["lat"].to_numpy())
+    deg_lon = small_pd["lon"].to_numpy()
+    deg_lat = small_pd["lat"].to_numpy()
+    pid = small_pd["page_id"].to_numpy()
+    x = np.clip(np.floor((deg_lon + 180) / 360 * n), 0, n - 1).astype(int)
+    y = np.clip(np.floor((deg_lat + 90) / 180 * n), 0, n - 1).astype(int)
+    R = 6371.0088
+    for i in range(len(pid)):
+        dx = np.abs(x - x[i])
+        dx = np.minimum(dx, n - dx)
+        cand = (dx <= 1) & (np.abs(y - y[i]) <= 1) & (pid != pid[i])
+        dlat = (lat[cand] - lat[i]) / 2
+        dlon = (lon[cand] - lon[i]) / 2
+        a = np.sin(dlat) ** 2 + np.cos(lat[i]) * np.cos(lat[cand]) * (
+            np.sin(dlon) ** 2
+        )
+        d = 2 * R * np.arcsin(np.sqrt(a))
+        ids = pid[cand]
+        order = np.lexsort((ids, d))[:2]
+        for rank, j in enumerate(order, 1):
+            g_id, g_d = got[(int(pid[i]), rank)]
+            assert g_id == int(ids[j])
+            assert g_d == pytest.approx(float(d[j]), rel=1e-9)
