@@ -83,3 +83,40 @@ def run_available_now(stream_df: DataFrame, table_name: str,
         .start()
     )
     q.awaitTermination()
+
+
+def stream_to_spatial_table(
+    pages_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    part_res: int = 3,
+    sort_res: int = 12,
+):
+    """Continuously ingest a pages stream into the cell-partitioned
+    spatial table layout (sources/layout.py): each micro-batch lands
+    partitioned by coarse cell with the Morton locality column attached,
+    so downstream cell/bbox readers prune partitions on live data too.
+
+    Returns the started StreamingQuery; drain with
+    ``trigger(availableNow=True)`` semantics by awaiting termination.
+    """
+    from ..sources.layout import morton_col
+
+    pts = pages_stream.withColumn(
+        "lon", lon_col(F.col("url"))
+    ).withColumn("lat", lat_col(F.col("url")))
+    out = (
+        pts.withColumn(
+            "part_cell", cell_id_col(F.col("lon"), F.col("lat"), part_res)
+        )
+        .withColumn("morton", morton_col(F.col("lon"), F.col("lat"),
+                                         sort_res))
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("part_cell")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -129,3 +129,32 @@ def test_streaming_windowed_cell_counts(spark, tmp_path):
         for r in spark.table("cell_counts").collect()
     }
     assert streamed == expected
+
+
+def test_stream_to_spatial_table_prunes(spark, tmp_path):
+    from pure_python_geospatial_export_spark.geo import cells as cellmod
+    from pure_python_geospatial_export_spark.sources.layout import (
+        read_cells,
+    )
+    from pure_python_geospatial_export_spark.streaming.ingest import (
+        stream_to_spatial_table,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "spatial")
+    ckpt = str(tmp_path / "ck")
+    synth_pages(spark, 1500).write.parquet(src)
+
+    stream = stream_pages(spark, src)
+    q = stream_to_spatial_table(stream, out, ckpt, part_res=3)
+    q.awaitTermination()
+
+    table = spark.read.parquet(out)
+    assert table.count() == 1500
+    qcell = int(cellmod.cell_id_scalar(-104.786, 41.14, 8))
+    pruned = read_cells(spark, out, [qcell], part_res=3)
+    touched = {
+        r["f"] for r in pruned.select(
+            F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert 0 < len(touched) < len(set(table.inputFiles()))
