@@ -565,15 +565,16 @@ def oracle_sql() -> dict[str, str]:
     events_sql = (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "COUNT(*) AS n_events, "
-        "SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sum_cents "
+        "CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_cents "
         "FROM events GROUP BY 1, 2"
     )
 
     events_running_sql = (
         "SELECT event_id, user_id, "
         "CAST(row_number() OVER w AS INTEGER) AS seq, "
-        "SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w "
-        "AS running_cents, "
+        "CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w "
+        "AS BIGINT) AS running_cents, "
         "lag(event_type) OVER w AS prev_type "
         "FROM events "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
@@ -593,7 +594,8 @@ def oracle_sql() -> dict[str, str]:
 
     events_json_sql = (
         "SELECT event_type, "
-        "SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+        "AS BIGINT) AS sum_k, "
         "COUNT(*) AS n_events FROM events GROUP BY 1"
     )
 

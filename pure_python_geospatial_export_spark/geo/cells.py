@@ -185,8 +185,19 @@ def polygon_cover(rings: Sequence, res: int) -> List[Tuple[int, bool]]:
     n = float(1 << res)
     w, h = 360.0 / n, 180.0 / n
 
-    exterior_bbox = ring_bbox(np.asarray(rings[0], dtype=np.float64)[:, :2])
-    cells = bbox_cover(exterior_bbox, res)
+    # Candidate cells: union of every ring's bbox cover. MultiPolygon layers
+    # are flattened to one ring list upstream (load_rings, cover_kernel), so
+    # seeding from rings[0] alone would silently drop parts whose exterior
+    # lies outside the first ring's bbox. Hole rings sit inside their
+    # exterior's bbox, so the union adds no spurious area for them; the
+    # corner/edge/vertex pruning below removes any unneeded cells.
+    covers = [
+        bbox_cover(ring_bbox(np.asarray(r, dtype=np.float64)[:, :2]), res)
+        for r in rings
+    ]
+    cells = np.unique(np.concatenate(covers)) if covers else np.empty(
+        0, dtype=np.int64
+    )
     if cells.size == 0:
         return []
     x, y, _ = decode(cells)

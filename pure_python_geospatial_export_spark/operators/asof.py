@@ -38,10 +38,15 @@ def asof_join(
     lhs = left.withColumn("_side", F.lit(1)).withColumn(
         "_ts", F.col(left_ts)
     )
+    # Carry ONE struct of all right columns (non-null exactly for right
+    # rows, even when every field inside is null) so the matched right row
+    # is atomic: all attributes come from the SAME latest row. Carrying
+    # columns independently with last(..., ignorenulls) would backfill a
+    # null attribute of the latest row from an OLDER row.
     rhs = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
-        *[F.col(c).alias(prefix + c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_payload"),
     ).withColumn("_side", F.lit(0))
 
     merged = lhs.unionByName(rhs, allowMissingColumns=True)
@@ -52,17 +57,10 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = merged.select(
-        "*",
-        *[
-            F.last(prefix + c, ignorenulls=True).over(w)
-            .alias("_carry_" + c)
-            for c in right_cols
-        ],
+    carried = merged.withColumn(
+        "_carry", F.last("_payload", ignorenulls=True).over(w)
     )
     out = carried.where(F.col("_side") == 1)
     for c in right_cols:
-        out = out.drop(prefix + c).withColumnRenamed(
-            "_carry_" + c, prefix + c
-        )
-    return out.drop("_side", "_ts")
+        out = out.withColumn(prefix + c, F.col("_carry").getField(c))
+    return out.drop("_side", "_ts", "_payload", "_carry")

@@ -403,6 +403,7 @@ def duplicate_clusters(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_labels = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -423,7 +424,17 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning partially-propagated labels would silently split
+        # clusters (callers like deduplicate_clustered would keep
+        # non-representative rows) — fail loudly instead
+        raise RuntimeError(
+            "duplicate_clusters did not converge in %d passes; a "
+            "component's diameter exceeds max_iters — raise max_iters"
+            % max_iters
+        )
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )

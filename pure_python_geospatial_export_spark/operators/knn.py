@@ -43,6 +43,10 @@ def haversine_km(lon1, lat1, lon2, lat2):
         F.sin(dlat) * F.sin(dlat)
         + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
     )
+    # clamp to [0, 1]: fp rounding on near-antipodal pairs can push a
+    # fractionally past 1, and asin(sqrt(a>1)) = NaN would poison the
+    # window ranking downstream
+    a = F.greatest(F.least(a, F.lit(1.0)), F.lit(0.0))
     return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
 
 

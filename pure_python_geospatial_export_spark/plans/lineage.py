@@ -12,9 +12,10 @@ work.
 * ``ResumableRun``: deterministic work units (any column — the engine uses
   coarse cells so units are spatial) + a manifest parquet. A run
   anti-joins completed units from the manifest, processes the remainder,
-  appends data BEFORE manifest rows (so a crash between the two re-does a
-  unit rather than losing it — at-least-once, idempotent because output
-  is partitioned by unit and rewritten per unit).
+  writes data BEFORE manifest rows (so a crash between the two re-does a
+  unit rather than losing it — at-least-once), and writes via DYNAMIC
+  partition overwrite so a re-done unit REPLACES its data partition
+  instead of appending a duplicate copy — making the retry idempotent.
 """
 
 from __future__ import annotations
@@ -118,14 +119,36 @@ class ResumableRun:
                 result.groupBy(self.unit_col)
                 .agg(F.count(F.lit(1)).alias("n_rows"))
             )
-            stats_rows = unit_stats.collect()
-            if not stats_rows:
+            stats = {r[self.unit_col]: int(r["n_rows"])
+                     for r in unit_stats.collect()}
+            # the unit list comes from the INPUT, not the output, so
+            # units whose process() output is empty are still marked done
+            # (column-pruned scan of the unit column only — cheap)
+            todo_units = [
+                r[0] for r in
+                todo.select(self.unit_col).distinct().collect()
+            ]
+            if not todo_units:
                 return {"processed_units": 0, "rows": 0, "resumed": done
                         is not None}
-            # data first, manifest second (at-least-once)
-            result.write.mode("append").partitionBy(self.unit_col).parquet(
-                self.data_dir
-            )
+            # data first, manifest second (at-least-once). Dynamic
+            # partition overwrite: only the unit partitions present in
+            # `result` are replaced, so a unit re-done after a crash
+            # between data and manifest writes does NOT append a second
+            # copy of its rows — the retry is idempotent.
+            conf = self.spark.conf
+            mode_key = "spark.sql.sources.partitionOverwriteMode"
+            prev = conf.get(mode_key, None)
+            conf.set(mode_key, "dynamic")
+            try:
+                result.write.mode("overwrite").partitionBy(
+                    self.unit_col
+                ).parquet(self.data_dir)
+            finally:
+                if prev is None:
+                    conf.unset(mode_key)
+                else:
+                    conf.set(mode_key, prev)
             if collect_metrics:
                 partition_metrics(result).withColumn(
                     "run_ts", F.lit(time.time())
@@ -133,17 +156,16 @@ class ResumableRun:
             wall = time.time() - t0
             manifest = self.spark.createDataFrame(
                 [
-                    (r[self.unit_col], int(r["n_rows"]), float(wall),
-                     float(time.time()))
-                    for r in stats_rows
+                    (u, stats.get(u, 0), float(wall), float(time.time()))
+                    for u in todo_units
                 ],
                 "%s long, n_rows long, wall_sec double, finished_ts double"
                 % self.unit_col,
             )
             manifest.write.mode("append").parquet(self.manifest_dir)
             return {
-                "processed_units": len(stats_rows),
-                "rows": int(sum(r["n_rows"] for r in stats_rows)),
+                "processed_units": len(todo_units),
+                "rows": int(sum(stats.values())),
                 "resumed": done is not None,
             }
         finally:

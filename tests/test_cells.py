@@ -151,6 +151,39 @@ def test_polygon_cover_with_hole():
     assert inside[in_full].all()
 
 
+def test_polygon_cover_multipolygon_parts():
+    """MultiPolygons are flattened to one ring list upstream; parts whose
+    exterior is outside the FIRST ring's bbox must still get cover cells
+    (regression: cover used to seed candidates from rings[0] only, so
+    points inside later parts were silently dropped by spatial_join)."""
+    part_a = [[0.0, 0.0], [0.0, 5.0], [5.0, 5.0], [5.0, 0.0], [0.0, 0.0]]
+    # far away from part_a — entirely outside its bbox
+    part_b = [[40.0, 40.0], [40.0, 45.0], [45.0, 45.0], [45.0, 40.0],
+              [40.0, 40.0]]
+    res = 8
+    cover = cells.polygon_cover([part_a, part_b], res)
+    covered = {c for c, _ in cover}
+    full = {c for c, f in cover if f}
+
+    # a point deep inside part_b must land in a covered (indeed full) cell
+    probe = cells.cell_id_scalar(42.5, 42.5, res)
+    assert probe in covered
+    assert probe in full
+
+    # property check over both parts plus the gap between them
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-2, 47, 6000)
+    lat = rng.uniform(-2, 47, 6000)
+    inside = kernels.points_in_polygon(lon, lat, [part_a, part_b])
+    ids = cells.cell_id(lon, lat, res)
+    assert all(int(c) in covered for c in ids[inside])
+    in_full = np.array([int(c) in full for c in ids])
+    assert inside[in_full].all()
+    # the gap between the parts must NOT be covered as full
+    gap = cells.cell_id_scalar(20.0, 20.0, res)
+    assert gap not in full
+
+
 def test_bad_resolution():
     with pytest.raises(ValueError):
         cells.cell_id(np.array([0.0]), np.array([0.0]), 29)

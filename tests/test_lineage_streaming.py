@@ -66,6 +66,42 @@ def test_resumable_run_resumes(spark, tmp_path):
     assert manifest.select("unit").distinct().count() == len(units)
 
 
+def test_resumable_run_retry_is_idempotent(spark, tmp_path):
+    """Crash between the data write and the manifest write: the unit is
+    re-done on resume, and the dynamic-partition-overwrite data write
+    must REPLACE its partition, not append a second copy."""
+    import shutil
+
+    df = _units_df(spark)
+    out = str(tmp_path / "run_crash")
+    rr = ResumableRun(spark, out, unit_col="unit")
+
+    rr.run(df)
+    # simulate the crash: data landed, manifest did not
+    shutil.rmtree(os.path.join(out, "manifest"))
+
+    s2 = rr.run(df)  # resume re-does every unit
+    assert s2["processed_units"] > 0
+    assert rr.output().count() == df.count()  # no duplicated rows
+
+
+def test_resumable_run_marks_empty_units_done(spark, tmp_path):
+    """Units whose process() output is empty are still manifested as
+    done, so they don't recompute on every resume."""
+    df = _units_df(spark)
+    rr = ResumableRun(spark, str(tmp_path / "run_empty"), unit_col="unit")
+
+    def drop_everything(d):
+        return d.where(F.lit(False))
+
+    s1 = rr.run(df, process=drop_everything)
+    assert s1["processed_units"] > 0
+    assert s1["rows"] == 0
+
+    s2 = rr.run(df, process=drop_everything)
+    assert s2["processed_units"] == 0  # nothing recomputed
+
+
 def test_resumable_run_with_process_fn(spark, tmp_path):
     df = _units_df(spark, 300)
     rr = ResumableRun(spark, str(tmp_path / "run2"), unit_col="unit")

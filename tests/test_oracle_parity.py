@@ -51,6 +51,25 @@ def _norm_rows(rows, colnames):
     )
 
 
+# DuckDB result type -> the Spark dtype it must pair with. The driver's
+# value hash is TYPE-sensitive (DuckDB SUM(BIGINT) -> HUGEINT surfaces as
+# float64 and hash-mismatches Spark's int64 even when values are equal), so
+# the local gate must reject type drift too, not just value drift.
+_DUCK_TO_SPARK = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP_NS": "timestamp",
+    "DATE": "date",
+}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     df = QUERIES[name](spark, SF_DIR)
@@ -64,6 +83,19 @@ def test_query_matches_oracle(spark, duck, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         "column mismatch: %s vs %s" % (spark_cols, duck_cols)
     )
+
+    spark_types = dict(df.dtypes)
+    for col, dtype in zip(duck_cols, res.types):
+        d = str(dtype)
+        assert d in _DUCK_TO_SPARK, (
+            "%s.%s: unmapped DuckDB type %s (HUGEINT etc. hash-mismatch "
+            "in the driver — CAST it in the oracle SQL)" % (name, col, d)
+        )
+        assert _DUCK_TO_SPARK[d] == spark_types[col], (
+            "%s.%s: DuckDB %s vs Spark %s" % (
+                name, col, d, spark_types[col]
+            )
+        )
     a = _norm_rows(spark_rows, spark_cols)
     b = _norm_rows(duck_rows, duck_cols)
     assert len(a) == len(b), "row count %d vs %d" % (len(a), len(b))
