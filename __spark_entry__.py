@@ -381,9 +381,25 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup fixture: every base vector + 150 perturbed copies
+    # (component +0.01 -> cosine ~0.995-0.997 vs the base). The banded
+    # LSH candidate stage has recall ~1-6e-11 per planted pair at this
+    # cosine, so the output equals the exact threshold pair set and the
+    # all-pairs DuckDB oracle can verify it bit-for-bit.
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    planted = emb.where(F.col("vec_id") < 150).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x.cast("double") + F.lit(0.01)
+        ).alias("vec"),
+    )
     return similarity.embedding_near_duplicates(
-        emb, "vec_id", "embedding", threshold=0.9, n_planes=8
+        base.unionByName(planted), "vec_id", "vec",
+        threshold=0.99, n_bands=16, band_planes=8, dim=64,
     )
 
 
@@ -613,6 +629,60 @@ def oracle_sql() -> dict[str, str]:
         % wkt_values
     )
 
+    # LSH internals (blake2b minhash bands / random-plane sign buckets)
+    # are not SQL-expressible, but on these fixtures the candidate stage
+    # has recall 1 (deterministic — fixed seeds, fixed data, planted
+    # near-dups far above the threshold), so the OUTPUT equals the exact
+    # all-pairs threshold set, which DuckDB can compute directly. The
+    # shingling (strip/split/3-gram/distinct) mirrors the Arrow kernel.
+    minhash_pairs_sql = """
+        WITH alldocs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text || ' zzzz' AS text
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM alldocs
+        ), idx AS (
+          SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
+        ), grams AS (
+          SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+          FROM idx
+        ), sh AS (
+          SELECT doc_id, list(DISTINCT sh) AS shingles
+          FROM grams GROUP BY doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(
+                    list_concat(a.shingles, b.shingles))) AS DOUBLE)
+              AS jaccard
+          FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5"""
+
+    embedding_near_dup_sql = """
+        WITH base AS (
+          SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings
+        ), planted AS (
+          SELECT vec_id + 100000 AS vec_id,
+            list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) + 0.01) AS vec
+          FROM embeddings WHERE vec_id < 150
+        ), u AS (
+          SELECT * FROM base UNION ALL SELECT * FROM planted
+        )
+        SELECT id_a, id_b, score FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_dot_product(a.vec, b.vec)
+              / (sqrt(list_dot_product(a.vec, a.vec))
+                 * sqrt(list_dot_product(b.vec, b.vec))) AS score
+          FROM u a, u b WHERE a.vec_id < b.vec_id
+        ) WHERE score >= 0.99"""
+
     return {
         "pip_join": pip_sql,
         "bbox_filter": bbox_sql,
@@ -631,7 +701,9 @@ def oracle_sql() -> dict[str, str]:
         "events_json": events_json_sql,
         "bpe_tokens": bpe_tokens_sql,
         "wkt_roundtrip": wkt_roundtrip_sql,
-        # minhash_pairs / simhash_pairs / embedding_near_dup /
-        # geojson_lines: intentionally no SQL oracle (xxhash64/LSH/json
-        # internals are not SQL-expressible); driver rows-only check.
+        "minhash_pairs": minhash_pairs_sql,
+        "embedding_near_dup": embedding_near_dup_sql,
+        # simhash_pairs / geojson_lines: intentionally no SQL oracle
+        # (xxhash64 simhash internals and the engine's GeoJSON codec are
+        # not SQL-expressible); driver rows-only check.
     }

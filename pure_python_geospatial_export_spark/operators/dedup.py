@@ -72,13 +72,21 @@ def minhash_signature(
     num_hashes: int = 64,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """(id, shingles, sig: array<long>[num_hashes]) via one Arrow kernel.
+    """(id, shingle_hashes: array<long>, sig: array<long>[num_hashes])
+    via one Arrow kernel.
 
     Spark's higher-order array functions (sequence/transform/element_at)
     execute INTERPRETED, not codegen'd — building shingles as column
     expressions measured ~18us per shingle. One mapInPandas pass doing
     tokenize -> shingle -> blake2b base hash -> vectorized (shingles x k)
     permutation-min in numpy is ~10x faster and keeps batches streaming.
+
+    Shingles are carried as their raw 8-byte blake2b int64 values, NOT
+    strings: the downstream Jaccard verify join ships both sides' full
+    shingle sets, and int64 arrays shuffle several-fold fewer bytes than
+    the text shingles at corpus scale. Jaccard over the hashed sets
+    equals Jaccard over the string sets (distinct strings -> distinct
+    64-bit hashes up to a ~2^-64 collision).
     """
     if num_hashes > len(MINHASH_A):
         raise ValueError("at most %d hashes" % len(MINHASH_A))
@@ -100,25 +108,28 @@ def minhash_signature(
                     })
                 else:
                     sh = [text or ""]
-                shingle_lists.append(sh)
-                h = np.frombuffer(
+                raw = np.frombuffer(
                     b"".join(
                         hashlib.blake2b(s.encode("utf-8"),
                                         digest_size=8).digest()
                         for s in sh
                     ),
                     dtype="<i8",
-                ) % MINHASH_P
+                )
+                shingle_lists.append(raw.tolist())
+                h = raw % MINHASH_P
                 # (n_shingles, k): values < P^2 + P < 2^63, no overflow
                 perm = (h[:, None] * a[None, :] + b[None, :]) % MINHASH_P
                 sigs.append(perm.min(axis=0).tolist())
             yield pd.DataFrame({
                 id_col: ids,
-                "shingles": shingle_lists,
+                "shingle_hashes": shingle_lists,
                 "sig": sigs,
             })
 
-    out_schema = "%s long, shingles array<string>, sig array<long>" % id_col
+    out_schema = (
+        "%s long, shingle_hashes array<long>, sig array<long>" % id_col
+    )
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
 
 
@@ -206,17 +217,23 @@ def near_duplicates_minhash(
 ) -> DataFrame:
     """End-to-end MinHash LSH near-dup: (id_a, id_b, jaccard).
 
-    The (id, shingles, sig) base relation is persisted: it feeds both the
-    band self-join (twice) and the verify join, and recomputing the
-    shingling per consumer would triple the dominant cost."""
+    The (id, shingle_hashes, sig) base relation is persisted: it feeds
+    both the band self-join (twice) and the verify join, and recomputing
+    the shingling per consumer would triple the dominant cost. The result
+    is materialized eagerly (localCheckpoint) so the base relation can be
+    unpersisted before returning — long-lived sessions don't accumulate
+    retained RDDs across calls."""
     base = minhash_signature(df, id_col, text_col, num_hashes,
                              shingle_size).persist()
     cands = lsh_candidate_pairs(base, id_col, bands, num_hashes)
     shingles_df = base.select(
-        F.col(id_col), F.col("shingles").alias("sh")
+        F.col(id_col), F.col("shingle_hashes").alias("sh")
     )
-    return jaccard_verify(cands, df, id_col, text_col, threshold,
-                          shingle_size, shingles_df=shingles_df)
+    out = jaccard_verify(cands, df, id_col, text_col, threshold,
+                         shingle_size, shingles_df=shingles_df)
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

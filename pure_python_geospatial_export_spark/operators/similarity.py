@@ -89,10 +89,15 @@ def _make_bucket_udf(n_planes: int, dim: int, seed: int = 42):
 
 
 def lsh_buckets(
-    df: DataFrame, vec_col: str, n_planes: int = 12, seed: int = 42
+    df: DataFrame, vec_col: str, n_planes: int = 12, seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Attach a sign-LSH bucket id (int64 of n_planes sign bits)."""
-    dim = len(df.select(vec_col).first()[0])
+    """Attach a sign-LSH bucket id (int64 of n_planes sign bits).
+
+    Pass ``dim`` explicitly to skip the driver-side ``first()`` probe job
+    (one fewer Spark job per call on hot paths)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     bucket = _make_bucket_udf(n_planes, dim, seed)
     return df.withColumn("bucket", bucket(F.col(vec_col)))
 
@@ -108,18 +113,22 @@ def lsh_topk(
     n_planes: int = 10,
     probe_hamming: int = 1,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k: join on LSH bucket (with Hamming-<=1 multi-probe),
-    exact cosine re-rank within candidates."""
+    exact cosine re-rank within candidates. Pass ``dim`` to avoid the
+    driver-side dimension probe job."""
+    if dim is None:
+        dim = len(queries.select(query_vec).first()[0])
     base = lsh_buckets(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
-        "_vec", n_planes, seed,
+        "_vec", n_planes, seed, dim=dim,
     )
     q = lsh_buckets(
         queries.select(
             F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
         ),
-        "_qvec", n_planes, seed,
+        "_qvec", n_planes, seed, dim=dim,
     )
     # multi-probe: query probes its bucket plus all Hamming-<=h flips
     probes = [F.col("bucket")]
@@ -248,31 +257,76 @@ def ivf_topk(
     )
 
 
+def _make_band_bucket_udf(n_bands: int, band_planes: int, dim: int,
+                          seed: int = 42):
+    """Arrow kernel: vector -> n_bands independent sign-LSH codes (one
+    int64 of band_planes sign bits per band)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_bands * band_planes))
+    weights = (1 << np.arange(band_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def band_buckets(vec: pd.Series) -> pd.Series:
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        signs = (mat @ planes) >= 0
+        codes = signs.reshape(len(mat), n_bands, band_planes) @ weights
+        return pd.Series([row.tolist() for row in codes.astype(np.int64)])
+
+    return band_buckets
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    n_planes: int = 10,
+    n_bands: int = 8,
+    band_planes: int = 16,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, score) pairs with cosine >= threshold, candidates from
-    shared LSH bucket."""
-    b = lsh_buckets(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
-        "_vec", n_planes, seed,
+    """(id_a, id_b, score) pairs with cosine >= threshold.
+
+    Candidate generation is BANDED sign-LSH (the MinHash-LSH shape): a
+    pair is a candidate if it collides in ANY of ``n_bands`` independent
+    ``band_planes``-bit plane sets. Recall at angle theta is
+    1-(1-p^r)^b with p = 1 - theta/pi, r = band_planes, b = n_bands —
+    a single fixed bucket (the old shape) had recall p^r, which decays
+    to useless as r grows, while a small r degenerates to all-pairs
+    inside each bucket at corpus scale. Size ``band_planes`` with the
+    corpus: >= ~2*log2(n) keeps expected bucket occupancy O(1), so the
+    per-band self-equi-join stays linear; the verify stage re-ranks
+    candidates with exact cosine so banding only affects recall, never
+    precision.
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    bb = _make_band_bucket_udf(n_bands, band_planes, dim, seed)
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_bands", bb(F.col("_vec"))).persist()
+    banded = base.select(
+        "_id", F.posexplode("_bands").alias("band", "bucket")
     )
-    a = b.select(
-        F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"), "bucket"
-    )
-    c = b.select(
-        F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"), "bucket"
-    )
-    return (
-        a.join(c, "bucket")
+    left = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
+    cands = (
+        left.join(right, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("_id").alias("id_a"),
+                     F.col("_vec").alias("vec_a"))
+    vb = base.select(F.col("_id").alias("id_b"),
+                     F.col("_vec").alias("vec_b"))
+    out = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("score", cosine_cols(F.col("vec_a"), F.col("vec_b")))
         .where(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
-        .distinct()
     )
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
