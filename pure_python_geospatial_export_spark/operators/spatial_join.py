@@ -120,17 +120,17 @@ def spatial_join(
     # kernel on the thin boundary band only (~5x wall-time win measured
     # at res 6 on 500k points).
     full_rows = joined.where(F.col("is_full"))
-    # Round-robin exchange on the boundary band. NOTE: Catalyst pushes
-    # the (deterministic) UDF filter back through the repartition, so in
-    # the optimized plan the exchange lands ABOVE the refine — what it
-    # buys is a skew-balanced, right-width stage boundary for whatever
-    # consumes the band next, at negligible cost (the band is thin). The
-    # worker-spawn storms this node was first added for are now solved at
-    # the root by the preloading daemon (see daemon_preload.py).
-    boundary = joined.where(~F.col("is_full")).repartition(
-        points.sparkSession.sparkContext.defaultParallelism
-    )
-    boundary = boundary.where(
+    # No exchange around the refine: the ArrowEvalPython filter runs
+    # inside the (full-width) scan+join stage, so the boundary band is
+    # refined where it is produced, with zero shuffle. A round-robin
+    # repartition used to sit here to widen the Python stage, but
+    # Catalyst pushes a deterministic UDF filter back through a
+    # repartition, so the exchange always landed ABOVE the refine in the
+    # optimized plan — a pure extra shuffle of the refined band buying
+    # nothing (docs/PLANS.md shows the captured plan). The worker-spawn
+    # storms the exchange was first added for are solved at the root by
+    # the preloading daemon (see daemon_preload.py).
+    boundary = joined.where(~F.col("is_full")).where(
         refine(F.col("polygon_id"), F.col("lon"), F.col("lat"))
     )
     return full_rows.unionByName(boundary).drop("is_full")
