@@ -209,6 +209,13 @@ def read_shapefile_zip(spark, zip_path: str, encoding: str = "utf-8"):
         except KeyError:
             dbf_buf = None
 
+    return _bufs_to_df(spark, shp_buf, dbf_buf, encoding)
+
+
+def _bufs_to_df(spark, shp_buf: bytes, dbf_buf: Optional[bytes],
+                encoding: str = "utf-8"):
+    """Decode in-memory .shp/.dbf buffers to the (oid, wkt, *attrs)
+    DataFrame shared by the zip and URL sources."""
     _hdr, shapes = decode_shp_bytes(shp_buf)
     fields: List[Tuple[str, str, int, int]] = []
     records: List[list] = []
@@ -223,6 +230,39 @@ def read_shapefile_zip(spark, zip_path: str, encoding: str = "utf-8"):
     return spark.createDataFrame(
         rows, ["oid", "wkt"] + [f[0] for f in fields]
     )
+
+
+def read_shapefile_url(spark, url: str, encoding: str = "utf-8"):
+    """Shapefile-over-HTTP source (SURVEY S5, the URL half): fetches the
+    ``.shp``/``.shx``/``.dbf`` siblings of ``url`` (any extension or
+    none) and decodes in memory, mirroring the reference's download-and-
+    load behavior (ref ppge/pyshp/__init__.py:1057-1093): members that
+    404 are tolerated; it is an error only when NEITHER .shp nor .dbf
+    could be fetched. ``file://`` URLs work too (used by the offline
+    test fixture)."""
+    import posixpath
+    from urllib.error import HTTPError, URLError
+    from urllib.parse import urlparse, urlunparse
+    from urllib.request import Request, urlopen
+
+    info = urlparse(url)
+    base_path = posixpath.splitext(info.path)[0]
+    bufs = {}
+    for ext in ("shp", "shx", "dbf"):
+        parts = list(info)
+        parts[2] = base_path + "." + ext
+        member_url = urlunparse(parts)
+        try:
+            req = Request(member_url,
+                          headers={"User-agent": "ppge-spark/1.0"})
+            with urlopen(req) as resp:
+                bufs[ext] = resp.read()
+        except (HTTPError, URLError, OSError):
+            pass
+    if "shp" not in bufs and "dbf" not in bufs:
+        raise ValueError("No shp or dbf file found at url: %s" % url)
+    return _bufs_to_df(spark, bufs.get("shp", b""), bufs.get("dbf"),
+                       encoding)
 
 
 def bundle_shapefile_zip(basename: str, zip_buffer: IO[bytes],
@@ -434,6 +474,8 @@ class ShapefileWriter:
         self._num_shapes = 0
         self._num_records = 0
         self._bbox: Optional[list] = None
+        self._zbox: Optional[list] = None
+        self._mbox: Optional[list] = None
         self._content_bytes = 0
         # reserve headers
         self.shp.write(b"\0" * 100)
@@ -453,7 +495,9 @@ class ShapefileWriter:
     def _grow_bbox(self, pts) -> None:
         if not pts:
             return
-        arr = np.asarray(pts, dtype=np.float64)[:, :2]
+        # slice xy per point: tuples may be ragged (xyz vs xyzm) or
+        # carry None measures, which np.asarray would choke on
+        arr = np.asarray([p[:2] for p in pts], dtype=np.float64)
         lo = arr.min(axis=0)
         hi = arr.max(axis=0)
         if self._bbox is None:
@@ -465,6 +509,20 @@ class ShapefileWriter:
                 max(self._bbox[2], hi[0]),
                 max(self._bbox[3], hi[1]),
             ]
+
+    def _grow_zbox(self, zvals) -> None:
+        lo, hi = min(zvals), max(zvals)
+        if self._zbox is None:
+            self._zbox = [lo, hi]
+        else:
+            self._zbox = [min(self._zbox[0], lo), max(self._zbox[1], hi)]
+
+    def _grow_mbox(self, mvals) -> None:
+        lo, hi = min(mvals), max(mvals)
+        if self._mbox is None:
+            self._mbox = [lo, hi]
+        else:
+            self._mbox = [min(self._mbox[0], lo), max(self._mbox[1], hi)]
 
     def shape(self, shape: dict) -> None:
         st = shape["shape_type"]
@@ -482,7 +540,7 @@ class ShapefileWriter:
         if st != NULL:
             self._grow_bbox(pts)
         if st in _HAS_BBOX:
-            arr = np.asarray(pts, dtype=np.float64)[:, :2]
+            arr = np.asarray([p[:2] for p in pts], dtype=np.float64)
             body += struct.pack(
                 "<4d",
                 arr[:, 0].min(), arr[:, 1].min(),
@@ -495,16 +553,34 @@ class ShapefileWriter:
             if st in _HAS_PARTS:
                 for p in shape.get("parts") or []:
                     body += struct.pack("<i", p)
-            arr = np.asarray(pts, dtype=np.float64)[:, :2]
+            if st == MULTIPATCH:
+                # part-type ints follow the part offsets (ESRI spec;
+                # ref pyshp __shape :2120-2123 writes partTypes here)
+                for pt in shape.get("part_types") or []:
+                    body += struct.pack("<i", pt)
+            arr = np.asarray([p[:2] for p in pts], dtype=np.float64)
             body += arr.astype("<f8").tobytes()
         if st in _HAS_Z:
-            z = shape.get("z") or [
-                (p[2] if len(p) > 2 else 0.0) for p in pts
-            ]
-            body += struct.pack("<2d", min(z), max(z))
+            # extremes come from the POINT TUPLES (missing 3rd dim -> 0),
+            # even when z values are supplied separately — a reference
+            # quirk preserved for byte parity (ref __zbox :2082-2099 is
+            # points-based while the values may come from s.z)
+            zext = [(p[2] if len(p) > 2 else 0.0) for p in pts]
+            body += struct.pack("<2d", min(zext), max(zext))
+            self._grow_zbox(zext)
+            z = shape.get("z") or zext
             body += np.asarray(z, dtype="<f8").tobytes()
         if st in _HAS_M:
             mpos = 3 if st in _HAS_Z else 2
+            # extremes: valid point-tuple m values only; all-missing ->
+            # (NODATA, NODATA), as the reference __mbox does (:2101-2125)
+            mvalid = [
+                p[mpos] for p in pts
+                if len(p) > mpos and p[mpos] is not None
+            ]
+            mext = mvalid if mvalid else [NODATA]
+            body += struct.pack("<2d", min(mext), max(mext))
+            self._grow_mbox(mext)
             m = shape.get("m")
             if m is None:
                 m = [
@@ -513,26 +589,28 @@ class ShapefileWriter:
                     for p in pts
                 ]
             m = [NODATA if v is None else v for v in m]
-            valid = [v for v in m if v > NODATA]
-            if valid:
-                body += struct.pack("<2d", min(valid), max(valid))
-            else:
-                body += struct.pack("<2d", 0.0, 0.0)
             body += np.asarray(m, dtype="<f8").tobytes()
         if st in _SINGLE_POINT:
             body += struct.pack("<2d", pts[0][0], pts[0][1])
             if st == POINTZ:
+                self._grow_zbox(
+                    [pts[0][2] if len(pts[0]) > 2 else 0.0]
+                )
                 z = shape.get("z") or [
                     pts[0][2] if len(pts[0]) > 2 else 0.0
                 ]
                 body += struct.pack("<d", z[0])
             if st in (POINTZ, POINTM):
                 mpos = 3 if st == POINTZ else 2
+                pm = (pts[0][mpos]
+                      if len(pts[0]) > mpos and pts[0][mpos] is not None
+                      else None)
+                self._grow_mbox([pm if pm is not None else NODATA])
                 m = shape.get("m")
                 if m and m[0] is not None:
                     mv = m[0]
-                elif len(pts[0]) > mpos and pts[0][mpos] is not None:
-                    mv = pts[0][mpos]
+                elif pm is not None:
+                    mv = pm
                 else:
                     mv = NODATA
                 body += struct.pack("<d", mv)
@@ -545,6 +623,24 @@ class ShapefileWriter:
 
     def null(self) -> None:
         self.shape({"shape_type": NULL, "points": [], "parts": []})
+
+    def multipatch(self, parts, part_types) -> None:
+        """MULTIPATCH write helper (SURVEY S6 extension, ref
+        ppge/pyshp/__init__.py:2713-2721): ``parts`` is a list of 3D
+        surface patches (lists of xyz[m] points), ``part_types`` one
+        ESRI part-type int per patch (0=TRIANGLE_STRIP, 1=TRIANGLE_FAN,
+        2=OUTER_RING, 3=INNER_RING, 4=FIRST_RING, 5=RING)."""
+        points: List[list] = []
+        offsets: List[int] = []
+        for part in parts:
+            offsets.append(len(points))
+            points.extend([list(p) for p in part])
+        self.shape({
+            "shape_type": MULTIPATCH,
+            "points": points,
+            "parts": offsets,
+            "part_types": list(part_types),
+        })
 
     # -- dbf ---------------------------------------------------------------
 
@@ -604,7 +700,15 @@ class ShapefileWriter:
             bbox = self._bbox if (self.shape_type != NULL and self._bbox
                                   ) else [0, 0, 0, 0]
             f.write(struct.pack("<4d", *bbox))
-            f.write(struct.pack("<4d", 0, 0, 0, 0))  # zbox/mbox (2D engine)
+            # header zbox only for Z types EXCL. multipatch; mbox for all
+            # M-capable types incl. 31 (ref __shapefileHeader :2178-2198)
+            zbox = (self._zbox if self.shape_type in (11, 13, 15, 18)
+                    and self._zbox else [0, 0])
+            mbox = (self._mbox
+                    if self.shape_type in (11, 13, 15, 18, 21, 23, 25,
+                                           28, 31) and self._mbox
+                    else [0, 0])
+            f.write(struct.pack("<4d", zbox[0], zbox[1], mbox[0], mbox[1]))
             f.seek(0, 2)
         # dbf record count (the reference writer emits no 0x1a EOF byte)
         if self._num_records and self.fields:

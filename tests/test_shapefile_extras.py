@@ -38,6 +38,51 @@ def test_read_shapefile_zip(spark, tmp_path):
         map(tuple, direct.collect()))
 
 
+def test_read_shapefile_url_http(spark):
+    """URL source against a local HTTP server (the sandbox has no
+    network): result equals the direct file read, and a missing .dbf is
+    tolerated like the reference."""
+    import functools
+    import http.server
+    import threading
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler,
+        directory=os.path.join(SHPDIR, "test"),
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = "http://127.0.0.1:%d" % srv.server_address[1]
+        df = shp.read_shapefile_url(spark, base + "/point.shp")
+        direct = shp.read_shapefile(
+            spark, os.path.join(SHPDIR, "test/point.shp"))
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, direct.collect()))
+        # extension-less URL resolves the same siblings
+        df2 = shp.read_shapefile_url(spark, base + "/point")
+        assert sorted(map(tuple, df2.collect())) == sorted(
+            map(tuple, direct.collect()))
+        # nothing there -> reference-style error
+        import pytest
+
+        with pytest.raises(ValueError, match="No shp or dbf"):
+            shp.read_shapefile_url(spark, base + "/nope.shp")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_read_shapefile_url_file_scheme(spark):
+    df = shp.read_shapefile_url(
+        spark, "file://" + os.path.join(SHPDIR, "test/point.shp"))
+    direct = shp.read_shapefile(
+        spark, os.path.join(SHPDIR, "test/point.shp"))
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, direct.collect()))
+
+
 def test_bundle_shapefile_zip():
     parts = {}
     for ext in ("shp", "shx", "dbf"):
@@ -55,6 +100,119 @@ def test_bundle_shapefile_zip():
         ]
         assert z.read("point.shp") == parts["shp"]
         assert z.read("point.prj") == shp.PRJ_WGS84
+
+
+def _load_multipatch_golden():
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "fixtures", "golden_multipatch.json")) as f:
+        return json.load(f)
+
+
+def test_multipatch_read_matches_reference():
+    g = _load_multipatch_golden()
+    with open(os.path.join(SHPDIR, "test/multipatch.shp"), "rb") as f:
+        _hdr, shapes = shp.decode_shp_bytes(f.read())
+    assert len(shapes) == len(g["read"])
+    for got, exp in zip(shapes, g["read"]):
+        assert got["shape_type"] == exp["shape_type"] == 31
+        assert list(got["parts"]) == exp["parts"]
+        assert list(got["part_types"]) == exp["part_types"]
+        assert [list(map(float, p)) for p in got["points"]] == exp["points"]
+        assert [float(z) for z in got["z"]] == exp["z"]
+        assert got["m"] == exp["m"]
+
+
+def _run_our_writer(fn):
+    bufs = {k: io.BytesIO() for k in ("shp", "shx", "dbf")}
+    w = shp.ShapefileWriter(bufs["shp"], bufs["shx"], bufs["dbf"])
+    w.field("name", "C", 20)
+    fn(w)
+    w.close()
+    db = bytearray(bufs["dbf"].getvalue())
+    db[1:4] = b"\0\0\0"
+    return {
+        "shp": bufs["shp"].getvalue().hex(),
+        "shx": bufs["shx"].getvalue().hex(),
+        "dbf": bytes(db).hex(),
+    }
+
+
+MP_PARTS = [
+    [[0.0, 0.0, 0.0], [0.0, 0.0, 3.0], [5.0, 0.0, 0.0], [5.0, 0.0, 3.0],
+     [5.0, 5.0, 0.0], [5.0, 5.0, 3.0], [0.0, 5.0, 0.0], [0.0, 5.0, 3.0],
+     [0.0, 0.0, 0.0], [0.0, 0.0, 3.0]],
+    [[2.5, 2.5, 10.0], [0.0, 0.0, 3.0], [5.0, 0.0, 3.0], [5.0, 5.0, 3.0],
+     [0.0, 5.0, 3.0], [0.0, 0.0, 3.0]],
+]
+MP_PARTS_M = [
+    [[0.0, 0.0, 1.0, 7.5], [1.0, 0.0, 1.0, None], [1.0, 1.0, 2.0, 9.25]],
+    [[3.0, 3.0, 0.0, 4.0], [4.0, 3.0, 0.5, 5.0], [4.0, 4.0, 1.5, 6.0],
+     [3.0, 4.0, 2.5, None]],
+]
+
+
+def test_multipatch_write_matches_reference_bytes():
+    g = _load_multipatch_golden()["write"]
+
+    def w_multipatch(w):
+        w.multipatch(MP_PARTS, [0, 1])  # TRIANGLE_STRIP, TRIANGLE_FAN
+        w.record(name="house")
+
+    def w_multipatch_m(w):
+        w.multipatch(MP_PARTS_M, [5, 2])  # RING, OUTER_RING
+        w.record(name="measured")
+        w.multipatch(MP_PARTS, [0, 1])
+        w.record(name="second")
+
+    for name, fn in (("multipatch", w_multipatch),
+                     ("multipatch_m", w_multipatch_m)):
+        got = _run_our_writer(fn)
+        assert got == g[name], "%s bytes differ from reference" % name
+
+
+def test_pointz_linez_write_matches_reference_bytes():
+    g = _load_multipatch_golden()["write"]
+
+    def w_pointz(w):
+        w.shape({"shape_type": shp.POINTZ,
+                 "points": [[-104.8, 41.1, 1876.0]], "parts": [0]})
+        w.record(name="cheyenne")
+        w.shape({"shape_type": shp.POINTZ,
+                 "points": [[1.0, 2.0, 3.0, 4.5]], "parts": [0]})
+        w.record(name="withm")
+
+    def w_linez(w):
+        w.shape({
+            "shape_type": shp.POLYLINEZ,
+            "points": [[0.0, 0.0, 0.0], [1.0, 1.0, 2.0], [2.0, 0.5, 1.0],
+                       [5.0, 5.0, 0.0], [6.0, 7.0, 3.0]],
+            "parts": [0, 3],
+        })
+        w.record(name="ridge")
+
+    for name, fn in (("pointz", w_pointz), ("linez", w_linez)):
+        got = _run_our_writer(fn)
+        assert got == g[name], "%s bytes differ from reference" % name
+
+
+def test_multipatch_write_read_roundtrip():
+    bufs = {k: io.BytesIO() for k in ("shp", "shx", "dbf")}
+    w = shp.ShapefileWriter(bufs["shp"], bufs["shx"], bufs["dbf"])
+    w.field("name", "C", 20)
+    w.multipatch(MP_PARTS, [0, 1])
+    w.record(name="house")
+    w.close()
+    _hdr, shapes = shp.decode_shp_bytes(bufs["shp"].getvalue())
+    assert len(shapes) == 1
+    s = shapes[0]
+    assert s["shape_type"] == 31
+    assert list(s["parts"]) == [0, 10]
+    assert list(s["part_types"]) == [0, 1]
+    flat = [p for part in MP_PARTS for p in part]
+    assert [list(p) for p in s["points"]] == [p[:2] for p in flat]
+    assert s["z"] == [p[2] for p in flat]
 
 
 def test_writer_balance():
