@@ -662,6 +662,42 @@ def oracle_sql() -> dict[str, str]:
           FROM sh a, sh b WHERE a.doc_id < b.doc_id
         ) WHERE jaccard >= 0.5"""
 
+    # SimHash mirrors across engines because the token hash is md5:
+    # DuckDB's md5_number_upper reads the same 8 bytes little-endian — a
+    # fixed bit permutation of Spark's conv() big-endian read, and
+    # xor/bit_count are permutation-invariant, so hamming distances and
+    # the <=3 pair set agree exactly. The 4x16-bit chunk candidate join
+    # is COMPLETE for hamming<=3 (pigeonhole), so Spark's output equals
+    # this all-pairs filter.
+    simhash_pairs_sql = """
+        WITH alldocs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text || ' zzzz' AS text
+          FROM documents
+        ), tok AS (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+          FROM alldocs
+        ), votes AS (
+          SELECT doc_id, r.b,
+            SUM(CASE WHEN (md5_number_upper(t) >> r.b) & 1 = 1
+                THEN 1 ELSE -1 END) AS v
+          FROM tok CROSS JOIN range(0, 64) r(b)
+          GROUP BY doc_id, r.b
+        ), sim AS (
+          SELECT doc_id,
+            CAST(SUM(CASE WHEN v >= 0
+                 THEN (CAST(1 AS UBIGINT) << b)
+                 ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS s
+          FROM votes GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        FROM sim a, sim b
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.s, b.s)) <= 3"""
+
     embedding_near_dup_sql = """
         WITH base AS (
           SELECT vec_id,
@@ -702,8 +738,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokens": bpe_tokens_sql,
         "wkt_roundtrip": wkt_roundtrip_sql,
         "minhash_pairs": minhash_pairs_sql,
+        "simhash_pairs": simhash_pairs_sql,
         "embedding_near_dup": embedding_near_dup_sql,
-        # simhash_pairs / geojson_lines: intentionally no SQL oracle
-        # (xxhash64 simhash internals and the engine's GeoJSON codec are
-        # not SQL-expressible); driver rows-only check.
+        # geojson_lines: intentionally no SQL oracle (the engine's
+        # GeoJSON feature codec with python float repr is not
+        # SQL-expressible); driver rows-only check.
     }

@@ -263,23 +263,40 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per doc: token hashes JVM-side (xxhash64), bit
-    aggregation in a numpy Arrow kernel."""
+    """64-bit SimHash per doc: token hash = first 64 bits of md5 (two
+    32-bit conv halves JVM-side), bit voting in a numpy Arrow kernel.
+
+    md5 (not xxhash64) so DuckDB can mirror the computation: DuckDB's
+    ``md5_number_upper`` is the little-endian read of the same 8 bytes —
+    a FIXED bit-position permutation of this big-endian value. A fixed
+    permutation applied to every token hash permutes every doc's simhash
+    identically, and xor/bit_count are permutation-invariant, so hamming
+    distances (and near-pair sets) agree across engines exactly."""
+    toks = tokens_col(F.col(text_col))
     hashed = df.select(
         F.col(id_col),
         F.transform(
-            tokens_col(F.col(text_col)), lambda t: F.xxhash64(t)
-        ).alias("tok_hashes"),
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+            .cast("long"),
+        ).alias("tok_hi"),
+        F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+            .cast("long"),
+        ).alias("tok_lo"),
     )
 
     @F.pandas_udf(LongType())
-    def _simhash(tok_hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(tok_hashes), dtype=np.int64)
+    def _simhash(tok_hi: pd.Series, tok_lo: pd.Series) -> pd.Series:
+        out = np.zeros(len(tok_hi), dtype=np.int64)
         shifts = np.arange(64, dtype=np.uint64)
-        for i, hs in enumerate(tok_hashes):
-            if hs is None or len(hs) == 0:
+        for i, (his, los) in enumerate(zip(tok_hi, tok_lo)):
+            if his is None or len(his) == 0:
                 continue
-            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            hi = np.asarray(his, dtype=np.int64).astype(np.uint64)
+            lo = np.asarray(los, dtype=np.int64).astype(np.uint64)
+            arr = (hi << np.uint64(32)) | lo
             bits = (arr[:, None] >> shifts) & np.uint64(1)
             votes = bits.astype(np.int64) * 2 - 1
             sign = votes.sum(axis=0) >= 0
@@ -291,7 +308,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return pd.Series(out)
 
     return hashed.select(
-        F.col(id_col), _simhash(F.col("tok_hashes")).alias("simhash")
+        F.col(id_col),
+        _simhash(F.col("tok_hi"), F.col("tok_lo")).alias("simhash"),
     )
 
 
@@ -401,11 +419,13 @@ def duplicate_clusters(
     with cluster_id = min member id.
 
     Iterative label propagation entirely in DataFrame ops: each pass
-    joins every node's current label against its neighbors' and keeps the
-    minimum; converges in O(component diameter) passes (near-dup clusters
-    are shallow — a handful of passes at web scale). Each pass is one
-    shuffle on the node id; the frontier is checkpointed per pass via
-    localCheckpoint to keep lineage flat.
+    (a) joins every node's current label against its neighbors' and keeps
+    the minimum, then (b) pointer-jumps (label := label's label), which
+    halves the remaining distance to the component minimum — so the loop
+    converges in O(log diameter) passes instead of O(diameter), the same
+    doubling idea as the large-star/small-star MapReduce CC algorithms.
+    Each pass is two shuffles on the node id; the frontier is
+    checkpointed per pass via localCheckpoint to keep lineage flat.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -426,10 +446,26 @@ def duplicate_clusters(
             edges.join(labels, edges["dst"] == labels["node"])
             .select(F.col("src").alias("node"), "label")
         )
-        new_labels = (
+        propagated = (
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump: follow one hop up the label tree (labels are node
+        # ids, so look up the label's own label and take the min)
+        parents = propagated.select(
+            F.col("node").alias("label"),
+            F.col("label").alias("_parent"),
+        )
+        new_labels = (
+            propagated.join(parents, "label", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("_parent"), F.col("label")),
+                ).alias("label"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -181,6 +181,32 @@ def _make_assign_udf(centroids: np.ndarray, top: int = 1):
     return assign
 
 
+def _kmeanspp_seeds(sample: np.ndarray, k: int, seed: int = 42
+                    ) -> np.ndarray:
+    """Deterministic k-means++ seeding in cosine distance over a bounded
+    in-memory sample: each next centroid is drawn with probability
+    proportional to its distance to the nearest already-chosen one, so
+    clustered data gets seeds spread ACROSS clusters instead of whatever
+    the first k rows happen to be."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    norms = np.linalg.norm(sample, axis=1)
+    norms[norms == 0] = 1.0
+    unit = sample / norms[:, None]
+    idx = [int(rng.integers(n))]
+    d = None
+    for _ in range(1, min(k, n)):
+        c = unit[idx[-1]]
+        step = np.clip(1.0 - unit @ c, 0.0, None)
+        d = step if d is None else np.minimum(d, step)
+        total = d.sum()
+        probs = d / total if total > 0 else np.full(n, 1.0 / n)
+        idx.append(int(rng.choice(n, p=probs)))
+    while len(idx) < k:  # degenerate tiny sample: repeat
+        idx.append(idx[len(idx) % n])
+    return sample[idx]
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -192,8 +218,10 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     lloyd_iters: int = 2,
+    seeding: str = "kmeans++",
+    seed: int = 42,
 ) -> DataFrame:
-    """IVF-flat ANN: coarse quantizer (deterministic seed centroids +
+    """IVF-flat ANN: coarse quantizer (k-means++ seed centroids +
     Lloyd refinement via groupBy-mean), inverted lists keyed by nearest
     centroid, queries probe their ``n_probe`` closest lists, exact cosine
     re-rank inside the probed lists.
@@ -201,14 +229,26 @@ def ivf_topk(
     The scale shape: the 10^12-vector side is PARTITIONED BY LIST (an
     equi join key), queries broadcast with their probe sets — the classic
     IVF trade of recall for candidate-set size, all shuffle-free on the
-    big side after one assignment pass.
+    big side after one assignment pass. Seeding runs over a bounded
+    driver-side sample (per-partition top-k by id, no full sort);
+    ``seeding='first'`` keeps the old first-k-rows behavior.
     """
     base = df.select(F.col(id_col).alias("_id"),
                      F.col(vec_col).alias("_vec"))
-    # deterministic seed centroids: the first n_centroids rows by id
-    seed_rows = base.orderBy("_id").limit(n_centroids).collect()
-    centroids = np.stack([np.asarray(r["_vec"], dtype=np.float64)
-                          for r in seed_rows])
+    # deterministic bounded sample: TakeOrderedAndProject (per-partition
+    # top-k by id), never a full sort of the big side
+    sample_n = (n_centroids if seeding == "first"
+                else max(64 * n_centroids, 256))
+    seed_rows = base.orderBy("_id").limit(sample_n).collect()
+    sample = np.stack([np.asarray(r["_vec"], dtype=np.float64)
+                       for r in seed_rows])
+    if seeding == "first":
+        centroids = sample[:n_centroids]
+    elif seeding == "kmeans++":
+        centroids = _kmeanspp_seeds(sample, n_centroids, seed)
+    else:
+        raise ValueError("unknown seeding %r" % seeding)
+    centroids = centroids.copy()
     # Lloyd refinement: assign -> per-list mean, distributed agg each pass
     for _ in range(max(0, lloyd_iters)):
         assign1 = _make_assign_udf(centroids, top=1)

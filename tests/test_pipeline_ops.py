@@ -278,6 +278,46 @@ def test_ivf_topk_recall(emb):
     assert got == again
 
 
+def test_ivf_kmeanspp_beats_first_seeding_on_skew(spark):
+    """On clustered data whose low ids all sit in ONE cluster, first-k
+    seeding puts every centroid there; k-means++ seeds spread across
+    clusters and recall at equal n_probe must improve (or at least hold).
+    """
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 16)) * 5.0
+    rows = []
+    vid = 0
+    for c in range(4):  # ids 0..49 cluster0, 50..99 cluster1, ...
+        for _ in range(50):
+            v = centers[c] + rng.standard_normal(16) * 0.3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [10, 60, 110, 160]  # one query per cluster
+    queries = df.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    pdf = df.toPandas()
+    exact = {(q, v) for q, v, _ in _np_topk(pdf, qids, 5)}
+
+    def recall(seeding):
+        got = {
+            (int(r["query_id"]), int(r["vec_id"]))
+            for r in similarity.ivf_topk(
+                df, queries, "vec_id", "embedding", "query_id", "qvec",
+                k=5, n_centroids=8, n_probe=2, lloyd_iters=2,
+                seeding=seeding,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_pp = recall("kmeans++")
+    r_first = recall("first")
+    assert r_pp >= r_first, (r_pp, r_first)
+    assert r_pp >= 0.9, r_pp  # spread seeds must find the true clusters
+
+
 def test_embedding_near_duplicates_numpy_oracle(emb):
     """Banded sign-LSH near-dup must find the exact threshold pair set
     on a fixture with planted perturbed copies (recall ~1 at cosine
@@ -379,6 +419,30 @@ def test_duplicate_clusters_union_find_oracle(spark):
         expected[n] = find(n)
     assert got == expected
     assert got[4] == 1 and got[11] == 10 and got[22] == 20
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 200-node path has diameter 200; pointer jumping must converge
+    it in O(log n) passes, well inside max_iters=20 (min-propagation
+    alone would need ~200 and raise)."""
+    chain = [(i, i + 1) for i in range(200)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = {
+        int(r["id"]): int(r["cluster_id"])
+        for r in dedup.duplicate_clusters(pairs, "id",
+                                          max_iters=20).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 201
+
+
+def test_duplicate_clusters_raises_when_not_converged(spark):
+    import pytest
+
+    chain = [(i, i + 1) for i in range(200)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, "id", max_iters=2)
 
 
 def test_deduplicate_clustered(spark):
