@@ -112,7 +112,15 @@ def knn_join(
         dlat = F.col("_llat") - F.col("_rlat")
         # explicit multiply (not pow): the DuckDB oracle's d*d bit-matches
         dist = dlon * dlon + dlat * dlat
-    w = Window.partitionBy("_lid").orderBy(
+    # Window keyed by (_gx, _gy, _lid), NOT just _lid: every left id has
+    # exactly one cell, so the grouping is identical — but the join
+    # output is already hash-partitioned by (_gx, _gy), which SATISFIES
+    # the clustered distribution for the superset key. Catalyst then
+    # plans the top-k as a partition-local sort with NO second exchange;
+    # windowing on _lid alone would re-shuffle the entire 9x-replicated
+    # candidate relation. (Under AQE-broadcast of a tiny side the
+    # exchange reappears — harmless at that size.)
+    w = Window.partitionBy("_gx", "_gy", "_lid").orderBy(
         F.col("dist_sq").asc(), F.col("_rid").asc()
     )
     return (
