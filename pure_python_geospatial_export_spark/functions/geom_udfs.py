@@ -112,14 +112,15 @@ def wkb_to_wkt(wkb_in: pd.Series) -> pd.Series:
     return pd.Series(wktmod.dumps_batch(geoms), dtype=object)
 
 
-def make_pip_refine(rings_by_id: Dict[int, dict]):
+def make_pip_refine(rings_by_id: Dict[int, dict], edges: str = "planar"):
     """Factory: exact point-in-polygon refine UDF for a broadcastable
     polygon layer.
 
     The returned pandas UDF evaluates (polygon_id, lon, lat) -> inside
-    using the vectorized ray-cast kernel, batching rows PER POLYGON within
-    each Arrow batch (after the cell equi-join, batches are dominated by
-    few polygons, so the kernel runs on large point blocks).
+    using the vectorized ray-cast kernel (or the gnomonic-projection
+    geodesic kernel for ``edges='geodesic'``), batching rows PER POLYGON
+    within each Arrow batch (after the cell equi-join, batches are
+    dominated by few polygons, so the kernel runs on large point blocks).
 
     ``rings_by_id`` rides along in the UDF closure — serialized once per
     executor by Spark, the broadcast pattern for dimension data.
@@ -129,6 +130,13 @@ def make_pip_refine(rings_by_id: Dict[int, dict]):
                    for r in info["rings"]]
         for pid, info in rings_by_id.items()
     }
+    if edges == "geodesic":
+        from ..geo.geodesic import points_in_polygon_geodesic as _pip
+    elif edges == "planar":
+        _pip = kernels.points_in_polygon
+    else:
+        raise ValueError("edges must be 'planar' or 'geodesic', got %r"
+                         % edges)
 
     @F.pandas_udf(BooleanType())
     def pip_refine(polygon_id: pd.Series, lon: pd.Series,
@@ -142,9 +150,7 @@ def make_pip_refine(rings_by_id: Dict[int, dict]):
             if rings is None:
                 continue
             mask = pids == pid
-            out[mask] = kernels.points_in_polygon(
-                lons[mask], lats[mask], rings
-            )
+            out[mask] = _pip(lons[mask], lats[mask], rings)
         return pd.Series(out)
 
     return pip_refine

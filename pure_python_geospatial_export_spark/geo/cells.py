@@ -167,8 +167,14 @@ def bbox_cover(bbox: Tuple[float, float, float, float], res: int
     return encode(gx.ravel(), gy.ravel(), res)
 
 
-def polygon_cover(rings: Sequence, res: int) -> List[Tuple[int, bool]]:
+def polygon_cover(rings: Sequence, res: int, edges: str = "planar"
+                  ) -> List[Tuple[int, bool]]:
     """Cells covering a polygon (GeoJSON ring list), tagged ``full``.
+
+    ``edges='planar'`` (default) treats edges as straight lines in
+    lon/lat space (the reference semantics); ``edges='geodesic'`` treats
+    them as great-circle arcs and delegates to the conservative geodesic
+    cover (sub-hemisphere polygons; see geo/geodesic.py).
 
     Returns [(cell_id, is_full)] where ``is_full`` means the cell rectangle
     is certainly entirely inside the polygon — points landing in full cells
@@ -181,6 +187,11 @@ def polygon_cover(rings: Sequence, res: int) -> List[Tuple[int, bool]]:
     ``full`` = all 4 corners inside and no polygon edge's bbox overlaps the
     cell (conservative, never false-positive).
     """
+    if edges == "geodesic":
+        return _polygon_cover_geodesic(rings, res)
+    if edges != "planar":
+        raise ValueError("edges must be 'planar' or 'geodesic', got %r"
+                         % edges)
     res = _check_res(res)
     n = float(1 << res)
     w, h = 360.0 / n, 180.0 / n
@@ -230,6 +241,104 @@ def polygon_cover(rings: Sequence, res: int) -> List[Tuple[int, bool]]:
             & (lon1[:, None] >= ex0[None, :])
             & (lat0[:, None] <= ey1[None, :])
             & (lat1[:, None] >= ey0[None, :])
+        )
+        edge_touch |= t.any(axis=1)
+        vx = (
+            (arr[None, :, 0] >= lon0[:, None])
+            & (arr[None, :, 0] <= lon1[:, None])
+            & (arr[None, :, 1] >= lat0[:, None])
+            & (arr[None, :, 1] <= lat1[:, None])
+        )
+        vertex_in_cell |= vx.any(axis=1)
+
+    keep = any_corner | edge_touch | vertex_in_cell
+    full = all_corners & ~edge_touch
+    return [
+        (int(c), bool(f))
+        for c, f in zip(cells[keep].tolist(), full[keep].tolist())
+    ]
+
+
+def _polygon_cover_geodesic(rings: Sequence, res: int
+                            ) -> List[Tuple[int, bool]]:
+    """Conservative cell cover for a polygon with GREAT-CIRCLE edges.
+
+    Shape mirrors the planar cover, with three changes that keep it
+    conservative against the true curved boundary:
+
+    * each ring is densified along its great circles until the remaining
+      chords deviate from the arcs by < pad (angular sagitta bound);
+    * every chord/ring bbox is inflated by pad (pad/cos(lat) in
+      longitude), so the true curve — within pad of the chords — can
+      never escape an ``edge_touch`` test;
+    * corner containment uses the exact gnomonic-projection geodesic
+      kernel, so ``full`` cells are certainly inside the true polygon.
+
+    Same contract as the planar cover: every point inside the geodesic
+    polygon lands in a covered cell; every point of a ``full`` cell is
+    inside. Antimeridian-crossing rings are out of scope (as for the
+    planar cover).
+    """
+    from .geodesic import densify_ring_geodesic, points_in_polygon_geodesic
+
+    res = _check_res(res)
+    n = float(1 << res)
+    w, h = 360.0 / n, 180.0 / n
+
+    # sagitta bound: small in absolute terms and << cell height, so the
+    # inflation never bloats the cover by more than a thin band
+    pad_rad = min(2e-5, np.radians(h) / 8.0)
+    pad_deg = float(np.degrees(pad_rad))
+    dense = [densify_ring_geodesic(r, pad_rad) for r in rings]
+
+    def lon_pad(max_abs_lat: float) -> float:
+        c = np.cos(np.radians(min(89.99, max_abs_lat + pad_deg)))
+        return pad_deg / max(float(c), 0.01)
+
+    covers = []
+    for d in dense:
+        x0, y0, x1, y1 = ring_bbox(d)
+        lp = lon_pad(max(abs(y0), abs(y1)))
+        covers.append(bbox_cover(
+            (x0 - lp, max(-90.0, y0 - pad_deg),
+             x1 + lp, min(90.0, y1 + pad_deg)), res))
+    cells = np.unique(np.concatenate(covers)) if covers else np.empty(
+        0, dtype=np.int64
+    )
+    if cells.size == 0:
+        return []
+    x, y, _ = decode(cells)
+    lon0 = -180.0 + x.astype(np.float64) * w
+    lat0 = -90.0 + y.astype(np.float64) * h
+    lon1 = lon0 + w
+    lat1 = lat0 + h
+
+    corners_x = np.stack([lon0, lon1, lon0, lon1], axis=1).ravel()
+    corners_y = np.stack([lat0, lat0, lat1, lat1], axis=1).ravel()
+    corner_inside = points_in_polygon_geodesic(
+        corners_x, corners_y, rings
+    ).reshape(-1, 4)
+    any_corner = corner_inside.any(axis=1)
+    all_corners = corner_inside.all(axis=1)
+
+    edge_touch = np.zeros(len(cells), dtype=bool)
+    vertex_in_cell = np.zeros(len(cells), dtype=bool)
+    for arr in dense:
+        ex0 = np.minimum(arr[:-1, 0], arr[1:, 0])
+        ex1 = np.maximum(arr[:-1, 0], arr[1:, 0])
+        ey0 = np.minimum(arr[:-1, 1], arr[1:, 1])
+        ey1 = np.maximum(arr[:-1, 1], arr[1:, 1])
+        lp = pad_deg / np.maximum(
+            np.cos(np.radians(np.minimum(
+                89.99, np.maximum(np.abs(ey0), np.abs(ey1)) + pad_deg
+            ))),
+            0.01,
+        )
+        t = (
+            (lon0[:, None] <= (ex1 + lp)[None, :])
+            & (lon1[:, None] >= (ex0 - lp)[None, :])
+            & (lat0[:, None] <= (ey1 + pad_deg)[None, :])
+            & (lat1[:, None] >= (ey0 - pad_deg)[None, :])
         )
         edge_touch |= t.any(axis=1)
         vx = (

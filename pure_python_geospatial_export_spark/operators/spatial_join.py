@@ -52,6 +52,7 @@ def spatial_join(
     rings_by_id: Optional[Dict[int, dict]] = None,
     hot_cell_threshold: int = 2_000_000,
     cover: Optional[DataFrame] = None,
+    edges: str = "planar",
 ) -> DataFrame:
     """Join points (must carry ``lon``/``lat``) against a polygon layer by
     containment. Returns the points columns + (polygon_id, name).
@@ -60,14 +61,18 @@ def spatial_join(
       * ``broadcast`` — polygon cell cover broadcast; no points shuffle.
       * ``shuffle_salted`` — for huge polygon layers: shuffle join on
         (cell_id, salt) with hot-cell salting.
+
+    ``edges``: ``planar`` (straight lon/lat edges — reference semantics)
+    or ``geodesic`` (great-circle edges) — selects BOTH the cover and
+    the refine kernel consistently.
     """
     spark = points.sparkSession
     if rings_by_id is None:
         rings_by_id = load_rings(polygons)
     if cover is None:
-        cover = polygon_cells(spark, rings_by_id, res)
+        cover = polygon_cells(spark, rings_by_id, res, edges=edges)
     pts = points_with_cell(points, res)
-    refine = make_pip_refine(rings_by_id)
+    refine = make_pip_refine(rings_by_id, edges=edges)
 
     if strategy == "broadcast":
         joined = pts.join(F.broadcast(cover), "cell_id")

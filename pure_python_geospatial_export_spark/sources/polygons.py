@@ -121,12 +121,15 @@ _CELLS_SCHEMA = StructType(
 
 
 def polygon_cells(
-    spark: SparkSession, rings_by_id: Dict[int, dict], res: int
+    spark: SparkSession, rings_by_id: Dict[int, dict], res: int,
+    edges: str = "planar",
 ) -> DataFrame:
     """Explode polygons to their covering cells at ``res`` -> broadcastable
-    (polygon_id, name, cell_id, is_full) relation."""
+    (polygon_id, name, cell_id, is_full) relation. ``edges`` selects the
+    planar (reference) or geodesic edge interpretation."""
     rows = []
     for pid, info in rings_by_id.items():
-        for cid, full in cellmod.polygon_cover(info["rings"], res):
+        for cid, full in cellmod.polygon_cover(info["rings"], res,
+                                               edges=edges):
             rows.append((pid, info["name"], cid, full))
     return local_df(spark, rows, _CELLS_SCHEMA)

@@ -1,0 +1,135 @@
+"""Geodesic (great-circle-edge) containment, covers, and join wiring.
+
+Ground truth for the kernel: a planar polygon whose edges are densified
+along the great circles at a ~0.6 m sagitta bound — chords converge to
+the arcs, so the planar ray cast on the densified ring equals geodesic
+containment except within ~1e-7 rad of the boundary (random test points
+never land there).
+"""
+
+import numpy as np
+import pytest
+
+from pure_python_geospatial_export_spark.geo import cells, geodesic, kernels
+
+# great circle between (-60,45) and (60,45) culminates at lat
+# atan(tan(45)/cos(60)) = 63.43 at lon 0 — a strongly bulging edge
+BULGE_TRIANGLE = [
+    [-60.0, 45.0], [60.0, 45.0], [0.0, 80.0], [-60.0, 45.0],
+]
+
+
+def test_geodesic_vs_planar_bulge():
+    lon = np.array([0.0, 0.0, 0.0, 0.0])
+    lat = np.array([55.0, 70.0, 44.0, 81.0])
+    geo = geodesic.points_in_polygon_geodesic(lon, lat, [BULGE_TRIANGLE])
+    planar = kernels.points_in_polygon(lon, lat, [BULGE_TRIANGLE])
+    # (0,55): above the planar chord (lat 45) but BELOW the geodesic
+    # edge (lat 63.4) -> the two interpretations must disagree
+    assert planar[0] and not geo[0]
+    # (0,70): inside under both; (0,44)/(0,81): outside under both
+    assert geo[1] and planar[1]
+    assert not geo[2] and not planar[2]
+    assert not geo[3] and not planar[3]
+
+
+def test_geodesic_kernel_matches_densified_planar_oracle():
+    rng = np.random.default_rng(21)
+    lon = rng.uniform(-70, 70, 3000)
+    lat = rng.uniform(35, 85, 3000)
+    geo = geodesic.points_in_polygon_geodesic(lon, lat, [BULGE_TRIANGLE])
+    dense = geodesic.densify_ring_geodesic(BULGE_TRIANGLE,
+                                           max_sagitta_rad=1e-7)
+    planar_dense = kernels.points_in_polygon(lon, lat, [dense])
+    assert (geo == planar_dense).all()
+
+
+def test_geodesic_with_hole_and_multipart():
+    outer = [[0.0, 0.0], [30.0, 0.0], [30.0, 30.0], [0.0, 30.0],
+             [0.0, 0.0]]
+    hole = [[10.0, 10.0], [20.0, 10.0], [20.0, 20.0], [10.0, 20.0],
+            [10.0, 10.0]]
+    part_b = [[50.0, 50.0], [60.0, 50.0], [60.0, 60.0], [50.0, 60.0],
+              [50.0, 50.0]]
+    rings = [outer, hole, part_b]
+    lon = np.array([15.0, 5.0, 55.0, 40.0])
+    lat = np.array([15.0, 5.0, 55.0, 40.0])
+    got = geodesic.points_in_polygon_geodesic(lon, lat, rings)
+    assert list(got) == [False, True, True, False]  # hole, in, part_b, gap
+
+
+def test_geodesic_rejects_super_hemisphere():
+    # vertices spread over far more than a hemisphere
+    ring = [[0.0, 0.0], [120.0, 0.0], [-120.0, 0.0], [0.0, 0.0]]
+    with pytest.raises(ValueError, match="hemisphere"):
+        geodesic.points_in_polygon_geodesic(
+            np.array([0.0]), np.array([10.0]), [ring]
+        )
+
+
+def test_densify_preserves_endpoints_and_bounds_sagitta():
+    dense = geodesic.densify_ring_geodesic(BULGE_TRIANGLE,
+                                           max_sagitta_rad=2e-5)
+    assert np.allclose(dense[0], BULGE_TRIANGLE[0])
+    assert np.allclose(dense[-1], BULGE_TRIANGLE[-1])
+    assert len(dense) > len(BULGE_TRIANGLE)
+    # every original vertex appears
+    for v in BULGE_TRIANGLE:
+        assert (np.isclose(dense[:, 0], v[0])
+                & np.isclose(dense[:, 1], v[1])).any()
+    # densified curve reaches the culmination latitude ~63.43
+    assert dense[:, 1].max() > 63.0
+
+
+def test_geodesic_cover_completeness_and_full_soundness():
+    res = 6
+    cover = cells.polygon_cover([BULGE_TRIANGLE], res, edges="geodesic")
+    assert cover
+    covered = {c for c, _ in cover}
+    full = {c for c, f in cover if f}
+    assert full, "a continental polygon at res 6 must have full cells"
+
+    rng = np.random.default_rng(33)
+    lon = rng.uniform(-70, 70, 4000)
+    lat = rng.uniform(35, 85, 4000)
+    inside = geodesic.points_in_polygon_geodesic(lon, lat,
+                                                 [BULGE_TRIANGLE])
+    ids = cells.cell_id(lon, lat, res)
+    assert all(int(c) in covered for c in ids[inside])
+    in_full = np.array([int(c) in full for c in ids])
+    assert inside[in_full].all()
+    # the planar cover would miss the bulge band around lat 60 at lon 0:
+    # the geodesic cover must include the culmination cell
+    assert cells.cell_id_scalar(0.0, 63.0, res) in covered
+
+
+def test_spatial_join_geodesic_wiring(spark):
+    from pure_python_geospatial_export_spark.operators.spatial_join import (
+        spatial_join,
+    )
+
+    wkt = ("POLYGON ((-60 45, 60 45, 0 80, -60 45))")
+    layer = spark.createDataFrame(
+        [(1, "bulge", wkt)], ["polygon_id", "name", "wkt"]
+    )
+    rng = np.random.default_rng(44)
+    pts = [(i, float(lo), float(la)) for i, (lo, la) in enumerate(
+        zip(rng.uniform(-70, 70, 800), rng.uniform(35, 85, 800)))]
+    pdf = spark.createDataFrame(pts, ["pid", "lon", "lat"])
+
+    got = {
+        int(r["pid"])
+        for r in spatial_join(pdf, layer, res=5,
+                              edges="geodesic").collect()
+    }
+    lon = np.array([p[1] for p in pts])
+    lat = np.array([p[2] for p in pts])
+    exact = set(np.flatnonzero(geodesic.points_in_polygon_geodesic(
+        lon, lat, [BULGE_TRIANGLE])).tolist())
+    assert got == exact
+
+    planar = {
+        int(r["pid"])
+        for r in spatial_join(pdf, layer, res=5, edges="planar").collect()
+    }
+    assert planar != got  # the bulge band must actually differ
