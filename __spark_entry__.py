@@ -175,6 +175,100 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Geodesic layer: great-circle-edge polygons (one strongly bulging
+# triangle, one holed square). Single source of truth for the Spark
+# layer (WKT) and the generated SQL oracle.
+GEODESIC_LAYER = [
+    (1, "bulge_north", [
+        [[-60.0, 45.0], [60.0, 45.0], [0.0, 80.0], [-60.0, 45.0]],
+    ]),
+    (2, "holed_south", [
+        [[-30.0, -40.0], [10.0, -40.0], [10.0, -10.0], [-30.0, -10.0],
+         [-30.0, -40.0]],
+        [[-20.0, -30.0], [-5.0, -30.0], [-5.0, -20.0], [-20.0, -20.0],
+         [-20.0, -30.0]],
+    ]),
+]
+
+
+def _geodesic_layer_df(spark: SparkSession) -> DataFrame:
+    from pure_python_geospatial_export_spark.session import local_df
+    rows = [
+        (pid, name,
+         wktmod.dumps(dict(type="Polygon", coordinates=rings)))
+        for pid, name, rings in GEODESIC_LAYER
+    ]
+    return local_df(spark, rows, ["polygon_id", "name", "wkt"])
+
+
+def _q_pip_join_geodesic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _docs_points(spark, sf_dir)
+    return (
+        spatial_join(pts, _geodesic_layer_df(spark), res=6,
+                     edges="geodesic")
+        .select("doc_id", "name")
+    )
+
+
+def _geodesic_oracle_sql() -> str:
+    """Generate the DuckDB twin of the geodesic join: per polygon, the
+    gnomonic projection constants (center + tangent basis + projected
+    ring vertices) are computed here in numpy and EMBEDDED as literals;
+    the SQL projects each point and counts edge crossings (even-odd).
+    Straight lines in the projected plane ARE the great-circle edges, so
+    this is exact; engine/DuckDB trig may differ by ulps, which can only
+    flip measure-zero boundary points (none in the derived-point
+    fixture)."""
+    from pure_python_geospatial_export_spark.geo import geodesic as geod
+
+    parts = []
+    for _pid, name, rings in GEODESIC_LAYER:
+        c = geod.gnomonic_center(rings)
+        e1, e2 = geod._tangent_basis(c)
+        proj_rings = []
+        for r in rings:
+            arr = __import__("numpy").asarray(r, dtype="float64")[:, :2]
+            rx, ry, front = geod.gnomonic_project(
+                geod.unit_vectors(arr[:, 0], arr[:, 1]), c
+            )
+            proj_rings.append(list(zip(rx.tolist(), ry.tolist())))
+
+        terms = []
+        for pr in proj_rings:
+            for (x1, y1), (x2, y2) in zip(pr[:-1], pr[1:]):
+                if y1 == y2:
+                    continue  # horizontal edge: never crosses the ray
+                terms.append(
+                    "CASE WHEN ((%(y1)r <= py AND %(y2)r > py) OR "
+                    "(%(y2)r <= py AND %(y1)r > py)) AND "
+                    "px < %(x1)r + (py - %(y1)r) * %(dx)r / %(dy)r "
+                    "THEN 1 ELSE 0 END"
+                    % {"x1": x1, "y1": y1, "y2": y2,
+                       "dx": x2 - x1, "dy": y2 - y1}
+                )
+        proj = (
+            "SELECT doc_id, "
+            "(vx*%(e1x)r + vy*%(e1y)r + vz*%(e1z)r) / d AS px, "
+            "(vx*%(e2x)r + vy*%(e2y)r + vz*%(e2z)r) / d AS py, "
+            "d > 1e-12 AS front FROM ("
+            "SELECT doc_id, vx, vy, vz, "
+            "vx*%(cx)r + vy*%(cy)r + vz*%(cz)r AS d FROM ("
+            "SELECT doc_id, "
+            "cos(radians(lat)) * cos(radians(lon)) AS vx, "
+            "cos(radians(lat)) * sin(radians(lon)) AS vy, "
+            "sin(radians(lat)) AS vz FROM pts))"
+            % {"e1x": e1[0], "e1y": e1[1], "e1z": e1[2],
+               "e2x": e2[0], "e2y": e2[1], "e2z": e2[2],
+               "cx": c[0], "cy": c[1], "cz": c[2]}
+        )
+        parts.append(
+            "SELECT doc_id, '%s' AS name FROM (%s) "
+            "WHERE front AND ((%s) %% 2 = 1)"
+            % (name, proj, " + ".join(terms))
+        )
+    return PTS_CTE + " " + " UNION ALL ".join(parts)
+
+
 def _q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _docs_points(spark, sf_dir)
     parts = []
@@ -437,6 +531,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": _q_pip_join,
+        "pip_join_geodesic": _q_pip_join_geodesic,
         "bbox_filter": _q_bbox_filter,
         "tile_assign": _q_tile_assign,
         "tile_stats": _q_tile_stats,
@@ -721,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pip_join": pip_sql,
+        "pip_join_geodesic": _geodesic_oracle_sql(),
         "bbox_filter": bbox_sql,
         "tile_assign": tile_assign_sql,
         "tile_stats": tile_stats_sql,
