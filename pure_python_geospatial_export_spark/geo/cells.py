@@ -276,8 +276,10 @@ def _polygon_cover_geodesic(rings: Sequence, res: int
 
     Same contract as the planar cover: every point inside the geodesic
     polygon lands in a covered cell; every point of a ``full`` cell is
-    inside. Antimeridian-crossing rings are out of scope (as for the
-    planar cover).
+    inside. Antimeridian-crossing rings ARE handled (the sphere has no
+    seam; only the lon/lat bboxes do): ring candidate intervals are
+    computed in a ring-centered longitude frame and split at the seam,
+    and wrapping chords contribute one bbox per side.
     """
     from .geodesic import densify_ring_geodesic, points_in_polygon_geodesic
 
@@ -295,13 +297,35 @@ def _polygon_cover_geodesic(rings: Sequence, res: int
         c = np.cos(np.radians(min(89.99, max_abs_lat + pad_deg)))
         return pad_deg / max(float(c), 0.01)
 
+    def lon_intervals(lons: np.ndarray, lp: float):
+        """Conservative longitude interval(s) covering ``lons`` on the
+        circle (spread < 360 — guaranteed sub-hemisphere): measure the
+        spread in a frame centered on the first vertex, then map back
+        and split at the +-180 seam."""
+        ref = float(lons[0])
+        psi = (lons - ref + 180.0) % 360.0 - 180.0
+        lo, hi = float(psi.min()) - lp, float(psi.max()) + lp
+        if hi - lo >= 360.0:
+            return [(-180.0, 180.0)]
+        a, b = lo + ref, hi + ref
+        if a < -180.0 and b > -180.0:
+            return [(a + 360.0, 180.0), (-180.0, b)]
+        if b > 180.0 and a < 180.0:
+            return [(a, 180.0), (-180.0, b - 360.0)]
+        # fully out of range after shift: renormalize
+        if a >= 180.0:
+            a, b = a - 360.0, b - 360.0
+        elif b <= -180.0:
+            a, b = a + 360.0, b + 360.0
+        return [(a, b)]
+
     covers = []
     for d in dense:
-        x0, y0, x1, y1 = ring_bbox(d)
+        y0 = max(-90.0, float(d[:, 1].min()) - pad_deg)
+        y1 = min(90.0, float(d[:, 1].max()) + pad_deg)
         lp = lon_pad(max(abs(y0), abs(y1)))
-        covers.append(bbox_cover(
-            (x0 - lp, max(-90.0, y0 - pad_deg),
-             x1 + lp, min(90.0, y1 + pad_deg)), res))
+        for x0, x1 in lon_intervals(d[:, 0], lp):
+            covers.append(bbox_cover((x0, y0, x1, y1), res))
     cells = np.unique(np.concatenate(covers)) if covers else np.empty(
         0, dtype=np.int64
     )
@@ -324,10 +348,29 @@ def _polygon_cover_geodesic(rings: Sequence, res: int
     edge_touch = np.zeros(len(cells), dtype=bool)
     vertex_in_cell = np.zeros(len(cells), dtype=bool)
     for arr in dense:
-        ex0 = np.minimum(arr[:-1, 0], arr[1:, 0])
-        ex1 = np.maximum(arr[:-1, 0], arr[1:, 0])
-        ey0 = np.minimum(arr[:-1, 1], arr[1:, 1])
-        ey1 = np.maximum(arr[:-1, 1], arr[1:, 1])
+        lo_a, lo_b = arr[:-1, 0], arr[1:, 0]
+        la_a, la_b = arr[:-1, 1], arr[1:, 1]
+        wrap = np.abs(lo_a - lo_b) > 180.0
+        # non-wrapping chords: one bbox; wrapping chords (endpoints on
+        # opposite sides of the +-180 seam — densified chords are short,
+        # so the chord stays near the seam): one bbox per side
+        x0s = [np.minimum(lo_a, lo_b)[~wrap]]
+        x1s = [np.maximum(lo_a, lo_b)[~wrap]]
+        y0s = [np.minimum(la_a, la_b)[~wrap]]
+        y1s = [np.maximum(la_a, la_b)[~wrap]]
+        if wrap.any():
+            whi = np.maximum(lo_a, lo_b)[wrap]
+            wlo = np.minimum(lo_a, lo_b)[wrap]
+            wy0 = np.minimum(la_a, la_b)[wrap]
+            wy1 = np.maximum(la_a, la_b)[wrap]
+            x0s += [whi, np.full(len(whi), -180.0)]
+            x1s += [np.full(len(whi), 180.0), wlo]
+            y0s += [wy0, wy0]
+            y1s += [wy1, wy1]
+        ex0 = np.concatenate(x0s)
+        ex1 = np.concatenate(x1s)
+        ey0 = np.concatenate(y0s)
+        ey1 = np.concatenate(y1s)
         lp = pad_deg / np.maximum(
             np.cos(np.radians(np.minimum(
                 89.99, np.maximum(np.abs(ey0), np.abs(ey1)) + pad_deg

@@ -103,6 +103,45 @@ def test_geodesic_cover_completeness_and_full_soundness():
     assert cells.cell_id_scalar(0.0, 63.0, res) in covered
 
 
+ANTIMERIDIAN_RING = [
+    [170.0, -10.0], [-170.0, -10.0], [-170.0, 10.0], [170.0, 10.0],
+    [170.0, -10.0],
+]
+
+
+def test_geodesic_kernel_crosses_antimeridian():
+    lon = np.array([179.5, -179.5, 160.0, -160.0, 175.0])
+    lat = np.array([0.0, 0.0, 0.0, 0.0, 30.0])
+    got = geodesic.points_in_polygon_geodesic(lon, lat,
+                                              [ANTIMERIDIAN_RING])
+    assert list(got) == [True, True, False, False, False]
+
+
+def test_geodesic_cover_crosses_antimeridian():
+    res = 6
+    cover = cells.polygon_cover([ANTIMERIDIAN_RING], res,
+                                edges="geodesic")
+    covered = {c for c, _ in cover}
+    full = {c for c, f in cover if f}
+    # cells on BOTH sides of the seam
+    assert cells.cell_id_scalar(179.0, 0.0, res) in full
+    assert cells.cell_id_scalar(-179.0, 0.0, res) in full
+    # and nothing leaks to the opposite hemisphere
+    assert cells.cell_id_scalar(0.0, 0.0, res) not in covered
+
+    rng = np.random.default_rng(55)
+    lon = np.concatenate([rng.uniform(150, 180, 2000),
+                          rng.uniform(-180, -150, 2000)])
+    lat = rng.uniform(-25, 25, 4000)
+    inside = geodesic.points_in_polygon_geodesic(
+        lon, lat, [ANTIMERIDIAN_RING])
+    assert inside.any() and (~inside).any()
+    ids = cells.cell_id(lon, lat, res)
+    assert all(int(c) in covered for c in ids[inside])
+    in_full = np.array([int(c) in full for c in ids])
+    assert inside[in_full].all()
+
+
 def test_spatial_join_geodesic_wiring(spark):
     from pure_python_geospatial_export_spark.operators.spatial_join import (
         spatial_join,
