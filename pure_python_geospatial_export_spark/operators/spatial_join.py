@@ -145,6 +145,7 @@ def spatial_join_big_layer(
     points: DataFrame,
     polygons: DataFrame,
     res: int = DEFAULT_RES,
+    edges: str = "planar",
 ) -> DataFrame:
     """Point-in-polygon join for polygon layers TOO BIG to broadcast or
     collect (millions of polygons): fully distributed, no driver-side
@@ -169,6 +170,14 @@ def spatial_join_big_layer(
     from ..geo import kernels, wkt as wktmod
     from ..geo.cells import polygon_cover
 
+    if edges == "geodesic":
+        from ..geo.geodesic import points_in_polygon_geodesic as _pip
+    elif edges == "planar":
+        _pip = kernels.points_in_polygon
+    else:
+        raise ValueError("edges must be 'planar' or 'geodesic', got %r"
+                         % edges)
+
     def cover_kernel(batches):
         for pdf in batches:
             pids, names, cids, fulls = [], [], [], []
@@ -180,7 +189,7 @@ def spatial_join_big_layer(
                     geom["coordinates"] if geom["type"] == "Polygon"
                     else [r for p in geom["coordinates"] for r in p]
                 )
-                for cid, full in polygon_cover(rings, res):
+                for cid, full in polygon_cover(rings, res, edges=edges):
                     pids.append(pid)
                     names.append(name)
                     cids.append(cid)
@@ -220,7 +229,7 @@ def spatial_join_big_layer(
                     geom["coordinates"] if geom["type"] == "Polygon"
                     else [r for p in geom["coordinates"] for r in p]
                 )
-                inside = kernels.points_in_polygon(
+                inside = _pip(
                     grp["lon"].to_numpy(), grp["lat"].to_numpy(), rings
                 )
                 keep.loc[grp.index] = inside

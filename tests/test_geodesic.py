@@ -172,3 +172,15 @@ def test_spatial_join_geodesic_wiring(spark):
         for r in spatial_join(pdf, layer, res=5, edges="planar").collect()
     }
     assert planar != got  # the bulge band must actually differ
+
+    # the fully-distributed big-layer variant must agree with broadcast
+    from pure_python_geospatial_export_spark.operators.spatial_join import (
+        spatial_join_big_layer,
+    )
+
+    big = {
+        int(r["pid"])
+        for r in spatial_join_big_layer(pdf, layer, res=5,
+                                        edges="geodesic").collect()
+    }
+    assert big == got
