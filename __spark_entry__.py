@@ -269,6 +269,23 @@ def _geodesic_oracle_sql() -> str:
     return PTS_CTE + " " + " UNION ALL ".join(parts)
 
 
+def _geojson_lines_sql() -> str:
+    """DuckDB twin of the GeoJSON feature lines: both engines print
+    doubles shortest-round-trip (python repr == DuckDB VARCHAR cast), so
+    the feature string can be assembled with plain concatenation —
+    verified byte-identical on the fixture."""
+    return PTS_CTE + (
+        ", langd AS (SELECT doc_id, lang FROM documents) "
+        "SELECT '{\"type\": \"Feature\", \"geometry\": "
+        "{\"type\": \"Point\", \"coordinates\": [' "
+        "|| CAST(p.lon AS VARCHAR) || ', ' || CAST(p.lat AS VARCHAR) || "
+        "']}, \"properties\": {\"doc_id\": ' || "
+        "CAST(p.doc_id AS VARCHAR) || ', \"lang\": \"' || l.lang || "
+        "'\"}}' AS line "
+        "FROM pts p JOIN langd l USING (doc_id) WHERE p.doc_id < 100"
+    )
+
+
 def _q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _docs_points(spark, sf_dir)
     parts = []
@@ -498,7 +515,9 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geojson_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = _docs_points(spark, sf_dir).limit(100)
+    # doc_id < 100 (not .limit) so the row set is order-independent and
+    # the DuckDB twin selects the identical rows
+    pts = _docs_points(spark, sf_dir).where(F.col("doc_id") < 100)
     src = pts.select(
         "doc_id",
         F.concat(
@@ -836,7 +855,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": minhash_pairs_sql,
         "simhash_pairs": simhash_pairs_sql,
         "embedding_near_dup": embedding_near_dup_sql,
-        # geojson_lines: intentionally no SQL oracle (the engine's
-        # GeoJSON feature codec with python float repr is not
-        # SQL-expressible); driver rows-only check.
+        "geojson_lines": _geojson_lines_sql(),
     }
