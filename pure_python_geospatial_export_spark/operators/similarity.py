@@ -235,6 +235,21 @@ def ivf_topk(
     """
     base = df.select(F.col(id_col).alias("_id"),
                      F.col(vec_col).alias("_vec"))
+    centroids = _fit_centroids(base, n_centroids, lloyd_iters, seeding,
+                               seed)
+    assign1 = _make_assign_udf(centroids, top=1)
+    lists = base.withColumn(
+        "_list", F.element_at(assign1(F.col("_vec")), 1)
+    )
+    return _probe_and_rerank(lists, centroids, queries, id_col, query_id,
+                             query_vec, k, n_probe)
+
+
+def _fit_centroids(base: DataFrame, n_centroids: int, lloyd_iters: int,
+                   seeding: str, seed: int) -> np.ndarray:
+    """Seed (k-means++ over a bounded deterministic sample) + Lloyd
+    refinement via distributed groupBy-mean. ``base`` must have columns
+    (_id, _vec)."""
     # deterministic bounded sample: TakeOrderedAndProject (per-partition
     # top-k by id), never a full sort of the big side
     sample_n = (n_centroids if seeding == "first"
@@ -267,11 +282,14 @@ def ivf_topk(
         )
         for r in means:
             centroids[int(r["_list"])] = np.asarray(r["mean_vec"])
+    return centroids
 
-    assign1 = _make_assign_udf(centroids, top=1)
-    lists = base.withColumn(
-        "_list", F.element_at(assign1(F.col("_vec")), 1)
-    )
+
+def _probe_and_rerank(lists: DataFrame, centroids: np.ndarray,
+                      queries: DataFrame, id_col: str, query_id: str,
+                      query_vec: str, k: int, n_probe: int) -> DataFrame:
+    """Shared IVF serve path: queries probe their n_probe nearest lists
+    (broadcast), exact cosine re-rank inside the probed lists."""
     assign_probe = _make_assign_udf(centroids, top=n_probe)
     q = queries.select(
         F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
@@ -295,6 +313,77 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_centroids: int = 16,
+    lloyd_iters: int = 2,
+    seeding: str = "kmeans++",
+    seed: int = 42,
+) -> None:
+    """Materialize an IVF-flat index on disk — build ONCE, serve many
+    query batches without re-running Lloyd or re-assigning the corpus:
+
+      <path>/centroids.parquet   (list_id, centroid: array<double>)
+      <path>/lists.parquet/      (id, vec) PARTITIONED BY list_id
+
+    The inverted lists are a partitioned table, so a query batch that
+    probes p of c lists scans p/c of the data — partition pruning does
+    the candidate restriction at the I/O layer, the right shape for a
+    10^12-vector corpus re-queried daily."""
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_vec"))
+    centroids = _fit_centroids(base, n_centroids, lloyd_iters, seeding,
+                               seed)
+    assign1 = _make_assign_udf(centroids, top=1)
+    lists = base.withColumn(
+        "_list", F.element_at(assign1(F.col("_vec")), 1)
+    )
+    import os
+
+    lists.write.mode("overwrite").partitionBy("_list").parquet(
+        os.path.join(path, "lists.parquet")
+    )
+    spark = df.sparkSession
+    cent_rows = [(i, [float(x) for x in c])
+                 for i, c in enumerate(centroids)]
+    spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids.parquet")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve ANN top-k from a :func:`build_ivf_index` directory. The
+    probed-list filter is a partition predicate on the lists table, so
+    unprobed lists are never read."""
+    import os
+
+    cent = spark.read.parquet(
+        os.path.join(path, "centroids.parquet")
+    ).collect()
+    centroids = np.zeros(
+        (len(cent), len(cent[0]["centroid"])), dtype=np.float64
+    )
+    for r in cent:
+        centroids[int(r["list_id"])] = np.asarray(r["centroid"])
+    lists = spark.read.parquet(os.path.join(path, "lists.parquet"))
+    return _probe_and_rerank(lists, centroids, queries, id_col, query_id,
+                             query_vec, k, n_probe)
 
 
 def _make_band_bucket_udf(n_bands: int, band_planes: int, dim: int,

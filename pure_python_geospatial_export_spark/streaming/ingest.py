@@ -70,6 +70,34 @@ def windowed_cell_counts(
     )
 
 
+def deduplicated_stream(
+    pages_stream: DataFrame,
+    watermark: str = "2 hours",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first page per content hash among
+    events within the watermark horizon (the streaming counterpart of
+    ``operators/dedup.deduplicate_exact``).
+
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup STATE IS
+    BOUNDED: a key's state is evicted once the watermark passes it,
+    which is what makes exact dedup feasible on an unbounded 10^12-page
+    stream — a plain ``dropDuplicates`` would grow state forever. The
+    trade is the horizon: a duplicate arriving more than ``watermark``
+    after its twin is emitted again (dedupe the cold table with the
+    batch operators for the long tail).
+    """
+    hashed = pages_stream.withColumn(
+        "text_hash", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+        .drop("text_hash")
+    )
+
+
 def run_available_now(stream_df: DataFrame, table_name: str,
                       checkpoint_dir: str) -> None:
     """Drain everything currently available into an in-memory table

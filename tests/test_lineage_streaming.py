@@ -167,6 +167,52 @@ def test_streaming_windowed_cell_counts(spark, tmp_path):
     assert streamed == expected
 
 
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one page per content hash
+    within the watermark horizon; distinct texts all survive."""
+    import datetime
+
+    from pure_python_geospatial_export_spark.streaming.ingest import (
+        deduplicated_stream,
+    )
+
+    src = str(tmp_path / "dup_pages")
+    ckpt = str(tmp_path / "dup_ckpt")
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(60):
+        text = "unique text %d" % (i % 20)  # 20 distinct texts, 3 copies
+        rows.append((i, "doc://%d" % i,
+                     t0 + datetime.timedelta(minutes=i), None, text, "en"))
+    spark.createDataFrame(
+        rows,
+        "page_id long, url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    ).write.parquet(src)
+
+    from pure_python_geospatial_export_spark.streaming.ingest import (
+        stream_pages,
+    )
+
+    deduped = deduplicated_stream(stream_pages(spark, src),
+                                  watermark="6 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped_pages")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM deduped_pages").collect()
+    texts = [r["text"] for r in out]
+    assert len(texts) == 20  # one survivor per distinct text
+    assert len(set(texts)) == 20
+    assert "text_hash" not in spark.sql(
+        "SELECT * FROM deduped_pages").columns
+
+
 def test_stream_to_spatial_table_prunes(spark, tmp_path):
     from pure_python_geospatial_export_spark.geo import cells as cellmod
     from pure_python_geospatial_export_spark.sources.layout import (

@@ -355,6 +355,40 @@ def test_embedding_near_duplicates_numpy_oracle(emb):
     assert got == exact
 
 
+def test_ivf_index_build_and_serve(spark, emb, tmp_path):
+    """build_ivf_index + ivf_topk_indexed must return exactly what the
+    one-shot ivf_topk returns for the same parameters, and the lists
+    table must be partitioned by list id (partition pruning surface)."""
+    import os
+
+    path = str(tmp_path / "ivf_idx")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", path,
+                               n_centroids=8, lloyd_iters=2)
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    served = {
+        (int(r["query_id"]), int(r["vec_id"]), int(r["rank"]))
+        for r in similarity.ivf_topk_indexed(
+            spark, path, queries, "vec_id", "query_id", "qvec",
+            k=5, n_probe=4,
+        ).collect()
+    }
+    oneshot = {
+        (int(r["query_id"]), int(r["vec_id"]), int(r["rank"]))
+        for r in similarity.ivf_topk(
+            emb, queries, "vec_id", "embedding", "query_id", "qvec",
+            k=5, n_centroids=8, n_probe=4, lloyd_iters=2,
+        ).collect()
+    }
+    assert served == oneshot
+    parts = [d for d in os.listdir(os.path.join(path, "lists.parquet"))
+             if d.startswith("_list=")]
+    assert len(parts) > 1  # physically partitioned by inverted list
+
+
 def test_multimodal_feature_plumbing(spark):
     rows = [
         (1, "image", "image/png", "PNGBYTES" * 10, 32, 32, None),
