@@ -514,6 +514,27 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.asof import (
+        range_join,
+    )
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end_ts"),
+    )
+    j = range_join(errors, clicks, key="user_id", left_ts="ts",
+                   bucket_seconds=900)
+    return j.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+
+
 def _q_geojson_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id < 100 (not .limit) so the row set is order-independent and
     # the DuckDB twin selects the identical rows
@@ -564,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "events_running": _q_events_running,
         "events_asof": _q_events_asof,
+        "events_range": _q_events_range,
         "events_json": _q_events_json,
         "bpe_tokens": _q_bpe_tokens,
         "wkt_roundtrip": _q_wkt_roundtrip,
@@ -722,6 +744,18 @@ def oracle_sql() -> dict[str, str]:
         "ON e.user_id = c.user_id AND e.ts >= c.ts"
     )
 
+    events_range_sql = (
+        "WITH errors AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'error'), "
+        "clicks AS (SELECT event_id AS click_id, user_id, "
+        "ts AS start_ts, ts + INTERVAL 15 MINUTE AS end_ts "
+        "FROM events WHERE event_type = 'click') "
+        "SELECT c.click_id, COUNT(*) AS n_errors "
+        "FROM errors e JOIN clicks c ON e.user_id = c.user_id "
+        "AND e.ts >= c.start_ts AND e.ts <= c.end_ts "
+        "GROUP BY 1"
+    )
+
     events_json_sql = (
         "SELECT event_type, "
         "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
@@ -849,6 +883,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": events_sql,
         "events_running": events_running_sql,
         "events_asof": events_asof_sql,
+        "events_range": events_range_sql,
         "events_json": events_json_sql,
         "bpe_tokens": bpe_tokens_sql,
         "wkt_roundtrip": wkt_roundtrip_sql,

@@ -1,5 +1,6 @@
-"""As-of join (point-in-time join) — SURVEY §2.3 lists it among joins the
-reference lacks and the engine derives from Spark primitives.
+"""As-of join (point-in-time join) and range (interval) join — SURVEY
+§2.3 lists them among joins the reference lacks and the engine derives
+from Spark primitives.
 
 Semantics: for each left row, attach the most recent right row of the
 same key with ``right.ts <= left.ts`` (DuckDB ``ASOF JOIN`` semantics,
@@ -64,3 +65,47 @@ def asof_join(
     for c in right_cols:
         out = out.withColumn(prefix + c, F.col("_carry").getField(c))
     return out.drop("_side", "_ts", "_payload", "_carry")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval (range) join: every left row paired with every right
+    interval of the same key with ``start <= ts <= end`` (inclusive).
+
+    Plan: a naive theta join explodes the planner (O(n*m) per key); here
+    each right interval is EXPLODED to the time buckets it overlaps
+    (``sequence`` over bucket indices — pure columns), the left side gets
+    its single bucket, and the join becomes an equi join on
+    (key, bucket) + a residual between-filter. A left row's bucket
+    matches an overlapping interval exactly once, so no dedup pass is
+    needed. Size ``bucket_seconds`` near the typical interval length:
+    each interval then lands in O(1) buckets and the shuffle stays
+    linear in the data — the time-axis analogue of the grid kNN cell
+    explode.
+    """
+    b = F.lit(int(bucket_seconds))
+    # floor, not cast-truncate: buckets must be monotone across epoch 0
+    lft = left.withColumn(
+        "_bucket",
+        F.floor(F.unix_timestamp(F.col(left_ts)) / b).cast("long"),
+    )
+    rgt = right.withColumn(
+        "_bucket",
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp(F.col(right_start)) / b)
+            .cast("long"),
+            F.floor(F.unix_timestamp(F.col(right_end)) / b).cast("long"),
+        )),
+    )
+    joined = lft.join(rgt, [key, "_bucket"]).where(
+        (F.col(left_ts) >= F.col(right_start))
+        & (F.col(left_ts) <= F.col(right_end))
+    )
+    return joined.drop("_bucket")

@@ -68,6 +68,57 @@ def test_asof_no_match_and_tie(spark):
     assert rows[3]["asof_a"] is None
 
 
+def test_range_join_matches_python_oracle(spark):
+    """Bucketed interval join vs brute-force oracle: inclusive bounds,
+    intervals spanning multiple buckets, per-key isolation, no dup
+    pairs."""
+    import datetime
+
+    from pure_python_geospatial_export_spark.operators.asof import (
+        range_join,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def ts(minute):
+        return t0 + datetime.timedelta(minutes=minute)
+
+    rng_rows = [
+        # (iv_id, key, start_min, end_min) — spans 1..4 buckets at 900s
+        (1, "u", 0, 15),
+        (2, "u", 10, 70),
+        (3, "u", 100, 100),   # degenerate point interval
+        (4, "v", 0, 60),
+    ]
+    left_rows = [
+        (i, k, m) for i, (k, m) in enumerate(
+            [("u", m) for m in (0, 5, 15, 16, 40, 70, 71, 100, 101)]
+            + [("v", m) for m in (30, 61)]
+        )
+    ]
+    right = spark.createDataFrame(
+        [(i, k, ts(s), ts(e)) for i, k, s, e in rng_rows],
+        "iv_id long, key string, start_ts timestamp, end_ts timestamp",
+    )
+    left = spark.createDataFrame(
+        [(i, k, ts(m)) for i, k, m in left_rows],
+        "lid long, key string, ts timestamp",
+    )
+    got = sorted(
+        (int(r["lid"]), int(r["iv_id"]))
+        for r in range_join(left, right, key="key",
+                            bucket_seconds=900).collect()
+    )
+    exact = sorted(
+        (li, ri)
+        for li, lk, lm in left_rows
+        for ri, rk, s, e in rng_rows
+        if lk == rk and s <= lm <= e
+    )
+    assert got == exact
+    assert len(got) == len(set(got))  # no duplicate pairs
+
+
 def test_asof_picks_latest_per_left_row(spark):
     right_schema = Ty.StructType([
         Ty.StructField("k", Ty.StringType()),
