@@ -479,6 +479,43 @@ def test_duplicate_clusters_raises_when_not_converged(spark):
         dedup.duplicate_clusters(pairs, "id", max_iters=2)
 
 
+def test_curate_corpus_pipeline(spark):
+    from pure_python_geospatial_export_spark.operators import curate
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the field with steady pace today")
+    rows = [
+        (1, good),
+        (2, good),                      # exact dup of 1 -> dropped
+        (3, good + " zzzz"),            # near dup of 1 -> dropped
+        (4, "x"),                       # too short -> dropped
+        (5, "!!! ??? !!! ??? !!! ??? !!! ??? !!! ???"),  # low quality
+        (6, "a completely different sentence about spark and parquet "
+            "tables with many ordinary words in it for the test"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(
+        r["doc_id"] for r in curate.curate_corpus(
+            df, min_quality=0.2, near_dup_threshold=0.5,
+        ).collect()
+    )
+    assert kept == [1, 6]
+
+    rep = curate.curation_report(df, curate.curate_corpus(
+        df, min_quality=0.2, near_dup_threshold=0.5))
+    assert rep["raw_rows"] == 6 and rep["kept_rows"] == 2
+    assert rep["dropped_rows"] == 4
+    assert abs(rep["kept_fraction"] - 2 / 6) < 1e-12
+
+    # near-dup stage optional
+    kept2 = sorted(
+        r["doc_id"] for r in curate.curate_corpus(
+            df, min_quality=0.2, near_dup_threshold=None,
+        ).collect()
+    )
+    assert 3 in kept2  # near-dup survives when the stage is skipped
+
+
 def test_deduplicate_clustered(spark):
     rows = [
         (1, "aa bb cc dd ee ff gg"),
