@@ -514,6 +514,40 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        zonal_stats,
+    )
+    pts = _docs_points(spark, sf_dir).withColumn(
+        "v", (F.col("doc_id") % 100).cast("long")
+    )
+    return zonal_stats(pts, _layer_df(spark), "v", res=7)
+
+
+def _q_kmv_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distinct-url estimates per coarse cell via MERGED fine-cell
+    # sketches — equality with the oracle (which computes each coarse
+    # cell directly from raw rows) proves the merge property
+    from pure_python_geospatial_export_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+    pts = _docs_points(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    )
+    fine = pts.withColumn(
+        "cell_id", cell_id_col(F.col("lon"), F.col("lat"), 1)
+    ).withColumn(
+        "cell_fine", cell_id_col(F.col("lon"), F.col("lat"), 3)
+    )
+    sk = kmv_sketch(fine, ["cell_id", "cell_fine"], "url", k=16)
+    merged = kmv_merge(sk, ["cell_id"], k=16)
+    return merged.select(
+        "cell_id", kmv_estimate("sketch", 16).alias("est_distinct")
+    )
+
+
 def _q_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pure_python_geospatial_export_spark.operators.asof import (
         range_join,
@@ -574,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_geodesic": _q_pip_join_geodesic,
         "bbox_filter": _q_bbox_filter,
         "tile_assign": _q_tile_assign,
+        "zonal_stats": _q_zonal_stats,
         "tile_stats": _q_tile_stats,
         "knn_grid": _q_knn_grid,
         "knn_exact": _q_knn_exact,
@@ -586,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running": _q_events_running,
         "events_asof": _q_events_asof,
         "events_range": _q_events_range,
+        "kmv_cells": _q_kmv_cells,
         "events_json": _q_events_json,
         "bpe_tokens": _q_bpe_tokens,
         "wkt_roundtrip": _q_wkt_roundtrip,
@@ -744,6 +780,42 @@ def oracle_sql() -> dict[str, str]:
         "ON e.user_id = c.user_id AND e.ts >= c.ts"
     )
 
+    zonal_parts = [
+        "SELECT CAST(%d AS BIGINT) AS polygon_id, '%s' AS name, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(v) AS BIGINT) AS sum_val, AVG(v) AS mean_val, "
+        "MIN(v) AS min_val, MAX(v) AS max_val "
+        "FROM vpts WHERE %s HAVING COUNT(*) > 0"
+        % (pid, name, _rect_pred_sql(outer, hole))
+        for pid, name, outer, hole in _rects()
+    ]
+    zonal_sql = (
+        PTS_CTE
+        + ", vpts AS (SELECT doc_id, lon, lat, "
+        "CAST(doc_id % 100 AS BIGINT) AS v FROM pts) "
+        + " UNION ALL ".join(zonal_parts)
+    )
+
+    from pure_python_geospatial_export_spark.operators.sketch import (
+        kmv_hash_sql,
+    )
+    kmv_sql = (
+        PTS_CTE
+        + ", hv AS (SELECT DISTINCT %s AS cell_id, %s AS h FROM pts), "
+        "ranked AS (SELECT cell_id, h, row_number() OVER "
+        "(PARTITION BY cell_id ORDER BY h) AS rn FROM hv), "
+        "agg AS (SELECT cell_id, COUNT(*) AS nd, "
+        "MAX(CASE WHEN rn = 16 THEN h END) AS kth "
+        "FROM ranked GROUP BY cell_id) "
+        "SELECT cell_id, CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE) "
+        "ELSE 64424509440.0 / CAST(kth AS DOUBLE) END AS est_distinct "
+        "FROM agg"
+        % (
+            _tile_sql(1),
+            kmv_hash_sql("'doc://' || CAST(doc_id AS VARCHAR)"),
+        )
+    )
+
     events_range_sql = (
         "WITH errors AS (SELECT event_id, user_id, ts FROM events "
         "WHERE event_type = 'error'), "
@@ -872,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_geodesic": _geodesic_oracle_sql(),
         "bbox_filter": bbox_sql,
         "tile_assign": tile_assign_sql,
+        "zonal_stats": zonal_sql,
         "tile_stats": tile_stats_sql,
         "knn_grid": knn_grid_sql,
         "knn_exact": knn_exact_sql,
@@ -884,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running": events_running_sql,
         "events_asof": events_asof_sql,
         "events_range": events_range_sql,
+        "kmv_cells": kmv_sql,
         "events_json": events_json_sql,
         "bpe_tokens": bpe_tokens_sql,
         "wkt_roundtrip": wkt_roundtrip_sql,

@@ -80,3 +80,27 @@ def tile_pyramid(df_tiles: DataFrame, res: int, levels: int) -> DataFrame:
         )
         cur = parent
     return out
+
+
+def zonal_stats(
+    points: DataFrame,
+    polygons: DataFrame,
+    value_col: str,
+    res: int = 7,
+    edges: str = "planar",
+) -> DataFrame:
+    """Zonal statistics: aggregate a point-level value per polygon zone
+    (count / sum / mean / min / max) — the classic raster->vector
+    summary, here over the containment join. Inherits the flagship
+    join's scale shape (broadcast cover + full-cell fast path), then a
+    single map-side-combining groupBy on the zone."""
+    from .spatial_join import spatial_join
+
+    joined = spatial_join(points, polygons, res=res, edges=edges)
+    return joined.groupBy("polygon_id", "name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(value_col).alias("sum_val"),
+        F.avg(value_col).alias("mean_val"),
+        F.min(value_col).alias("min_val"),
+        F.max(value_col).alias("max_val"),
+    )

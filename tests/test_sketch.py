@@ -1,0 +1,74 @@
+"""KMV distinct-count sketch: accuracy, mergeability, dup-insensitivity."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pure_python_geospatial_export_spark.operators import sketch
+
+
+def _vals_df(spark, rows):
+    return spark.createDataFrame(rows, ["grp", "val"])
+
+
+def test_kmv_exact_below_k(spark):
+    df = _vals_df(spark, [("a", "v%d" % i) for i in range(10)])
+    sk = sketch.kmv_sketch(df, ["grp"], "val", k=64)
+    est = sk.select(sketch.kmv_estimate("sketch", 64).alias("e")).first()
+    assert est["e"] == 10.0  # exact below saturation
+
+
+def test_kmv_duplicates_dont_change_sketch(spark):
+    base = [("a", "v%d" % i) for i in range(50)]
+    df1 = _vals_df(spark, base)
+    df2 = _vals_df(spark, base + base + base)  # every value x3
+    s1 = df1.transform(
+        lambda d: sketch.kmv_sketch(d, ["grp"], "val", k=16)
+    ).first()["sketch"]
+    s2 = df2.transform(
+        lambda d: sketch.kmv_sketch(d, ["grp"], "val", k=16)
+    ).first()["sketch"]
+    assert s1 == s2
+
+
+def test_kmv_estimate_accuracy(spark):
+    n = 5000
+    df = _vals_df(spark, [("a", "value-%d" % i) for i in range(n)])
+    sk = sketch.kmv_sketch(df, ["grp"], "val", k=256)
+    est = sk.select(sketch.kmv_estimate("sketch", 256).alias("e")
+                    ).first()["e"]
+    assert abs(est - n) / n < 0.2, est  # k=256 -> ~6% std error
+
+
+def test_kmv_merge_equals_direct(spark):
+    """Sketching fine groups then merging must equal sketching the
+    coarse group directly — the mergeability property."""
+    rng = np.random.default_rng(3)
+    rows = [("g%d" % (i % 7), "item-%d" % int(rng.integers(0, 800)))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, ["fine", "val"]).withColumn(
+        "coarse", F.lit("all")
+    )
+    fine = sketch.kmv_sketch(df, ["coarse", "fine"], "val", k=32)
+    merged = sketch.kmv_merge(fine, ["coarse"], k=32).first()["sketch"]
+    direct = sketch.kmv_sketch(df, ["coarse"], "val", k=32
+                               ).first()["sketch"]
+    assert merged == direct
+
+
+def test_kmv_hash_sql_matches_column(spark):
+    import duckdb
+
+    vals = ["doc://%d" % i for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in df.select(
+            "s", sketch.kmv_hash_col(F.col("s")).alias("h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    duck = dict(con.sql(
+        "SELECT s, %s AS h FROM (SELECT unnest(%r) AS s)"
+        % (sketch.kmv_hash_sql("s"), vals)
+    ).fetchall())
+    assert got == duck
