@@ -524,6 +524,19 @@ def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(pts, _layer_df(spark), "v", res=7)
 
 
+def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.curate import (
+        stratified_hash_sample,
+    )
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "lang")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "de": 0.25}, default_fraction=0.1,
+    )
+
+
 def _q_kmv_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-url estimates per coarse cell via MERGED fine-cell
     # sketches — equality with the oracle (which computes each coarse
@@ -622,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_range": _q_events_range,
         "kmv_cells": _q_kmv_cells,
+        "doc_sample": _q_doc_sample,
         "events_json": _q_events_json,
         "bpe_tokens": _q_bpe_tokens,
         "wkt_roundtrip": _q_wkt_roundtrip,
@@ -799,6 +813,13 @@ def oracle_sql() -> dict[str, str]:
     from pure_python_geospatial_export_spark.operators.sketch import (
         kmv_hash_sql,
     )
+    doc_sample_sql = (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE %s < (CASE lang WHEN 'de' THEN 1073741824.0 "
+        "WHEN 'en' THEN 2147483648.0 ELSE 429496729.6 END)"
+        % kmv_hash_sql("CAST(doc_id AS VARCHAR) || ''")
+    )
+
     kmv_sql = (
         PTS_CTE
         + ", hv AS (SELECT DISTINCT %s AS cell_id, %s AS h FROM pts), "
@@ -958,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": events_asof_sql,
         "events_range": events_range_sql,
         "kmv_cells": kmv_sql,
+        "doc_sample": doc_sample_sql,
         "events_json": events_json_sql,
         "bpe_tokens": bpe_tokens_sql,
         "wkt_roundtrip": wkt_roundtrip_sql,

@@ -63,3 +63,51 @@ def curation_report(raw: DataFrame, curated: DataFrame,
         "dropped_rows": int(n_raw - n_kept),
         "kept_fraction": (float(n_kept) / n_raw) if n_raw else 0.0,
     }
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: str = "",
+) -> DataFrame:
+    """Reproducible row sample: keep rows whose key hashes below the
+    fraction threshold. Unlike ``df.sample`` (RNG per partition — result
+    changes with partitioning/retries), the decision is a PURE FUNCTION
+    of the key, so resumed/re-run jobs, different cluster sizes, and the
+    DuckDB oracle all select the identical rows. ``seed`` salts the hash
+    to draw independent samples."""
+    from .sketch import HASH_SPACE, kmv_hash_col
+
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    h = kmv_hash_col(
+        F.concat(F.col(key_col).cast("string"), F.lit(seed))
+    )
+    return df.where(h < F.lit(float(fraction) * HASH_SPACE))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    seed: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mix builder:
+    ``fractions`` maps a stratum value (e.g. language) to its keep rate.
+    Same hash-threshold construction as :func:`deterministic_sample`,
+    with the threshold looked up per row; strata absent from the map get
+    ``default_fraction``."""
+    from .sketch import HASH_SPACE, kmv_hash_col
+
+    h = kmv_hash_col(
+        F.concat(F.col(key_col).cast("string"), F.lit(seed))
+    )
+    thresh = F.lit(float(default_fraction) * HASH_SPACE)
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == value, F.lit(float(frac) * HASH_SPACE)
+        ).otherwise(thresh)
+    return df.where(h < thresh)

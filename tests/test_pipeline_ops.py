@@ -516,6 +516,43 @@ def test_curate_corpus_pipeline(spark):
     assert 3 in kept2  # near-dup survives when the stage is skipped
 
 
+def test_deterministic_sample_properties(spark):
+    from pure_python_geospatial_export_spark.operators import curate
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    s1 = {r["k"] for r in curate.deterministic_sample(
+        df, "k", 0.3).collect()}
+    # partitioning-invariant: identical selection after repartition
+    s2 = {r["k"] for r in curate.deterministic_sample(
+        df.repartition(17), "k", 0.3).collect()}
+    assert s1 == s2
+    assert abs(len(s1) / 5000 - 0.3) < 0.03
+    # nested samples: a smaller fraction is a subset of a larger one
+    s_small = {r["k"] for r in curate.deterministic_sample(
+        df, "k", 0.1).collect()}
+    assert s_small <= s1
+    # a different seed draws a (near-)independent sample
+    s_seeded = {r["k"] for r in curate.deterministic_sample(
+        df, "k", 0.3, seed="b").collect()}
+    assert s_seeded != s1
+
+
+def test_stratified_hash_sample_rates(spark):
+    from pure_python_geospatial_export_spark.operators import curate
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    out = curate.stratified_hash_sample(
+        df, "k", "lang", {"en": 0.5, "de": 0.1}).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in out.collect()}
+    assert abs(got["en"] / 2000 - 0.5) < 0.05
+    assert abs(got["de"] / 2000 - 0.1) < 0.04
+    # default_fraction=0 drops unlisted strata entirely
+    out0 = curate.stratified_hash_sample(
+        df, "k", "lang", {"en": 0.5}).where(F.col("lang") == "de")
+    assert out0.count() == 0
+
+
 def test_deduplicate_clustered(spark):
     rows = [
         (1, "aa bb cc dd ee ff gg"),
