@@ -389,6 +389,41 @@ def test_ivf_index_build_and_serve(spark, emb, tmp_path):
     assert len(parts) > 1  # physically partitioned by inverted list
 
 
+def test_multimodal_byte_stats(spark):
+    import math
+
+    payloads = [
+        (1, b"\xff\xd8\xff\xe0" + b"\x00" * 100),                 # jpeg
+        (2, b"\x89PNG\r\n\x1a\n" + bytes(range(256))),            # png
+        (3, b"RIFF" + b"\x00\x00\x00\x00" + b"WEBP" + b"x" * 10),
+        (4, b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"x" * 10),
+        (5, b"\x00\x00\x00\x18ftypmp42" + b"y" * 10),             # mp4
+        (6, b"plain ascii text payload here"),
+        (7, b""),
+        (8, bytes([7] * 64)),                                     # constant
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in multimodal.byte_stats(df).collect()}
+
+    assert got[1]["sniffed_mime"] == "image/jpeg"
+    assert got[2]["sniffed_mime"] == "image/png"
+    assert got[3]["sniffed_mime"] == "image/webp"
+    assert got[4]["sniffed_mime"] == "audio/wav"
+    assert got[5]["sniffed_mime"] == "video/mp4"
+    assert got[6]["sniffed_mime"] == "application/octet-stream"
+
+    assert got[6]["printable_ratio"] == 1.0
+    assert got[8]["entropy_bits"] == 0.0  # constant bytes
+    assert got[7]["n_bytes"] == 0
+    # png payload carries all 256 byte values once + 8 magic bytes:
+    # entropy close to 8 bits/byte
+    assert got[2]["entropy_bits"] > 7.5
+    # sanity: entropy never exceeds log2(256)
+    assert all(r["entropy_bits"] <= 8.0 + 1e-6 for r in got.values())
+    assert math.isclose(got[6]["entropy_bits"],
+                        got[6]["entropy_bits"])  # finite
+
+
 def test_multimodal_feature_plumbing(spark):
     rows = [
         (1, "image", "image/png", "PNGBYTES" * 10, 32, 32, None),
