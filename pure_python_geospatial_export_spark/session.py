@@ -63,6 +63,17 @@ def get_spark(
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
         .config("spark.sql.session.timeZone", "UTC")
+        # warehouse for saveAsTable (bucketed tables): keep it out of
+        # the repo working dir
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(
+                    __import__("tempfile").gettempdir(), "ppge_warehouse"
+                ),
+            ),
+        )
         # fork workers from a daemon that has numpy/pandas/pyarrow already
         # imported — fresh Python stages otherwise pay ~2s import per
         # worker slot (see daemon_preload docstring)
