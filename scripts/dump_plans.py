@@ -18,7 +18,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sf = "/root/testdata/sf0.001"
     for name in ["pip_join", "knn_grid", "tile_stats", "dedup_exact",
-                 "similarity_topk"]:
+                 "similarity_topk", "zonal_stats", "events_range",
+                 "kmv_cells", "doc_sample"]:
         print("=" * 25, name, "=" * 25)
         em.queries()[name](spark, sf).explain("formatted")
 
