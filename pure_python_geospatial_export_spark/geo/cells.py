@@ -326,6 +326,24 @@ def _polygon_cover_geodesic(rings: Sequence, res: int
         lp = lon_pad(max(abs(y0), abs(y1)))
         for x0, x1 in lon_intervals(d[:, 0], lp):
             covers.append(bbox_cover((x0, y0, x1, y1), res))
+    # pole-encircling rings (a polar cap): the pole is interior but no
+    # ring bbox reaches it — if a pole tests inside, extend candidates
+    # from the boundary's nearest latitude all the way to that pole,
+    # full longitude range (the corner/edge pruning below discards any
+    # excess)
+    all_lat_min = min(float(d[:, 1].min()) for d in dense)
+    all_lat_max = max(float(d[:, 1].max()) for d in dense)
+    pole_in = points_in_polygon_geodesic(
+        np.array([0.0, 0.0]), np.array([90.0, -90.0]), rings
+    )
+    if pole_in[0]:
+        covers.append(bbox_cover(
+            (-180.0, max(-90.0, all_lat_min - pad_deg), 180.0, 90.0), res
+        ))
+    if pole_in[1]:
+        covers.append(bbox_cover(
+            (-180.0, -90.0, 180.0, min(90.0, all_lat_max + pad_deg)), res
+        ))
     cells = np.unique(np.concatenate(covers)) if covers else np.empty(
         0, dtype=np.int64
     )

@@ -103,6 +103,38 @@ def test_geodesic_cover_completeness_and_full_soundness():
     assert cells.cell_id_scalar(0.0, 63.0, res) in covered
 
 
+def test_geodesic_kernel_property_random_polygons():
+    """Hypothesis-style sweep (deterministic seeds): random convex
+    sub-hemisphere polygons anywhere on the globe — the geodesic kernel
+    must agree with the densified-planar oracle everywhere."""
+    rng = np.random.default_rng(99)
+    for trial in range(12):
+        clon = float(rng.uniform(-180, 180))
+        clat = float(rng.uniform(-70, 70))
+        radius = float(rng.uniform(5, 35))  # degrees of arc
+        nv = int(rng.integers(3, 9))
+        angles = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        # vertices: offsets around (clon, clat) — convex-ish by angle sort
+        vlat = clat + radius * np.sin(angles)
+        vlon = clon + radius * np.cos(angles) / max(
+            np.cos(np.radians(clat)), 0.3)
+        vlon = (vlon + 180.0) % 360.0 - 180.0
+        ring = [[float(lo), float(la)] for lo, la in zip(vlon, vlat)]
+        ring.append(ring[0])
+
+        lon = rng.uniform(clon - 50, clon + 50, 400)
+        lon = (lon + 180.0) % 360.0 - 180.0
+        lat = np.clip(rng.uniform(clat - 50, clat + 50, 400), -89.9, 89.9)
+        geo = geodesic.points_in_polygon_geodesic(lon, lat, [ring])
+        dense = geodesic.densify_ring_geodesic(ring, max_sagitta_rad=1e-7)
+        planar = kernels.points_in_polygon(lon, lat, [dense])
+        # densified chords cross the antimeridian as planar jumps when
+        # the polygon straddles it — restrict the oracle comparison to
+        # seam-free trials
+        if np.abs(np.diff(dense[:, 0])).max() < 180.0:
+            assert (geo == planar).all(), "trial %d" % trial
+
+
 ANTIMERIDIAN_RING = [
     [170.0, -10.0], [-170.0, -10.0], [-170.0, 10.0], [170.0, 10.0],
     [170.0, -10.0],
@@ -140,6 +172,36 @@ def test_geodesic_cover_crosses_antimeridian():
     assert all(int(c) in covered for c in ids[inside])
     in_full = np.array([int(c) in full for c in ids])
     assert inside[in_full].all()
+
+
+def test_geodesic_cover_polar_cap():
+    """A ring encircling the north pole: the pole is interior under the
+    geodesic interpretation, so interior cells ABOVE the ring's own
+    latitude band must be covered (regression: candidates used to stop
+    at the ring bbox)."""
+    cap = [[lon, 80.0] for lon in range(-180, 181, 30)]
+    res = 5
+    # kernel: pole and high-lat points are inside; low-lat outside
+    inside = geodesic.points_in_polygon_geodesic(
+        np.array([0.0, 120.0, 0.0]), np.array([89.0, 85.0, 70.0]), [cap]
+    )
+    assert list(inside) == [True, True, False]
+
+    cover = cells.polygon_cover([cap], res, edges="geodesic")
+    covered = {c for c, _ in cover}
+    full = {c for c, f in cover if f}
+    assert cells.cell_id_scalar(0.0, 88.0, res) in covered
+    assert cells.cell_id_scalar(120.0, 85.0, res) in full
+    assert cells.cell_id_scalar(0.0, 70.0, res) not in covered
+
+    rng = np.random.default_rng(77)
+    lon = rng.uniform(-180, 180, 3000)
+    lat = rng.uniform(60, 90, 3000)
+    pin = geodesic.points_in_polygon_geodesic(lon, lat, [cap])
+    ids = cells.cell_id(lon, lat, res)
+    assert all(int(c) in covered for c in ids[pin])
+    in_full = np.array([int(c) in full for c in ids])
+    assert pin[in_full].all()
 
 
 def test_spatial_join_geodesic_wiring(spark):
