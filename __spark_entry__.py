@@ -524,6 +524,20 @@ def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(pts, _layer_df(spark), "v", res=7)
 
 
+def _q_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.sketch import (
+        top_keys_per_group,
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pts = _docs_points(spark, sf_dir).select("doc_id", "lon", "lat")
+    df = pts.join(docs.select("doc_id", "source"), "doc_id").withColumn(
+        "cell_id", cell_id_col(F.col("lon"), F.col("lat"), 1)
+    )
+    return top_keys_per_group(df, ["cell_id"], "source", k=3).select(
+        "cell_id", "source", "n", "rank"
+    )
+
+
 def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pure_python_geospatial_export_spark.operators.curate import (
         stratified_hash_sample,
@@ -636,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range": _q_events_range,
         "kmv_cells": _q_kmv_cells,
         "doc_sample": _q_doc_sample,
+        "top_sources": _q_top_sources,
         "events_json": _q_events_json,
         "bpe_tokens": _q_bpe_tokens,
         "wkt_roundtrip": _q_wkt_roundtrip,
@@ -813,6 +828,19 @@ def oracle_sql() -> dict[str, str]:
     from pure_python_geospatial_export_spark.operators.sketch import (
         kmv_hash_sql,
     )
+    top_sources_sql = (
+        PTS_CTE
+        + ", src AS (SELECT %s AS cell_id, d.source AS source "
+        "FROM pts p JOIN documents d USING (doc_id)), "
+        "counts AS (SELECT cell_id, source, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM src GROUP BY 1, 2) "
+        "SELECT cell_id, source, n, rank FROM ("
+        "SELECT cell_id, source, n, CAST(row_number() OVER ("
+        "PARTITION BY cell_id ORDER BY n DESC, source ASC) AS INTEGER) "
+        "AS rank FROM counts) WHERE rank <= 3"
+        % _tile_sql(1, "p.lon", "p.lat")
+    )
+
     doc_sample_sql = (
         "SELECT doc_id, lang FROM documents "
         "WHERE %s < (CASE lang WHEN 'de' THEN 1073741824.0 "
@@ -980,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range": events_range_sql,
         "kmv_cells": kmv_sql,
         "doc_sample": doc_sample_sql,
+        "top_sources": top_sources_sql,
         "events_json": events_json_sql,
         "bpe_tokens": bpe_tokens_sql,
         "wkt_roundtrip": wkt_roundtrip_sql,

@@ -84,3 +84,33 @@ def kmv_estimate(sketch_col, k: int = 64) -> Column:
     return F.when(n < k, n.cast("double")).otherwise(
         F.lit(float((k - 1)) * HASH_SPACE) / kth.cast("double")
     )
+
+
+def top_keys_per_group(
+    df: DataFrame,
+    group_cols: List[str],
+    key_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact per-group top-k most frequent keys (heavy hitters):
+    (group_cols..., key, n, rank), deterministic (count desc, key asc)
+    tiebreak.
+
+    Shape: a map-side-combining groupBy on (group, key) — the only
+    shuffle that sees data-sized volume, and it carries combined
+    partial counts, not raw rows — then a window top-k whose exchange
+    moves at most k rows per group per map partition (WindowGroupLimit
+    prunes below the exchange). Exact counts are the right call until
+    the distinct (group, key) pair count itself is the bottleneck;
+    below that, a SpaceSaving sketch saves nothing and loses the
+    guarantee."""
+    counts = df.groupBy(*group_cols, key_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("n").desc(), F.col(key_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

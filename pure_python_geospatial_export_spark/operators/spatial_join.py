@@ -210,11 +210,16 @@ def spatial_join_big_layer(
     joined = pts.join(cover, "cell_id")
     full_rows = joined.where(F.col("is_full")).drop("is_full")
 
+    # No explicit repartition after this join: its output is already
+    # hash-partitioned on polygon_id (which keeps refine batches
+    # polygon-dominated for the per-wkt group kernel), and adding one
+    # would UNDO an AQE skew-join split — a hot continental polygon
+    # would collapse back into a single task. The kernel only needs
+    # per-batch polygon grouping, not global co-location.
     boundary = (
         joined.where(~F.col("is_full"))
         .drop("is_full", "name")
         .join(polygons.select("polygon_id", "wkt"), "polygon_id")
-        .repartition("polygon_id")
     )
 
     def refine_kernel(batches):
