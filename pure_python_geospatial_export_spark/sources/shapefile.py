@@ -215,21 +215,59 @@ def read_shapefile_zip(spark, zip_path: str, encoding: str = "utf-8"):
 def _bufs_to_df(spark, shp_buf: bytes, dbf_buf: Optional[bytes],
                 encoding: str = "utf-8"):
     """Decode in-memory .shp/.dbf buffers to the (oid, wkt, *attrs)
-    DataFrame shared by the zip and URL sources."""
-    _hdr, shapes = decode_shp_bytes(shp_buf)
+    DataFrame shared by the zip and URL sources. Either buffer may be
+    missing (the reference tolerates dbf-only and shp-only loads): a
+    dbf-only source yields records with null geometry."""
+    shapes: List[dict] = []
+    if shp_buf:
+        _hdr, shapes = decode_shp_bytes(shp_buf)
     fields: List[Tuple[str, str, int, int]] = []
     records: List[list] = []
     if dbf_buf:
         fields, records = decode_dbf_bytes(dbf_buf, encoding)
     rows = []
-    for i, sh in enumerate(shapes):
-        geom = shape_to_geojson(sh)
-        wkt_str = wktmod.dumps(geom) if geom is not None else None
+    n = max(len(shapes), len(records))
+    for i in range(n):
+        if i < len(shapes):
+            geom = shape_to_geojson(shapes[i])
+            wkt_str = wktmod.dumps(geom) if geom is not None else None
+        else:
+            wkt_str = None
         attrs = records[i] if i < len(records) else [None] * len(fields)
         rows.append(tuple([i, wkt_str] + list(attrs)))
-    return spark.createDataFrame(
-        rows, ["oid", "wkt"] + [f[0] for f in fields]
+
+    # explicit schema: inference would fail on all-null columns (e.g.
+    # dbf-only loads have a null wkt for every row); attr types come
+    # from the first non-null decoded value per column
+    import pyspark.sql.types as SqlT
+
+    def _attr_type(col_idx):
+        for r in rows:
+            v = r[2 + col_idx]
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                return SqlT.BooleanType()
+            if isinstance(v, int):
+                return SqlT.LongType()
+            if isinstance(v, float):
+                return SqlT.DoubleType()
+            if isinstance(v, datetime.date):
+                return SqlT.DateType()
+            return SqlT.StringType()
+        return SqlT.StringType()
+
+    schema = SqlT.StructType(
+        [
+            SqlT.StructField("oid", SqlT.LongType(), False),
+            SqlT.StructField("wkt", SqlT.StringType(), True),
+        ]
+        + [
+            SqlT.StructField(f[0], _attr_type(j), True)
+            for j, f in enumerate(fields)
+        ]
     )
+    return spark.createDataFrame(rows, schema)
 
 
 def read_shapefile_url(spark, url: str, encoding: str = "utf-8"):

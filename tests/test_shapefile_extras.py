@@ -74,6 +74,21 @@ def test_read_shapefile_url_http(spark):
         srv.server_close()
 
 
+def test_read_shapefile_url_dbf_only(spark, tmp_path):
+    """A URL where only the .dbf resolves (reference tolerates it):
+    records come back with null geometry."""
+    import shutil
+
+    shutil.copy(os.path.join(SHPDIR, "test/point.dbf"),
+                str(tmp_path / "solo.dbf"))
+    df = shp.read_shapefile_url(
+        spark, "file://" + str(tmp_path / "solo.shp"))
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r["wkt"] is None for r in rows)
+    assert len(df.columns) > 2  # oid, wkt + dbf attribute columns
+
+
 def test_read_shapefile_url_file_scheme(spark):
     df = shp.read_shapefile_url(
         spark, "file://" + os.path.join(SHPDIR, "test/point.shp"))
