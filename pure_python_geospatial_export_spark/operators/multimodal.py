@@ -164,7 +164,12 @@ def byte_stats(
         for pdf in batches:
             ids, sizes, mimes, ents, prs = [], [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(p) if not isinstance(p, str) else p.encode()
+                if p is None:
+                    b = b""  # nullable payload columns (e.g. pages.html)
+                elif isinstance(p, str):
+                    b = p.encode()
+                else:
+                    b = bytes(p)
                 arr = np.frombuffer(b, dtype=np.uint8)
                 ids.append(mid)
                 sizes.append(len(b))

@@ -401,6 +401,7 @@ def test_multimodal_byte_stats(spark):
         (6, b"plain ascii text payload here"),
         (7, b""),
         (8, bytes([7] * 64)),                                     # constant
+        (9, None),                                                # null
     ]
     df = spark.createDataFrame(payloads, "media_id long, payload binary")
     got = {r["media_id"]: r for r in multimodal.byte_stats(df).collect()}
@@ -415,6 +416,7 @@ def test_multimodal_byte_stats(spark):
     assert got[6]["printable_ratio"] == 1.0
     assert got[8]["entropy_bits"] == 0.0  # constant bytes
     assert got[7]["n_bytes"] == 0
+    assert got[9]["n_bytes"] == 0  # NULL payload treated as empty
     # png payload carries all 256 byte values once + 8 magic bytes:
     # entropy close to 8 bits/byte
     assert got[2]["entropy_bits"] > 7.5
