@@ -551,6 +551,25 @@ def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cents = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile(%s, 0.5)" % cents).alias("p50_cents"),
+        F.expr("percentile(%s, 0.9)" % cents).alias("p90_cents"),
+    )
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.withColumn("hr", F.hour("ts"))
+        .rollup("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def _q_kmv_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-url estimates per coarse cell via MERGED fine-cell
     # sketches — equality with the oracle (which computes each coarse
@@ -651,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_cells": _q_kmv_cells,
         "doc_sample": _q_doc_sample,
         "top_sources": _q_top_sources,
+        "events_quantiles": _q_events_quantiles,
+        "events_rollup": _q_events_rollup,
         "events_json": _q_events_json,
         "bpe_tokens": _q_bpe_tokens,
         "wkt_roundtrip": _q_wkt_roundtrip,
@@ -828,6 +849,23 @@ def oracle_sql() -> dict[str, str]:
     from pure_python_geospatial_export_spark.operators.sketch import (
         kmv_hash_sql,
     )
+    # Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    # (1-f)*lo + f*hi interpolation — verified bit-equal on this fixture
+    events_quantiles_sql = (
+        "SELECT event_type, COUNT(*) AS n_events, "
+        "quantile_cont(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.5) "
+        "AS p50_cents, "
+        "quantile_cont(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0.9) "
+        "AS p90_cents "
+        "FROM events GROUP BY 1"
+    )
+
+    events_rollup_sql = (
+        "SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, "
+        "COUNT(*) AS n_events FROM events "
+        "GROUP BY ROLLUP(event_type, CAST(hour(ts) AS INTEGER))"
+    )
+
     top_sources_sql = (
         PTS_CTE
         + ", src AS (SELECT %s AS cell_id, d.source AS source "
@@ -1009,6 +1047,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_cells": kmv_sql,
         "doc_sample": doc_sample_sql,
         "top_sources": top_sources_sql,
+        "events_quantiles": events_quantiles_sql,
+        "events_rollup": events_rollup_sql,
         "events_json": events_json_sql,
         "bpe_tokens": bpe_tokens_sql,
         "wkt_roundtrip": wkt_roundtrip_sql,

@@ -35,13 +35,19 @@ def duck():
 
 
 def _norm_val(v):
+    # leading flag makes None sortable against values (rollup/cube
+    # produce NULL group keys); equality semantics are unchanged
+    if v is None:
+        return (0, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return v
+            return (1, "nan")
+        return (2, v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
-    return v
+        return (3, v.isoformat())
+    if isinstance(v, str):
+        return (3, v)
+    return (2, v)
 
 
 def _norm_rows(rows, colnames):
