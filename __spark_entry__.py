@@ -286,6 +286,19 @@ def _geojson_lines_sql() -> str:
     )
 
 
+def _q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same semantics and same oracle as pip_join — runs the hot-cell
+    # SALTED SHUFFLE strategy instead of the broadcast cover, so the
+    # driver gate proves the skew path end to end (threshold forced low
+    # enough that salting actually engages on the fixture)
+    pts = _docs_points(spark, sf_dir)
+    return (
+        spatial_join(pts, _layer_df(spark), res=7,
+                     strategy="shuffle_salted", hot_cell_threshold=20)
+        .select("doc_id", "name")
+    )
+
+
 def _q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _docs_points(spark, sf_dir)
     parts = []
@@ -652,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_join": _q_pip_join,
         "pip_join_geodesic": _q_pip_join_geodesic,
+        "pip_join_salted": _q_pip_join_salted,
         "bbox_filter": _q_bbox_filter,
         "tile_assign": _q_tile_assign,
         "zonal_stats": _q_zonal_stats,
@@ -1029,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pip_join": pip_sql,
         "pip_join_geodesic": _geodesic_oracle_sql(),
+        "pip_join_salted": pip_sql,
         "bbox_filter": bbox_sql,
         "tile_assign": tile_assign_sql,
         "zonal_stats": zonal_sql,
