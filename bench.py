@@ -53,10 +53,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    def timed(name, fn, repeats=2):
+        # best-of-N: this shared host sees co-tenant CPU bursts that can
+        # inflate a single run several-fold; the minimum is the honest
+        # steady-state number (each run is a full execution)
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     # --- flagship: pages spatial-join + tile-assign throughput ----------
     pages = with_point(synth_pages(spark, pages_n, partitions=cpus * 2))
