@@ -223,13 +223,20 @@ def _geodesic_oracle_sql() -> str:
 
     parts = []
     for _pid, name, rings in GEODESIC_LAYER:
-        c = geod.gnomonic_center(rings)
-        e1, e2 = geod._tangent_basis(c)
+        # plain python floats: %r of a numpy scalar is not a SQL literal
+        # under numpy >= 2.0 ("np.float64(...)")
+        c = [float(v) for v in geod.gnomonic_center(rings)]
+        e1, e2 = geod._tangent_basis(
+            __import__("numpy").asarray(c, dtype="float64")
+        )
+        e1 = [float(v) for v in e1]
+        e2 = [float(v) for v in e2]
         proj_rings = []
         for r in rings:
             arr = __import__("numpy").asarray(r, dtype="float64")[:, :2]
             rx, ry, front = geod.gnomonic_project(
-                geod.unit_vectors(arr[:, 0], arr[:, 1]), c
+                geod.unit_vectors(arr[:, 0], arr[:, 1]),
+                __import__("numpy").asarray(c, dtype="float64"),
             )
             proj_rings.append(list(zip(rx.tolist(), ry.tolist())))
 
