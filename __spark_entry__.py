@@ -338,6 +338,19 @@ def _q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        tile_pyramid,
+    )
+    pts = _docs_points(spark, sf_dir)
+    base = tile_stats(pts, 4)
+    return tile_pyramid(base, 4, 2).select(
+        "level", "tile_id", F.col("n_points").cast("long").alias(
+            "n_points"),
+        "xmin", "ymin", "xmax", "ymax",
+    )
+
+
 def _q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _docs_points(spark, sf_dir)
     nbrs = pts.select(F.col("doc_id").alias("nbr_id"), "lon", "lat")
@@ -677,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _q_tile_assign,
         "zonal_stats": _q_zonal_stats,
         "tile_stats": _q_tile_stats,
+        "tile_pyramid": _q_tile_pyramid,
         "knn_grid": _q_knn_grid,
         "knn_exact": _q_knn_exact,
         "dedup_exact": _q_dedup_exact,
@@ -733,6 +747,16 @@ def oracle_sql() -> dict[str, str]:
           "min(lon) AS xmin, min(lat) AS ymin, "
           "max(lon) AS xmax, max(lat) AS ymax "
           "FROM pts GROUP BY 1" % _tile_sql(5)
+    )
+
+    # each pyramid level recomputed directly at its own resolution —
+    # equality proves the hierarchical rollup cascade
+    tile_pyramid_sql = PTS_CTE + " " + " UNION ALL ".join(
+        "SELECT CAST(%d AS INTEGER) AS level, %s AS tile_id, "
+        "COUNT(*) AS n_points, min(lon) AS xmin, min(lat) AS ymin, "
+        "max(lon) AS xmax, max(lat) AS ymax FROM pts GROUP BY 2"
+        % (r, _tile_sql(r))
+        for r in (4, 3, 2)
     )
 
     n3 = 1 << 3
@@ -1055,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign": tile_assign_sql,
         "zonal_stats": zonal_sql,
         "tile_stats": tile_stats_sql,
+        "tile_pyramid": tile_pyramid_sql,
         "knn_grid": knn_grid_sql,
         "knn_exact": knn_exact_sql,
         "dedup_exact": dedup_exact_sql,
