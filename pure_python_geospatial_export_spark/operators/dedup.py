@@ -136,8 +136,21 @@ def minhash_signature(
 def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str, bands: int = 16,
     num_hashes: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Self-join on (band_idx, band_hash) -> distinct (id_a, id_b), a<b."""
+    """Self-join on (band_idx, band_hash) -> distinct (id_a, id_b), a<b.
+
+    ``max_bucket`` drops band buckets with more members than the cap
+    BEFORE the self-join. A band bucket of size m contributes m^2/2
+    candidate pairs, so one boilerplate shingle family shared by 10^6
+    docs floods the join with 10^12 candidates; real near-dup FAMILIES
+    still collide in their other, discriminative bands, so a cap well
+    above the expected family size costs recall only for families
+    larger than the cap (which exact dedup or a dedicated boilerplate
+    pass should handle anyway). Measured here: an adversarial corpus
+    with shared filler shingles ran SLOWER than a corpus with 25x more
+    true pairs purely from junk-bucket candidates. Default off — the
+    driver-gate fixtures need exact candidate generation."""
     rows = num_hashes // bands
     banded = sig_df.select(
         F.col(id_col),
@@ -160,6 +173,19 @@ def lsh_candidate_pairs(
             ])
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
+    if max_bucket is not None:
+        # one aggregation pass sizes the buckets; the anti filter is an
+        # equi join on the (tiny) oversized-bucket list
+        big = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band", "band_hash")
+        )
+        # no broadcast hint: the oversized list is usually tiny (AQE
+        # will broadcast it), but with an aggressive cap it can be
+        # n/cap-sized and must be allowed to shuffle
+        banded = banded.join(big, ["band", "band_hash"], "left_anti")
     left = banded.select(
         F.col(id_col).alias("id_a"), "band", "band_hash"
     )
@@ -214,6 +240,7 @@ def near_duplicates_minhash(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """End-to-end MinHash LSH near-dup: (id_a, id_b, jaccard).
 
@@ -225,7 +252,8 @@ def near_duplicates_minhash(
     retained RDDs across calls."""
     base = minhash_signature(df, id_col, text_col, num_hashes,
                              shingle_size).persist()
-    cands = lsh_candidate_pairs(base, id_col, bands, num_hashes)
+    cands = lsh_candidate_pairs(base, id_col, bands, num_hashes,
+                                max_bucket=max_bucket)
     shingles_df = base.select(
         F.col(id_col), F.col("shingle_hashes").alias("sh")
     )
@@ -398,6 +426,7 @@ def deduplicate_near(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Filter near-duplicates: for every MinHash-verified pair above
     ``threshold``, drop the higher-id member. Greedy per-pair policy —
@@ -406,7 +435,8 @@ def deduplicate_near(
     the standard first pass; CC clustering can follow on the survivors.)
     """
     pairs = near_duplicates_minhash(
-        df, id_col, text_col, threshold, num_hashes, bands, shingle_size
+        df, id_col, text_col, threshold, num_hashes, bands, shingle_size,
+        max_bucket=max_bucket,
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, id_col, "left_anti")

@@ -161,6 +161,37 @@ def test_minhash_near_duplicates(spark, docs):
         assert r["jaccard"] == pytest.approx(jac, abs=1e-12)
 
 
+def test_minhash_max_bucket_prunes_junk_not_pairs(spark):
+    """Bucket cap: boilerplate shingles shared by EVERY doc flood the
+    band join; with a cap above the true family size the verified pair
+    set is unchanged, and an aggressive cap kills everything."""
+    boiler = " the quick brown fox jumps over the lazy dog again"
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, "document number %d body alpha %d%s"
+                     % (i, i, boiler)))
+        rows.append((2 * i + 1, "document number %d body alpha %d%s zzzz"
+                     % (i, i, boiler)))  # near-dup twin
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in dedup.near_duplicates_minhash(
+            df, "doc_id", "text", threshold=0.7).collect()
+    }
+    capped = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in dedup.near_duplicates_minhash(
+            df, "doc_id", "text", threshold=0.7, max_bucket=10).collect()
+    }
+    assert len(uncapped) >= 40  # every twin pair found
+    assert capped == uncapped   # cap above family size: no recall loss
+
+    none_left = dedup.near_duplicates_minhash(
+        df, "doc_id", "text", threshold=0.7, max_bucket=1).count()
+    assert none_left == 0       # cap below any bucket: nothing survives
+
+
 def test_ngram_jaccard_matches_minhash_verify(spark):
     rows = [
         (1, "a b c d e f g h"),
