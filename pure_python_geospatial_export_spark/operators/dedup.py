@@ -342,11 +342,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    sim_df: DataFrame, id_col: str, max_hamming: int = 3
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing one of four 16-bit chunks
     (complete for Hamming distance <= 3), then exact Hamming filter via
-    bit_count(xor)."""
+    bit_count(xor). ``max_bucket`` drops oversized chunk buckets before
+    the self-join (same boilerplate-flood guard as the MinHash path;
+    costs recall only for families larger than the cap)."""
     chunks = sim_df.select(
         F.col(id_col),
         F.col("simhash"),
@@ -362,6 +365,14 @@ def simhash_near_pairs(
             ])
         ).alias("ch"),
     ).select(id_col, "simhash", "ch.chunk_idx", "ch.chunk")
+    if max_bucket is not None:
+        big = (
+            chunks.groupBy("chunk_idx", "chunk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("chunk_idx", "chunk")
+        )
+        chunks = chunks.join(big, ["chunk_idx", "chunk"], "left_anti")
     a = chunks.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash").alias("sim_a"),

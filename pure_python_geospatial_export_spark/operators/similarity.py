@@ -413,6 +413,7 @@ def embedding_near_duplicates(
     band_planes: int = 16,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, score) pairs with cosine >= threshold.
 
@@ -437,6 +438,16 @@ def embedding_near_duplicates(
     banded = base.select(
         "_id", F.posexplode("_bands").alias("band", "bucket")
     )
+    if max_bucket is not None:
+        # boilerplate-flood guard, as in the MinHash path: a bucket of
+        # size m contributes m^2/2 candidates
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(big, ["band", "bucket"], "left_anti")
     left = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
     right = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
     cands = (
