@@ -61,10 +61,29 @@ def kmv_sketch(df: DataFrame, group_cols: List[str], value_col: str,
 
 
 def kmv_merge(df: DataFrame, group_cols: List[str], k: int = 64,
-              sketch_col: str = "sketch") -> DataFrame:
+              sketch_col: str = "sketch",
+              large_fanin: bool = False) -> DataFrame:
     """Roll sketches up to coarser groups: union -> distinct -> k
-    smallest, in pure array expressions (sketches are <= k longs, so the
-    interpreted array ops touch tiny data)."""
+    smallest.
+
+    Default shape collects the child sketches into one array per group
+    (pure array expressions) — right when fan-in is bounded, e.g.
+    level-by-level pyramid rollups (fan-in 4). For a SINGLE merge across
+    many children (10^6 fine cells into one region) that buffer holds
+    k * children values; ``large_fanin=True`` switches to
+    explode -> distinct -> window top-k, where WindowGroupLimit caps
+    per-group state at k rows regardless of fan-in."""
+    if large_fanin:
+        exploded = df.select(
+            *group_cols, F.explode(sketch_col).alias("_h")
+        ).distinct()
+        w = Window.partitionBy(*group_cols).orderBy("_h")
+        ranked = exploded.withColumn(
+            "_rn", F.row_number().over(w)
+        ).where(F.col("_rn") <= k)
+        return ranked.groupBy(*group_cols).agg(
+            F.sort_array(F.collect_list("_h")).alias(sketch_col)
+        )
     merged = F.slice(
         F.array_sort(
             F.array_distinct(F.flatten(F.collect_list(sketch_col)))

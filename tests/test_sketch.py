@@ -55,6 +55,20 @@ def test_kmv_merge_equals_direct(spark):
     assert merged == direct
 
 
+def test_kmv_merge_large_fanin_equals_default(spark):
+    rng = np.random.default_rng(5)
+    rows = [("g%d" % (i % 11), "v-%d" % int(rng.integers(0, 900)))
+            for i in range(2500)]
+    df = spark.createDataFrame(rows, ["fine", "val"]).withColumn(
+        "coarse", F.lit("all")
+    )
+    fine = sketch.kmv_sketch(df, ["coarse", "fine"], "val", k=24)
+    small = sketch.kmv_merge(fine, ["coarse"], k=24).first()["sketch"]
+    large = sketch.kmv_merge(fine, ["coarse"], k=24,
+                             large_fanin=True).first()["sketch"]
+    assert small == large
+
+
 def test_kmv_hash_sql_matches_column(spark):
     import duckdb
 
