@@ -70,6 +70,39 @@ def windowed_cell_counts(
     )
 
 
+def windowed_cell_distinct(
+    pages_stream: DataFrame,
+    res: int = 5,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Tumbling-window DISTINCT-URL estimates per cell — the streaming
+    sibling of the batch KMV rollup (operators/sketch.py): exact
+    distinct state on an unbounded stream is unbounded, so the windowed
+    aggregate uses Spark's HyperLogLog++ (``approx_count_distinct``,
+    relative std dev ``rsd``), whose state is a fixed-size sketch per
+    (window, cell) group and is evicted once the watermark passes."""
+    pts = pages_stream.withColumn(
+        "lon", lon_col(F.col("url"))
+    ).withColumn("lat", lat_col(F.col("url")))
+    cells = pts.withColumn(
+        "cell_id", cell_id_col(F.col("lon"), F.col("lat"), res)
+    )
+    return (
+        cells.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"),
+                 F.col("cell_id"))
+        .agg(F.approx_count_distinct("url", rsd).alias("n_distinct_urls"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "cell_id",
+            "n_distinct_urls",
+        )
+    )
+
+
 def deduplicated_stream(
     pages_stream: DataFrame,
     watermark: str = "2 hours",

@@ -167,6 +167,47 @@ def test_streaming_windowed_cell_counts(spark, tmp_path):
     assert streamed == expected
 
 
+def test_streaming_windowed_cell_distinct(spark, tmp_path):
+    """HLL++ distinct-URL estimates per (window, cell): all urls are
+    unique in the fixture, so estimates must sit within the configured
+    rsd of the true per-group counts."""
+    from pure_python_geospatial_export_spark.functions.points import (
+        lat_col,
+        lon_col,
+    )
+    from pure_python_geospatial_export_spark.streaming.ingest import (
+        windowed_cell_distinct,
+    )
+
+    src = str(tmp_path / "pages_d")
+    ckpt = str(tmp_path / "ckpt_d")
+    pages = synth_pages(spark, 400)
+    pages.write.parquet(src)
+
+    agg = windowed_cell_distinct(stream_pages(spark, src), res=2,
+                                 window="30 minutes", rsd=0.02)
+    run_available_now(agg, "cell_distinct", ckpt)
+
+    exact = (
+        pages.withColumn("lon", lon_col(F.col("url")))
+        .withColumn("lat", lat_col(F.col("url")))
+        .withColumn("cell_id", cell_id_col(F.col("lon"), F.col("lat"), 2))
+        .groupBy(F.window("warc_ts", "30 minutes").alias("win"), "cell_id")
+        .agg(F.countDistinct("url").alias("n"))
+        .select(F.col("win.start").alias("ws"), "cell_id", "n")
+    )
+    truth = {(r["ws"], int(r["cell_id"])): int(r["n"])
+             for r in exact.collect()}
+    got = {
+        (r["window_start"], int(r["cell_id"])): int(r["n_distinct_urls"])
+        for r in spark.table("cell_distinct").collect()
+    }
+    assert set(got) == set(truth)
+    for key, est in got.items():
+        assert abs(est - truth[key]) <= max(2, 0.1 * truth[key]), (
+            key, est, truth[key])
+
+
 def test_streaming_dedup_bounded_state(spark, tmp_path):
     """dropDuplicatesWithinWatermark keeps one page per content hash
     within the watermark horizon; distinct texts all survive."""
