@@ -113,3 +113,51 @@ def read_bbox(
         (F.col(lon) >= F.lit(bbox[0])) & (F.col(lon) <= F.lit(bbox[2]))
         & (F.col(lat) >= F.lit(bbox[1])) & (F.col(lat) <= F.lit(bbox[3]))
     )
+
+
+def compact_spatial_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str | None = None,
+) -> None:
+    """Compact a spatial table in place (or to ``out_path``): streaming
+    ingest (stream_to_spatial_table) lands one small file per
+    micro-batch per partition, and small files erode both scan
+    throughput and row-group pruning. Rewrites each ``part_cell``
+    partition as one Morton-sorted file via dynamic partition overwrite
+    — only partitions present in the input are replaced, so compaction
+    composes with ongoing ingest of OTHER regions.
+
+    In-place mode stages through ``<path>/_compact_tmp`` because Spark
+    cannot overwrite a path it is reading from.
+    """
+    import shutil
+    import os as _os
+
+    df = spark.read.parquet(path)
+    staged = out_path or _os.path.join(path, "_compact_tmp")
+    out = df.repartition("part_cell").sortWithinPartitions(
+        "part_cell", "morton"
+    )
+    conf = spark.conf
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = conf.get(key, None)
+    conf.set(key, "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("part_cell").parquet(
+            staged
+        )
+    finally:
+        if prev is None:
+            conf.unset(key)
+        else:
+            conf.set(key, prev)
+    if out_path is None:
+        # swap: replace each partition dir with its compacted form
+        for name in _os.listdir(staged):
+            if not name.startswith("part_cell="):
+                continue
+            dst = _os.path.join(path, name)
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.move(_os.path.join(staged, name), dst)
+        shutil.rmtree(staged, ignore_errors=True)

@@ -86,3 +86,53 @@ def test_sorted_within_partitions(spark, tmp_path):
     for f in files:
         col = pq.read_table(f, columns=["morton"])["morton"].to_numpy()
         assert (np.diff(col) >= 0).all(), f
+
+
+def test_compact_spatial_table(spark, tmp_path):
+    """Fragmented partitions (multi-batch appends) collapse to one file
+    each; row multiset and Morton order preserved; pruning still works."""
+    import os
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from pure_python_geospatial_export_spark.sources.layout import (
+        compact_spatial_table,
+    )
+
+    path = str(tmp_path / "frag_table")
+    # fragment: three separate appends of the same layout (distinct id
+    # ranges via a post-shift so the row multiset is checkable)
+    for i in range(3):
+        pages = with_point(synth_pages(spark, 800)).withColumn(
+            "page_id", F.col("page_id") + F.lit(i * 10000)
+        )
+        write_spatial_table(pages, path, part_res=2, sort_res=10,
+                            mode="append")
+    before = spark.read.parquet(path)
+    rows_before = sorted(
+        tuple(r) for r in before.select("page_id", "part_cell").collect()
+    )
+    part_dirs = [d for d in os.listdir(path) if d.startswith("part_cell=")]
+    assert any(
+        len([f for f in os.listdir(os.path.join(path, d))
+             if f.endswith(".parquet")]) > 1
+        for d in part_dirs
+    ), "fixture must be fragmented"
+
+    compact_spatial_table(spark, path)
+
+    for d in os.listdir(path):
+        if d.startswith("part_cell="):
+            files = [f for f in os.listdir(os.path.join(path, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+    after = spark.read.parquet(path)
+    rows_after = sorted(
+        tuple(r) for r in after.select("page_id", "part_cell").collect()
+    )
+    assert rows_after == rows_before
+    # morton order within each compacted file
+    one = after.where(
+        F.col("part_cell") == int(rows_after[0][1])
+    ).select("morton").toPandas()["morton"].to_numpy()
+    # file order is read order for a single parquet file per partition
+    assert (np.diff(one) >= 0).all()
