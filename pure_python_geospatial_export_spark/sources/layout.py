@@ -161,3 +161,45 @@ def compact_spatial_table(
             shutil.rmtree(dst, ignore_errors=True)
             shutil.move(_os.path.join(staged, name), dst)
         shutil.rmtree(staged, ignore_errors=True)
+
+
+def read_polygon(
+    spark: SparkSession,
+    path: str,
+    rings,
+    part_res: int = PART_RES,
+    edges: str = "planar",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Read rows CONTAINED in a polygon from the spatial table: the
+    polygon's cell cover at ``part_res`` prunes partitions (full cells
+    skip the exact test entirely, boundary cells run the ray-cast
+    kernel) — the read-path composition of the flagship join's
+    full/boundary split with the physical layout's pruning."""
+    import pandas as pd
+
+    from ..geo import kernels
+    from ..geo.geodesic import points_in_polygon_geodesic
+
+    cover = cellmod.polygon_cover(rings, part_res, edges=edges)
+    if not cover:
+        df = spark.read.parquet(path)
+        return df.where(F.lit(False))
+    full_cells = [c for c, f in cover if f]
+    boundary_cells = [c for c, f in cover if not f]
+    df = spark.read.parquet(path)
+    full_rows = df.where(F.col("part_cell").isin(full_cells))
+
+    pip = (points_in_polygon_geodesic if edges == "geodesic"
+           else kernels.points_in_polygon)
+    plain = [list(map(list, r)) for r in rings]
+
+    def refine(batches):
+        for pdf in batches:
+            keep = pip(pdf[lon].to_numpy(), pdf[lat].to_numpy(), plain)
+            yield pdf[pd.Series(keep, index=pdf.index)]
+
+    boundary = df.where(F.col("part_cell").isin(boundary_cells))
+    refined = boundary.mapInPandas(refine, df.schema)
+    return full_rows.unionByName(refined)

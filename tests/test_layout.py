@@ -136,3 +136,53 @@ def test_compact_spatial_table(spark, tmp_path):
     ).select("morton").toPandas()["morton"].to_numpy()
     # file order is read order for a single parquet file per partition
     assert (np.diff(one) >= 0).all()
+
+
+def test_read_polygon_prunes_and_matches_kernel(spark, tmp_path):
+    from pure_python_geospatial_export_spark.geo import (
+        geodesic,
+        kernels,
+    )
+    from pure_python_geospatial_export_spark.sources.layout import (
+        read_polygon,
+    )
+
+    path, pages = _table(spark, tmp_path)
+    ring = [[-120.0, 30.0], [-80.0, 30.0], [-80.0, 55.0], [-120.0, 55.0],
+            [-120.0, 30.0]]
+
+    got = read_polygon(spark, path, [ring], part_res=3)
+    rows = got.collect()
+    # exact vs the kernel over the full table
+    pdf = pages.toPandas()
+    inside = kernels.points_in_polygon(
+        pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), [ring])
+    expected_ids = set(pdf["page_id"][inside].tolist())
+    assert {int(r["page_id"]) for r in rows} == expected_ids
+
+    # pruning: execution must not touch files outside the cover
+    # (inputFiles() reports the unpruned relation; input_file_name()
+    # at execution shows what was actually read)
+    raw = spark.read.parquet(path)
+    cover = cellmod.polygon_cover([ring], 3)
+    cover_parts = {"part_cell=%d" % c for c, _f in cover}
+    pruned = raw.where(
+        F.col("part_cell").isin([c for c, _f in cover])
+    )
+    touched = {
+        r["f"] for r in pruned.select(
+            F.input_file_name().alias("f")).distinct().collect()
+    }
+    for f in touched:
+        part = [seg for seg in f.split("/")
+                if seg.startswith("part_cell=")]
+        assert part and part[0] in cover_parts, f
+    assert len(touched) < len(set(raw.inputFiles()))
+
+    # geodesic mode agrees with the geodesic kernel
+    got_geo = read_polygon(spark, path, [ring], part_res=3,
+                           edges="geodesic")
+    inside_g = geodesic.points_in_polygon_geodesic(
+        pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), [ring])
+    assert {int(r["page_id"]) for r in got_geo.collect()} == set(
+        pdf["page_id"][inside_g].tolist())
