@@ -584,6 +584,19 @@ def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.streaming.sessions import (
+        sessionize_batch,
+    )
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    s = sessionize_batch(ev, gap_seconds=1800)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 def _q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     cents = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
@@ -706,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": _q_doc_sample,
         "top_sources": _q_top_sources,
         "events_quantiles": _q_events_quantiles,
+        "events_sessions": _q_events_sessions,
         "events_rollup": _q_events_rollup,
         "events_json": _q_events_json,
         "bpe_tokens": _q_bpe_tokens,
@@ -905,6 +919,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM events GROUP BY 1"
     )
 
+    events_sessions_sql = (
+        "WITH e AS (SELECT user_id, event_id, ts, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR CAST(epoch(ts) AS BIGINT) "
+        "- lag(CAST(epoch(ts) AS BIGINT)) OVER w > 1800 "
+        "THEN 1 ELSE 0 END AS new_s FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, ts, CAST(SUM(new_s) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM e) "
+        "SELECT user_id, session_seq, COUNT(*) AS n_events, "
+        "MIN(ts) AS session_start, MAX(ts) AS session_end "
+        "FROM s GROUP BY 1, 2"
+    )
+
     events_rollup_sql = (
         "SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr, "
         "COUNT(*) AS n_events FROM events "
@@ -1095,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": doc_sample_sql,
         "top_sources": top_sources_sql,
         "events_quantiles": events_quantiles_sql,
+        "events_sessions": events_sessions_sql,
         "events_rollup": events_rollup_sql,
         "events_json": events_json_sql,
         "bpe_tokens": bpe_tokens_sql,

@@ -19,6 +19,7 @@ from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -123,4 +124,37 @@ def sessionized_stream(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Batch gaps-and-islands sessionization: adds ``session_seq`` (the
+    per-user 1-based session index) to every event row.
+
+    Pure window functions — a new session starts where the gap to the
+    previous event exceeds ``gap_seconds``; the running sum of those
+    flags numbers the sessions. One shuffle on the user key; fully
+    SQL-expressible (the DuckDB twin in __spark_entry__ mirrors it),
+    unlike the stateful streaming sessionizer above, which handles
+    unbounded input with the same semantics per closed session.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    # unix_timestamp, not unix_millis: it accepts TIMESTAMP_NTZ too
+    sec = F.unix_timestamp(F.col(ts_col))
+    prev = F.lag(sec).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((sec - prev) > F.lit(int(gap_seconds))),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return events.withColumn(
+        "session_seq", F.sum(new_sess).over(wsum)
     )

@@ -62,17 +62,19 @@ def _norm_rows(rows, colnames):
 # float64 and hash-mismatches Spark's int64 even when values are equal), so
 # the local gate must reject type drift too, not just value drift.
 _DUCK_TO_SPARK = {
-    "BIGINT": "bigint",
-    "INTEGER": "int",
-    "SMALLINT": "smallint",
-    "TINYINT": "tinyint",
-    "DOUBLE": "double",
-    "FLOAT": "float",
-    "VARCHAR": "string",
-    "BOOLEAN": "boolean",
-    "TIMESTAMP": "timestamp",
-    "TIMESTAMP_NS": "timestamp",
-    "DATE": "date",
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "SMALLINT": {"smallint"},
+    "TINYINT": {"tinyint"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    # both Spark timestamp kinds collect as naive datetimes in the UTC
+    # session, matching DuckDB's naive TIMESTAMP values
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP_NS": {"timestamp", "timestamp_ntz"},
+    "DATE": {"date"},
 }
 
 
@@ -97,7 +99,7 @@ def test_query_matches_oracle(spark, duck, name):
             "%s.%s: unmapped DuckDB type %s (HUGEINT etc. hash-mismatch "
             "in the driver — CAST it in the oracle SQL)" % (name, col, d)
         )
-        assert _DUCK_TO_SPARK[d] == spark_types[col], (
+        assert spark_types[col] in _DUCK_TO_SPARK[d], (
             "%s.%s: DuckDB %s vs Spark %s" % (
                 name, col, d, spark_types[col]
             )
