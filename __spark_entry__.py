@@ -338,6 +338,18 @@ def _q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        mercator_tile_cols,
+        quadkey_col,
+    )
+    pts = _docs_points(spark, sf_dir)
+    tx, ty = mercator_tile_cols(F.col("lon"), F.col("lat"), 6)
+    return pts.select(
+        "doc_id", tx.alias("tx"), ty.alias("ty")
+    ).withColumn("quadkey", quadkey_col(F.col("tx"), F.col("ty"), 6))
+
+
 def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pure_python_geospatial_export_spark.operators.tiles import (
         tile_pyramid,
@@ -704,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "tile_stats": _q_tile_stats,
         "tile_pyramid": _q_tile_pyramid,
+        "mercator_tiles": _q_mercator_tiles,
         "knn_grid": _q_knn_grid,
         "knn_exact": _q_knn_exact,
         "dedup_exact": _q_dedup_exact,
@@ -761,6 +774,26 @@ def oracle_sql() -> dict[str, str]:
           "min(lon) AS xmin, min(lat) AS ymin, "
           "max(lon) AS xmax, max(lat) AS ymax "
           "FROM pts GROUP BY 1" % _tile_sql(5)
+    )
+
+    # web-mercator: same ln/tan/cos formulas in DuckDB; a floor-boundary
+    # flip would need a point within ~1 ulp of a tile edge (none in the
+    # derived-point fixture; verified bit-equal)
+    _qk_digits = " || ".join(
+        "CAST(((tx >> %d) & 1) + ((ty >> %d) & 1) * 2 AS VARCHAR)"
+        % (5 - i, 5 - i)
+        for i in range(6)
+    )
+    mercator_sql = (
+        PTS_CTE
+        + ", m AS (SELECT doc_id, "
+        "greatest(least(CAST(floor((lon + 180.0) / 360.0 * 64.0) "
+        "AS BIGINT), 63), 0) AS tx, "
+        "greatest(least(CAST(floor((1.0 - ln(tan(radians("
+        "greatest(least(lat, 85.05112878), -85.05112878))) + 1.0 / "
+        "cos(radians(greatest(least(lat, 85.05112878), -85.05112878)))) "
+        "/ pi()) / 2.0 * 64.0) AS BIGINT), 63), 0) AS ty FROM pts) "
+        "SELECT doc_id, tx, ty, " + _qk_digits + " AS quadkey FROM m"
     )
 
     # each pyramid level recomputed directly at its own resolution —
@@ -1109,6 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": zonal_sql,
         "tile_stats": tile_stats_sql,
         "tile_pyramid": tile_pyramid_sql,
+        "mercator_tiles": mercator_sql,
         "knn_grid": knn_grid_sql,
         "knn_exact": knn_exact_sql,
         "dedup_exact": dedup_exact_sql,

@@ -10,6 +10,8 @@ min/max agg.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -104,3 +106,46 @@ def zonal_stats(
         F.min(value_col).alias("min_val"),
         F.max(value_col).alias("max_val"),
     )
+
+
+MERCATOR_MAX_LAT = 85.05112878
+
+
+def mercator_tile_cols(lon, lat, zoom: int):
+    """Web-mercator (slippy / XYZ) tile coordinates at ``zoom`` as pure
+    column expressions — the de-facto scheme of every web map stack,
+    alongside the engine's equirectangular grid. Latitude clamps to the
+    mercator domain (+-85.05112878); x wraps at the antimeridian via the
+    clamp on the last tile."""
+    n = F.lit(float(1 << zoom))
+    lam = lon
+    phi = F.radians(
+        F.greatest(F.least(lat, F.lit(MERCATOR_MAX_LAT)),
+                   F.lit(-MERCATOR_MAX_LAT))
+    )
+    tx = F.floor((lam + 180.0) / 360.0 * n).cast("long")
+    ty = F.floor(
+        (1.0 - F.log(F.tan(phi) + 1.0 / F.cos(phi)) / F.lit(math.pi))
+        / 2.0 * n
+    ).cast("long")
+    hi = F.lit((1 << zoom) - 1)
+    return (
+        F.greatest(F.least(tx, hi), F.lit(0)),
+        F.greatest(F.least(ty, hi), F.lit(0)),
+    )
+
+
+def quadkey_col(tx, ty, zoom: int):
+    """Bing-style quadkey string from tile coords: one base-4 digit per
+    zoom level (bit i of x + 2*bit i of y, most significant first) —
+    prefix match == ancestor tile, so LIKE 'prefix%' prunes a quadkey-
+    partitioned table to a subtree."""
+    digits = [
+        (
+            F.shiftrightunsigned(tx, zoom - 1 - i).bitwiseAND(F.lit(1))
+            + F.shiftrightunsigned(ty, zoom - 1 - i).bitwiseAND(F.lit(1))
+            * 2
+        ).cast("string")
+        for i in range(zoom)
+    ]
+    return F.concat(*digits)

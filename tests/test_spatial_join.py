@@ -338,3 +338,56 @@ def test_knn_haversine_matches_numpy(pages, pages_pd):
             g_id, g_d = got[(int(pid[i]), rank)]
             assert g_id == int(ids[j])
             assert g_d == pytest.approx(float(d[j]), rel=1e-9)
+
+
+def test_mercator_tiles_and_quadkey(spark, pages):
+    import math
+
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        MERCATOR_MAX_LAT,
+        mercator_tile_cols,
+        quadkey_col,
+    )
+
+    zoom = 6
+    tx, ty = mercator_tile_cols(F.col("lon"), F.col("lat"), zoom)
+    df = pages.select(
+        "page_id", "lon", "lat", tx.alias("tx"), ty.alias("ty")
+    ).withColumn("qk", quadkey_col(F.col("tx"), F.col("ty"), zoom))
+    rows = df.collect()
+
+    def deg2num(lon, lat, z):  # standard slippy-map formula
+        lat = max(min(lat, MERCATOR_MAX_LAT), -MERCATOR_MAX_LAT)
+        n = 1 << z
+        x = int(math.floor((lon + 180.0) / 360.0 * n))
+        phi = math.radians(lat)
+        y = int(math.floor(
+            (1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi))
+             / math.pi) / 2.0 * n))
+        return max(min(x, n - 1), 0), max(min(y, n - 1), 0)
+
+    def qk(x, y, z):
+        return "".join(
+            str(((x >> (z - 1 - i)) & 1) + 2 * ((y >> (z - 1 - i)) & 1))
+            for i in range(z)
+        )
+
+    for r in rows:
+        ex, ey = deg2num(r["lon"], r["lat"], zoom)
+        assert (r["tx"], r["ty"]) == (ex, ey), r
+        assert r["qk"] == qk(ex, ey, zoom)
+        assert len(r["qk"]) == zoom
+
+    # quadkey prefix == parent tile at the prefix's zoom
+    some = rows[0]
+    px, py = deg2num(some["lon"], some["lat"], 3)
+    assert some["qk"][:3] == qk(px, py, 3)
+
+    # poles clamp into the edge tiles without error
+    edge = spark.createDataFrame(
+        [(1, 0.0, 89.9), (2, 0.0, -89.9)], ["i", "lon", "lat"]
+    )
+    ex_, ey_ = mercator_tile_cols(F.col("lon"), F.col("lat"), zoom)
+    got = {r["i"]: r["y"] for r in edge.select(
+        "i", ey_.alias("y")).collect()}
+    assert got[1] == 0 and got[2] == (1 << zoom) - 1
