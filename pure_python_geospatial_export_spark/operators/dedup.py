@@ -291,8 +291,18 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per doc: token hash = first 64 bits of md5 (two
-    32-bit conv halves JVM-side), bit voting in a numpy Arrow kernel.
+    """64-bit SimHash per doc: token hash = first 64 bits of md5
+    (big-endian), bit voting — both inside one numpy Arrow kernel.
+
+    Tokenization stays JVM-side (one codegen'd split); the md5 hashing
+    happens in the kernel via hashlib because Spark's higher-order
+    ``transform(md5 -> conv)`` executes INTERPRETED (~18us/element, the
+    docs/PLANS.md pitfall) and dominated the stage at scale. A per-batch
+    memo exploits natural-language token repetition so each distinct
+    token is hashed once per batch. ``int.from_bytes(md5[:8], 'big')``
+    equals the previous ``conv(substring(md5,1,8)) << 32 | conv(
+    substring(md5,9,8))`` bit-for-bit, so the cross-engine contract is
+    unchanged:
 
     md5 (not xxhash64) so DuckDB can mirror the computation: DuckDB's
     ``md5_number_upper`` is the little-endian read of the same 8 bytes —
@@ -300,32 +310,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     permutation applied to every token hash permutes every doc's simhash
     identically, and xor/bit_count are permutation-invariant, so hamming
     distances (and near-pair sets) agree across engines exactly."""
-    toks = tokens_col(F.col(text_col))
+    import hashlib
+
     hashed = df.select(
         F.col(id_col),
-        F.transform(
-            toks,
-            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
-            .cast("long"),
-        ).alias("tok_hi"),
-        F.transform(
-            toks,
-            lambda t: F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
-            .cast("long"),
-        ).alias("tok_lo"),
+        tokens_col(F.col(text_col)).alias("toks"),
     )
 
     @F.pandas_udf(LongType())
-    def _simhash(tok_hi: pd.Series, tok_lo: pd.Series) -> pd.Series:
-        out = np.zeros(len(tok_hi), dtype=np.int64)
+    def _simhash(toks: pd.Series) -> pd.Series:
+        out = np.zeros(len(toks), dtype=np.int64)
         shifts = np.arange(64, dtype=np.uint64)
-        for i, (his, los) in enumerate(zip(tok_hi, tok_lo)):
-            if his is None or len(his) == 0:
+        memo: dict = {}
+        for i, tlist in enumerate(toks):
+            if tlist is None or len(tlist) == 0:
                 continue
-            hi = np.asarray(his, dtype=np.int64).astype(np.uint64)
-            lo = np.asarray(los, dtype=np.int64).astype(np.uint64)
-            arr = (hi << np.uint64(32)) | lo
-            bits = (arr[:, None] >> shifts) & np.uint64(1)
+            vals = np.empty(len(tlist), dtype=np.uint64)
+            for j, t in enumerate(tlist):
+                h = memo.get(t)
+                if h is None:
+                    h = int.from_bytes(
+                        hashlib.md5(t.encode("utf-8")).digest()[:8],
+                        "big",
+                    )
+                    memo[t] = h
+                vals[j] = h
+            bits = (vals[:, None] >> shifts) & np.uint64(1)
             votes = bits.astype(np.int64) * 2 - 1
             sign = votes.sum(axis=0) >= 0
             out[i] = np.int64(
@@ -337,7 +347,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     return hashed.select(
         F.col(id_col),
-        _simhash(F.col("tok_hi"), F.col("tok_lo")).alias("simhash"),
+        _simhash(F.col("toks")).alias("simhash"),
     )
 
 
