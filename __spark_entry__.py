@@ -307,20 +307,47 @@ def _q_pip_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE pass over the points: the 18 bbox predicates become a broadcast
+    # nested-loop join against an inline bbox dimension (18 rows), instead
+    # of the former 18-branch union (18 scans of the same table). The
+    # predicate is the same P3 bbox-contains column expression per pair.
+    from pure_python_geospatial_export_spark.session import local_df
+
     pts = _docs_points(spark, sf_dir)
-    parts = []
-    for pid, name, outer, _hole in _rects():
-        x0, y0, x1, y1 = outer
-        parts.append(
-            pts.where(
-                point_in_bbox_col(F.col("lon"), F.col("lat"),
-                                  x0, y0, x1, y1)
-            ).select(F.lit(name).alias("name"), "doc_id")
-        )
-    union = parts[0]
-    for p in parts[1:]:
-        union = union.unionByName(p)
-    return union.groupBy("name").agg(F.count(F.lit(1)).alias("n_docs"))
+    boxes = local_df(
+        spark,
+        [(name, x0, y0, x1, y1)
+         for _pid, name, (x0, y0, x1, y1), _hole in _rects()],
+        ["name", "_x0", "_y0", "_x1", "_y1"],
+    )
+    hits = pts.join(
+        F.broadcast(boxes),
+        (F.col("lon") >= F.col("_x0")) & (F.col("lon") <= F.col("_x1"))
+        & (F.col("lat") >= F.col("_y0")) & (F.col("lat") <= F.col("_y1")),
+    )
+    return hits.groupBy("name").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# Seam-crossing polygon (RFC 7946 short-way edges: 150E..150W band with a
+# 170E..170W hole) — single source of truth for the Spark layer and the
+# SQL oracle. Exercises the planar antimeridian lobe split end to end
+# (cover seeding + kernel refine on both sides of +-180).
+ANTIMERIDIAN_WKT = (
+    "POLYGON ((150 20, 150 70, -150 70, -150 20, 150 20), "
+    "(170 40, 170 55, -170 55, -170 40, 170 40))"
+)
+
+
+def _q_pip_join_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.session import local_df
+
+    pts = _docs_points(spark, sf_dir)
+    layer = local_df(spark, [(1, "seam_band", ANTIMERIDIAN_WKT)],
+                     ["polygon_id", "name", "wkt"])
+    return (
+        spatial_join(pts, layer, res=6)
+        .select("doc_id", "name")
+    )
 
 
 def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join": _q_pip_join,
         "pip_join_geodesic": _q_pip_join_geodesic,
         "pip_join_salted": _q_pip_join_salted,
+        "pip_join_antimeridian": _q_pip_join_antimeridian,
         "bbox_filter": _q_bbox_filter,
         "tile_assign": _q_tile_assign,
         "zonal_stats": _q_zonal_stats,
@@ -752,6 +780,17 @@ def oracle_sql() -> dict[str, str]:
         for _pid, name, outer, hole in _rects()
     ]
     pip_sql = PTS_CTE + " " + " UNION ALL ".join(pip_parts)
+
+    # seam-crossing band: containment on the circle = OR of the two
+    # lobes' lon ranges; the hole (also crossing) is excluded with the
+    # strict-interior convention the rectangular oracles use
+    pip_antimeridian_sql = PTS_CTE + (
+        " SELECT doc_id, 'seam_band' AS name FROM pts"
+        " WHERE lat >= 20.0 AND lat <= 70.0"
+        " AND (lon >= 150.0 OR lon <= -150.0)"
+        " AND NOT (lat > 40.0 AND lat < 55.0"
+        " AND (lon > 170.0 OR lon < -170.0))"
+    )
 
     bbox_parts = [
         "SELECT doc_id, '%s' AS name FROM pts WHERE %s"
@@ -1137,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": pip_sql,
         "pip_join_geodesic": _geodesic_oracle_sql(),
         "pip_join_salted": pip_sql,
+        "pip_join_antimeridian": pip_antimeridian_sql,
         "bbox_filter": bbox_sql,
         "tile_assign": tile_assign_sql,
         "zonal_stats": zonal_sql,

@@ -25,6 +25,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
+from . import kernels
 from .kernels import points_in_polygon, ring_bbox
 
 MAX_RES = 28
@@ -195,6 +196,12 @@ def polygon_cover(rings: Sequence, res: int, edges: str = "planar"
     res = _check_res(res)
     n = float(1 << res)
     w, h = 360.0 / n, 180.0 / n
+
+    # Dateline-crossing rings become their [-180, 180] lobes here, so the
+    # bbox seeding below never sees a seam-spanning lon range (which would
+    # cover the whole wrong side of the world) and the corner tests in
+    # points_in_polygon agree (it applies the same idempotent expansion).
+    rings = kernels.expand_antimeridian_rings(rings)
 
     # Candidate cells: union of every ring's bbox cover. MultiPolygon layers
     # are flattened to one ring list upstream (load_rings, cover_kernel), so
@@ -395,11 +402,28 @@ def _polygon_cover_geodesic(rings: Sequence, res: int
             ))),
             0.01,
         )
+        px0, px1 = ex0 - lp, ex1 + lp
+        py0, py1 = ey0 - pad_deg, ey1 + pad_deg
+        # a padded box poking across +-180 contributes a wrapped remainder
+        # on the other side — without it a cell just across the seam from
+        # a boundary chord within lp of the antimeridian would miss its
+        # edge_touch (and could be wrongly marked full)
+        east = px1 > 180.0
+        west = px0 < -180.0
+        if east.any() or west.any():
+            px0 = np.concatenate(
+                [px0, np.full(int(east.sum()), -180.0), px0[west] + 360.0]
+            )
+            px1 = np.concatenate(
+                [px1, px1[east] - 360.0, np.full(int(west.sum()), 180.0)]
+            )
+            py0 = np.concatenate([py0, py0[east], py0[west]])
+            py1 = np.concatenate([py1, py1[east], py1[west]])
         t = (
-            (lon0[:, None] <= (ex1 + lp)[None, :])
-            & (lon1[:, None] >= (ex0 - lp)[None, :])
-            & (lat0[:, None] <= (ey1 + pad_deg)[None, :])
-            & (lat1[:, None] >= (ey0 - pad_deg)[None, :])
+            (lon0[:, None] <= px1[None, :])
+            & (lon1[:, None] >= px0[None, :])
+            & (lat0[:, None] <= py1[None, :])
+            & (lat1[:, None] >= py0[None, :])
         )
         edge_touch |= t.any(axis=1)
         vx = (

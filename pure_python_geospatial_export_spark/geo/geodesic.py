@@ -15,7 +15,9 @@ projected coordinates — no densification error in the predicate itself.
 Valid for polygons contained in the open hemisphere around the
 projection center (any sub-hemisphere polygon); query points on the far
 hemisphere are outside by definition. Polygons spanning a full
-hemisphere raise.
+hemisphere fall back to the (equally exact) chart-ray kernel: eastward
+latitude-ray crossing counts with closed-form great-circle/latitude
+intersections, matching the planar kernel's chart-bounded semantics.
 """
 
 from __future__ import annotations
@@ -88,33 +90,173 @@ def gnomonic_project(vecs: np.ndarray, c: np.ndarray):
     return x, y, front
 
 
+def _points_in_polygon_chart_ray(
+    points_lon, points_lat, rings: Sequence
+) -> np.ndarray:
+    """Geodesic even-odd containment via an EASTWARD LATITUDE RAY in the
+    lon/lat chart — no hemisphere restriction, no clipping.
+
+    For each query point p, count crossings of the ray
+    {(lam, lat_p): lam in (lam_p, 180]} with every great-circle edge.
+    A great circle with normal n meets the latitude circle lat = lat_p
+    where ``R * cos(lam - alpha) = -nz * tan(lat_p)`` (R = hypot(nx, ny),
+    alpha = atan2(ny, nx)) — at most two longitudes, solved in closed
+    form, each gated by an exact on-minor-arc test (the candidate's
+    coordinates in the {A, B} basis must be a nonneg combination). This
+    is EXACT for the true arcs (no densification), and its parity equals
+    the planar kernel's on the densified ring as sagitta -> 0, i.e. the
+    chart-bounded interpretation (antimeridian-crossing edges included:
+    longitude is monotone mod 360 along a great circle, so each edge's
+    chart curve spans exactly its endpoints' longitude interval).
+
+    Antimeridian-crossing edges: the ring's chart curve is OPEN at the
+    +-180 seam (it jumps from (180, phi_x) to (-180, phi_x)), which
+    breaks bare crossing parity. Mirroring the planar kernel's lobe
+    split, every seam crossing is found in closed form (edge great
+    circle x seam meridian plane), eastbound crossings are paired with
+    the next westbound crossing in traversal order, and each pair
+    contributes a virtual VERTICAL segment at lon 180 spanning their
+    latitudes — exactly the closure edge Sutherland-Hodgman inserts in
+    ``split_ring_antimeridian`` (the -180-side closures are never east
+    of any query point and need no counting). Pole-encircling rings
+    (odd seam-crossing count) raise, as they do on the planar path.
+
+    Boundary conventions: arcs are half-open (A excluded, B included),
+    so a crossing exactly at a shared vertex counts once; tangent
+    touches yield double roots that cancel in parity. Points exactly at
+    lon 180 or at a pole have an empty ray and test outside.
+    """
+    lam_p = np.radians(np.asarray(points_lon, dtype=np.float64))
+    phi_p = np.radians(np.asarray(points_lat, dtype=np.float64))
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        tan_p = np.tan(phi_p)
+    cos_p = np.cos(phi_p)
+    sin_p = np.sin(phi_p)
+
+    inside = np.zeros(len(lam_p), dtype=bool)
+    for ring in rings:
+        arr = np.asarray(ring, dtype=np.float64)[:, :2]
+        vecs = unit_vectors(arr[:, 0], arr[:, 1])
+        count = np.zeros(len(lam_p), dtype=np.int64)
+        seam: list = []  # (eastbound, sin_phi_x) in traversal order
+        for i in range(len(vecs) - 1):
+            a, b = vecs[i], vecs[i + 1]
+            ne = np.cross(a, b)
+            r_xy = float(np.hypot(ne[0], ne[1]))
+            if r_xy < 1e-300:
+                continue  # degenerate or equatorial edge: no parity flip
+            alpha = float(np.arctan2(ne[1], ne[0]))
+            with np.errstate(divide="ignore", invalid="ignore",
+                             over="ignore"):
+                c = -ne[2] * tan_p / r_xy
+            valid = np.abs(c) <= 1.0  # NaN/inf compare False
+            delta = np.arccos(np.clip(c, -1.0, 1.0))
+            for s in (1.0, -1.0):
+                lam_s = alpha + s * delta
+                lam_s = np.mod(lam_s + np.pi, 2.0 * np.pi) - np.pi
+                cl = np.cos(lam_s)
+                sl = np.sin(lam_s)
+                xx = cos_p * cl
+                xy = cos_p * sl
+                xz = sin_p
+                # (a x X) . ne  and  (X x b) . ne  — nonneg iff X is a
+                # nonneg combination of a and b (i.e. on the minor arc)
+                on_a = (
+                    (a[1] * xz - a[2] * xy) * ne[0]
+                    + (a[2] * xx - a[0] * xz) * ne[1]
+                    + (a[0] * xy - a[1] * xx) * ne[2]
+                )
+                on_b = (
+                    (xy * b[2] - xz * b[1]) * ne[0]
+                    + (xz * b[0] - xx * b[2]) * ne[1]
+                    + (xx * b[1] - xy * b[0]) * ne[2]
+                )
+                hit = (
+                    valid & (on_a > 0.0) & (on_b >= 0.0)
+                    & (lam_s > lam_p) & (lam_s <= np.pi)
+                )
+                count += hit
+            # exact seam crossing of this edge (lon = 180 half-meridian):
+            # great circle x plane y=0 -> +-normalize(ne x (0,1,0)); the
+            # lon-180 representative has x <= 0. Same half-open on-arc
+            # gate as above so shared-vertex crossings count once.
+            u = np.array([-ne[2], 0.0, ne[0]])  # ne x (0,1,0)
+            un = float(np.linalg.norm(u))
+            if un > 1e-300:
+                u = u / un
+                if u[0] > 0.0:
+                    u = -u
+                on_a = float(np.dot(np.cross(a, u), ne))
+                on_b = float(np.dot(np.cross(u, b), ne))
+                if on_a > 0.0 and on_b >= 0.0 and u[0] < 0.0:
+                    # traversal tangent at u is ne x u; eastbound
+                    # (d lon/dt > 0) iff tangent_y / u_x > 0, u_x < 0
+                    wy = ne[2] * u[0] - ne[0] * u[2]
+                    seam.append((wy < 0.0, u[2]))
+        if len(seam) % 2 == 1:
+            raise ValueError(
+                "ring crosses the antimeridian an odd number of times "
+                "(pole-encircling) — unsupported in the chart-ray "
+                "geodesic fallback"
+            )
+        if seam:
+            # rotate so the list starts eastbound, then pair (east, next)
+            start = next(
+                (k for k, (e, _) in enumerate(seam) if e), None
+            )
+            if start is not None:
+                seam = seam[start:] + seam[:start]
+                for k in range(0, len(seam) - 1, 2):
+                    s1, s2 = seam[k][1], seam[k + 1][1]
+                    straddle = (s1 >= sin_p) != (s2 >= sin_p)
+                    count += straddle & (lam_p < np.pi)
+        inside ^= (count % 2).astype(bool)
+    return inside
+
+
 def points_in_polygon_geodesic(
     points_lon, points_lat, rings: Sequence
 ) -> np.ndarray:
     """Even-odd containment of N points in a polygon whose edges are
-    great-circle arcs. Exact (projection maps arcs to straight lines);
-    crossing parity across all rings, like the planar
-    ``points_in_polygon``. Raises if the polygon is not sub-hemisphere.
-    """
-    c = gnomonic_center(rings)
-    proj_rings = []
-    for r in rings:
-        arr = np.asarray(r, dtype=np.float64)[:, :2]
-        rx, ry, front = gnomonic_project(
-            unit_vectors(arr[:, 0], arr[:, 1]), c
-        )
-        if not front.all():
-            raise ValueError(
-                "polygon spans beyond the hemisphere around its vertex "
-                "centroid — geodesic containment limited to "
-                "sub-hemisphere polygons"
-            )
-        proj_rings.append(np.stack([rx, ry], axis=1))
+    great-circle arcs. Exact in both paths — no densification error in
+    the predicate; crossing parity across all rings, like the planar
+    ``points_in_polygon``.
 
-    pvec = unit_vectors(
-        np.asarray(points_lon, dtype=np.float64),
-        np.asarray(points_lat, dtype=np.float64),
-    )
+    Sub-hemisphere polygons (all vertices on the open hemisphere around
+    the vertex centroid) run single-chart gnomonic — bit-identical to
+    the round-2 behavior (the driver oracle embeds these projection
+    constants). Larger polygons (e.g. a 300-deg-wide latitude barrel,
+    or antipodally-balanced vertex sets where no centroid hemisphere
+    exists) no longer raise: they fall back to the chart-ray kernel
+    (:func:`_points_in_polygon_chart_ray`), whose parity equals the
+    planar kernel on the densified ring — the chart-bounded
+    interpretation of the polygon.
+    """
+    points_lon = np.asarray(points_lon, dtype=np.float64)
+    points_lat = np.asarray(points_lat, dtype=np.float64)
+    c = None
+    try:
+        c = gnomonic_center(rings)
+    except ValueError:
+        pass  # antipodally balanced vertices: chart-ray path below
+    proj_rings = []
+    if c is not None:
+        for r in rings:
+            arr = np.asarray(r, dtype=np.float64)[:, :2]
+            rx, ry, front = gnomonic_project(
+                unit_vectors(arr[:, 0], arr[:, 1]), c
+            )
+            if not front.all():
+                proj_rings = None
+                break
+            proj_rings.append(np.stack([rx, ry], axis=1))
+    else:
+        proj_rings = None
+
+    if proj_rings is None:
+        return _points_in_polygon_chart_ray(points_lon, points_lat, rings)
+
+    pvec = unit_vectors(points_lon, points_lat)
     px, py, front = gnomonic_project(pvec, c)
     inside = np.zeros(len(px), dtype=bool)
     if front.any():

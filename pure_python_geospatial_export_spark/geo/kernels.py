@@ -153,6 +153,108 @@ def ring_contains_ring(ring1, ring2) -> bool:
     return bool(points_in_ring(arr[:, 0], arr[:, 1], np.asarray(ring1)).all())
 
 
+def ring_crosses_antimeridian(ring) -> bool:
+    """True when any edge jumps more than 180 degrees in longitude — the
+    standard convention (RFC 7946 §3.1.9) that such an edge takes the
+    short way around, i.e. crosses the +-180 seam. Alaska/Fiji-style
+    rings digitized in [-180, 180] hit this; a deliberate planar edge
+    wider than a hemisphere does not round-trip this convention and must
+    be pre-split by the caller."""
+    lon = np.asarray(ring, dtype=np.float64)[:, 0]
+    return bool((np.abs(np.diff(lon)) > 180.0).any())
+
+
+def _clip_ring_halfplane(
+    ring: np.ndarray, line_x: float, keep_left: bool
+) -> Optional[np.ndarray]:
+    """Sutherland-Hodgman clip of a closed ring against the half-plane
+    x <= line_x (or x >= line_x). Driver-side, per-polygon — not a hot
+    path. Returns a closed ring or None when nothing remains."""
+    out: List[List[float]] = []
+    for i in range(len(ring) - 1):
+        p, q = ring[i], ring[i + 1]
+        pin = p[0] <= line_x if keep_left else p[0] >= line_x
+        qin = q[0] <= line_x if keep_left else q[0] >= line_x
+        if pin:
+            out.append([p[0], p[1]])
+            if not qin:
+                t = (line_x - p[0]) / (q[0] - p[0])
+                out.append([line_x, p[1] + t * (q[1] - p[1])])
+        elif qin:
+            t = (line_x - p[0]) / (q[0] - p[0])
+            out.append([line_x, p[1] + t * (q[1] - p[1])])
+    if len(out) < 3:
+        return None
+    out.append(list(out[0]))
+    return np.asarray(out, dtype=np.float64)
+
+
+def split_ring_antimeridian(ring) -> List[np.ndarray]:
+    """Split a dateline-crossing ring into lobes entirely within
+    [-180, 180], each a valid closed planar ring.
+
+    Longitudes are first unwrapped into a continuous frame (every edge
+    takes the short way around), the unwrapped ring is clipped at each
+    seam line 180 + 360k it straddles (half-plane Sutherland-Hodgman —
+    multi-crossing rings yield lobes joined by zero-width seam bridges,
+    which cancel in crossing-parity tests), and each lobe is shifted by
+    a multiple of 360 back into [-180, 180]. Even-odd parity over the
+    lobes equals parity over the spherical ring for every point off the
+    seam line, so downstream kernels/covers need no other change."""
+    import math
+
+    arr = np.asarray(ring, dtype=np.float64)[:, :2]
+    lon = arr[:, 0]
+    d = np.diff(lon)
+    shift = np.zeros(len(lon))
+    shift[1:] = np.cumsum(
+        np.where(d > 180.0, -360.0, np.where(d < -180.0, 360.0, 0.0))
+    )
+    pts = np.column_stack([lon + shift, arr[:, 1]])
+    lo, hi = float(pts[:, 0].min()), float(pts[:, 0].max())
+    k0 = math.ceil((lo - 180.0) / 360.0)
+    k1 = math.floor((hi - 180.0) / 360.0)
+    seams = [
+        180.0 + 360.0 * k
+        for k in range(k0, k1 + 1)
+        if lo < 180.0 + 360.0 * k < hi
+    ]
+    pieces = [pts]
+    for line_x in seams:
+        nxt = []
+        for p in pieces:
+            for q in (
+                _clip_ring_halfplane(p, line_x, keep_left=True),
+                _clip_ring_halfplane(p, line_x, keep_left=False),
+            ):
+                if q is not None:
+                    nxt.append(q)
+        pieces = nxt
+    out = []
+    for p in pieces:
+        c = (float(p[:, 0].min()) + float(p[:, 0].max())) / 2.0
+        k = math.floor(c / 360.0 + 0.5)
+        if k:
+            p = p.copy()
+            p[:, 0] -= 360.0 * k
+        out.append(p)
+    return out
+
+
+def expand_antimeridian_rings(rings: Sequence) -> List[np.ndarray]:
+    """Normalize a GeoJSON ring list: dateline-crossing rings are replaced
+    by their [-180, 180] lobes (see :func:`split_ring_antimeridian`);
+    non-crossing rings pass through unchanged. Idempotent."""
+    out: List[np.ndarray] = []
+    for ring in rings:
+        arr = np.asarray(ring, dtype=np.float64)[:, :2]
+        if ring_crosses_antimeridian(arr):
+            out.extend(split_ring_antimeridian(arr))
+        else:
+            out.append(arr)
+    return out
+
+
 def points_in_polygon(
     points_x: np.ndarray, points_y: np.ndarray, rings: Sequence
 ) -> np.ndarray:
@@ -160,12 +262,17 @@ def points_in_polygon(
     (first exterior, rest holes). Crossing parity across all rings — a point
     is inside iff it is inside an odd number of rings, which equals
     "in exterior and not in a hole" for valid non-nested rings.
+
+    Dateline-crossing rings (any edge spanning > 180 deg of longitude —
+    the RFC 7946 short-way convention) are split into [-180, 180] lobes
+    first, so Alaska/Fiji-style polygons test correctly on both sides of
+    the seam; rings already within the seam are untouched (reference
+    planar semantics preserved bit-for-bit).
     """
     px = np.asarray(points_x, dtype=np.float64)
     py = np.asarray(points_y, dtype=np.float64)
     inside = np.zeros(len(px), dtype=bool)
-    for ring in rings:
-        arr = np.asarray(ring, dtype=np.float64)
+    for arr in expand_antimeridian_rings(rings):
         # cheap bbox prefilter per ring (the P5 pushdown idea, ref :1381-1388)
         bb = ring_bbox(arr)
         cand = (px >= bb[0]) & (px <= bb[2]) & (py >= bb[1]) & (py <= bb[3])

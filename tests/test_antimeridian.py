@@ -1,0 +1,214 @@
+"""Planar antimeridian-crossing rings (round-3 verdict item 3).
+
+A ring whose edge jumps > 180 deg of longitude takes the short way around
+(RFC 7946 convention) — Alaska/Fiji-style geometries. The planar kernel
+and cover split such rings into [-180, 180] lobes; these tests pin:
+
+* the split itself (lobe count, ranges, closure);
+* point-in-polygon equivalence against a rotated-frame oracle (shift the
+  whole problem by 180 deg of longitude so the ring no longer crosses,
+  then use the untouched non-crossing kernel path);
+* cover completeness/soundness on both sides of the seam;
+* spatial_join end to end across the seam;
+* the geodesic cover's seam-pad wrap (ADVICE r2: padded chord bboxes
+  poking across +-180 must touch cells on the other side).
+"""
+
+import numpy as np
+
+from pure_python_geospatial_export_spark.geo import cells as cellmod
+from pure_python_geospatial_export_spark.geo import kernels
+
+ALASKA_STYLE = [
+    [170.0, 50.0],
+    [170.0, 60.0],
+    [-170.0, 60.0],
+    [-170.0, 50.0],
+    [170.0, 50.0],
+]
+
+
+def rot180(lon):
+    """Shift longitudes by 180 deg on the circle (exact for these values)."""
+    return ((np.asarray(lon, dtype=np.float64) + 360.0) % 360.0) - 180.0
+
+
+def test_detects_crossing():
+    assert kernels.ring_crosses_antimeridian(ALASKA_STYLE)
+    box = [[0.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, 0.0], [0.0, 0.0]]
+    assert not kernels.ring_crosses_antimeridian(box)
+
+
+def test_split_two_lobes():
+    lobes = kernels.split_ring_antimeridian(ALASKA_STYLE)
+    assert len(lobes) == 2
+    for lobe in lobes:
+        assert (lobe[:, 0] >= -180.0).all() and (lobe[:, 0] <= 180.0).all()
+        assert (lobe[0] == lobe[-1]).all()  # closed
+        assert not kernels.ring_crosses_antimeridian(lobe)
+    spans = sorted(
+        (float(lb[:, 0].min()), float(lb[:, 0].max())) for lb in lobes
+    )
+    assert spans[0] == (-180.0, -170.0)
+    assert spans[1] == (170.0, 180.0)
+
+
+def test_expand_is_idempotent_and_passthrough():
+    box = [[0.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, 0.0], [0.0, 0.0]]
+    once = kernels.expand_antimeridian_rings([box])
+    assert len(once) == 1
+    np.testing.assert_array_equal(once[0], np.asarray(box))
+    lobes = kernels.expand_antimeridian_rings([ALASKA_STYLE])
+    again = kernels.expand_antimeridian_rings(lobes)
+    assert len(again) == len(lobes)
+
+
+def test_pip_crossing_matches_rotated_frame_oracle():
+    rng = np.random.default_rng(7)
+    px = rng.uniform(-180.0, 180.0, size=5000)
+    py = rng.uniform(40.0, 70.0, size=5000)
+    got = kernels.points_in_polygon(px, py, [ALASKA_STYLE])
+    rot_ring = [[rot180(x), y] for x, y in ALASKA_STYLE]
+    assert not kernels.ring_crosses_antimeridian(rot_ring)
+    want = kernels.points_in_polygon(rot180(px), py, [rot_ring])
+    assert (got == want).all()
+    # sanity: both sides of the seam are populated
+    assert got[(px > 170) & (py > 50) & (py < 60)].all()
+    assert got[(px < -170) & (py > 50) & (py < 60)].all()
+    assert not got[np.abs(px) < 160].any()
+
+
+def test_pip_crossing_with_crossing_hole():
+    hole = [
+        [175.0, 53.0],
+        [175.0, 57.0],
+        [-175.0, 57.0],
+        [-175.0, 53.0],
+        [175.0, 53.0],
+    ]
+    px = np.array([178.0, -178.0, 172.0, -172.0, 0.0])
+    py = np.array([55.0, 55.0, 55.0, 55.0, 55.0])
+    got = kernels.points_in_polygon(px, py, [ALASKA_STYLE, hole])
+    assert got.tolist() == [False, False, True, True, False]
+
+
+def test_multi_crossing_ring():
+    """A C-shape crossing the seam twice at different latitude bands."""
+    ring = [
+        [170.0, 0.0],
+        [-170.0, 0.0],
+        [-170.0, 10.0],
+        [175.0, 10.0],
+        [175.0, 20.0],
+        [-170.0, 20.0],
+        [-170.0, 30.0],
+        [170.0, 30.0],
+        [170.0, 0.0],
+    ]
+    assert kernels.ring_crosses_antimeridian(ring)
+    rng = np.random.default_rng(11)
+    px = rng.uniform(-180.0, 180.0, size=4000)
+    py = rng.uniform(-5.0, 35.0, size=4000)
+    got = kernels.points_in_polygon(px, py, [ring])
+    rot = [[rot180(x), y] for x, y in ring]
+    want = kernels.points_in_polygon(rot180(px), py, [rot])
+    assert (got == want).all()
+    # the notch (east of 175 shifted across seam, 10<lat<20) is outside
+    assert not got[(px < -178.0) & (py > 11.0) & (py < 19.0)].any()
+    assert got[(px < -178.0) & (py > 1.0) & (py < 9.0)].all()
+
+
+def test_planar_cover_crossing_complete_and_sound():
+    res = 7
+    cover = cellmod.polygon_cover([ALASKA_STYLE], res)
+    assert cover, "cover must not be empty"
+    covered = {c for c, _ in cover}
+    full = {c for c, f in cover if f}
+    # completeness: every inside point lands in a covered cell
+    rng = np.random.default_rng(3)
+    px = rng.uniform(-180.0, 180.0, size=8000)
+    py = rng.uniform(45.0, 65.0, size=8000)
+    inside = kernels.points_in_polygon(px, py, [ALASKA_STYLE])
+    ids = cellmod.cell_id(px, py, res)
+    assert all(int(c) in covered for c in ids[inside])
+    # soundness of full: every point of a full cell is inside
+    in_full = np.array([int(c) in full for c in ids])
+    assert inside[in_full].all()
+    # both sides of the seam hold full cells (lobes are ~10 deg / ~3.5
+    # cell columns wide at res 7; the seam-adjacent column itself stays
+    # boundary because the artificial lobe seam edge touches it — a
+    # conservative one-column cost, refined correctly by the kernel)
+    xs = {int(cellmod.decode(np.array([c]))[0][0]) for c in full}
+    n = 1 << res
+    assert any(n - 4 <= x <= n - 2 for x in xs), \
+        "no full cells on the west lobe"
+    assert any(1 <= x <= 3 for x in xs), "no full cells on the east lobe"
+    # no cells in the middle of the wrong side of the world
+    mid = cellmod.cell_id_scalar(0.0, 55.0, res)
+    assert mid not in covered
+
+
+def test_spatial_join_across_seam(spark):
+    from pure_python_geospatial_export_spark.operators.spatial_join import (
+        spatial_join,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rng = np.random.default_rng(5)
+    lons = np.concatenate([
+        rng.uniform(165.0, 180.0, 300),
+        rng.uniform(-180.0, -165.0, 300),
+        rng.uniform(-30.0, 30.0, 100),
+    ])
+    lats = rng.uniform(45.0, 65.0, 700)
+    pts = local_df(
+        spark,
+        [(i, float(lons[i]), float(lats[i])) for i in range(700)],
+        ["pt_id", "lon", "lat"],
+    )
+    wkt = (
+        "POLYGON ((170 50, 170 60, -170 60, -170 50, 170 50))"
+    )
+    layer = local_df(spark, [(1, "seam", wkt)],
+                     ["polygon_id", "name", "wkt"])
+    got = {
+        r["pt_id"]
+        for r in spatial_join(pts, layer, res=6).select("pt_id").collect()
+    }
+    want = set(
+        np.flatnonzero(
+            kernels.points_in_polygon(lons, lats, [ALASKA_STYLE])
+        ).tolist()
+    )
+    assert got == want
+    assert want, "fixture must produce matches"
+
+
+def test_geodesic_cover_seam_pad_wraps():
+    """ADVICE r2: a boundary chord within pad of +-180 must edge-touch
+    the seam-adjacent cells on the OTHER side (so they are never full).
+    The western boundary meridian chord sits 5e-6 deg from the seam —
+    within the ~2e-5 deg pad — so post-wrap the first east-side cell
+    column must be boundary, not full."""
+    ring = [
+        [179.999995, 10.0],
+        [179.999995, 20.0],
+        [-170.0, 20.0],
+        [-170.0, 10.0],
+        [179.999995, 10.0],
+    ]
+    res = 8
+    cover = cellmod.polygon_cover([ring], res, edges="geodesic")
+    assert cover
+    full = {c for c, f in cover if f}
+    n = 1 << res
+    for c in full:
+        x = int(cellmod.decode(np.array([c]))[0][0])
+        assert x != 0, (
+            "seam-adjacent east cell marked full despite a boundary "
+            "chord within pad of the antimeridian"
+        )
+    # the interior east of the seam is still covered (and mostly full)
+    assert any(
+        int(cellmod.decode(np.array([c]))[0][0]) == 1 for c in full
+    )

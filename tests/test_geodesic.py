@@ -58,13 +58,17 @@ def test_geodesic_with_hole_and_multipart():
     assert list(got) == [False, True, True, False]  # hole, in, part_b, gap
 
 
-def test_geodesic_rejects_super_hemisphere():
-    # vertices spread over far more than a hemisphere
+def test_geodesic_super_hemisphere_falls_back():
+    # vertices spread over far more than a hemisphere: since round 3 this
+    # no longer raises — the chart-ray fallback evaluates it (equatorial
+    # triangle whose edges run along the equator: chart-bounded interior
+    # is empty up to the arcs themselves, so parity is even everywhere
+    # off the boundary)
     ring = [[0.0, 0.0], [120.0, 0.0], [-120.0, 0.0], [0.0, 0.0]]
-    with pytest.raises(ValueError, match="hemisphere"):
-        geodesic.points_in_polygon_geodesic(
-            np.array([0.0]), np.array([10.0]), [ring]
-        )
+    got = geodesic.points_in_polygon_geodesic(
+        np.array([0.0, 100.0]), np.array([10.0, -10.0]), [ring]
+    )
+    assert got.tolist() == [False, False]
 
 
 def test_densify_preserves_endpoints_and_bounds_sagitta():
