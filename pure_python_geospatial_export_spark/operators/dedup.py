@@ -71,6 +71,7 @@ def minhash_signature(
     text_col: str,
     num_hashes: int = 64,
     shingle_size: int = 3,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """(id, shingle_hashes: array<long>, sig: array<long>[num_hashes])
     via one Arrow kernel.
@@ -87,6 +88,9 @@ def minhash_signature(
     the text shingles at corpus scale. Jaccard over the hashed sets
     equals Jaccard over the string sets (distinct strings -> distinct
     64-bit hashes up to a ~2^-64 collision).
+
+    ``keep_cols`` are carried through the kernel unchanged (e.g. the
+    event-time column for the streaming near-dup operator).
     """
     if num_hashes > len(MINHASH_A):
         raise ValueError("at most %d hashes" % len(MINHASH_A))
@@ -121,16 +125,59 @@ def minhash_signature(
                 # (n_shingles, k): values < P^2 + P < 2^63, no overflow
                 perm = (h[:, None] * a[None, :] + b[None, :]) % MINHASH_P
                 sigs.append(perm.min(axis=0).tolist())
-            yield pd.DataFrame({
+            out = {
                 id_col: ids,
                 "shingle_hashes": shingle_lists,
                 "sig": sigs,
-            })
+            }
+            for kc in keep_cols:
+                out[kc] = pdf[kc]
+            yield pd.DataFrame(out)
 
     out_schema = (
         "%s long, shingle_hashes array<long>, sig array<long>" % id_col
     )
-    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    if keep_cols:
+        kept = df.select(*keep_cols).schema
+        out_schema += ", " + ", ".join(
+            "%s %s" % (f.name, f.dataType.simpleString()) for f in kept
+        )
+    return df.select(id_col, text_col, *keep_cols).mapInPandas(
+        kernel, out_schema
+    )
+
+
+def banded_signatures(
+    sig_df: DataFrame, id_col: str, bands: int = 16,
+    num_hashes: int = 64, extra_cols: tuple = (),
+) -> DataFrame:
+    """Explode (id, sig) to (id, band, band_hash, *extra_cols): one row
+    per band, ``band_hash`` an xxhash64 of that band's signature slice.
+    Shared by the batch LSH self-join and the streaming near-dup
+    operator so band keys are identical across both."""
+    rows = num_hashes // bands
+    return sig_df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows + j + 1)
+                                .cast("string")
+                                for j in range(rows)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select(id_col, *extra_cols, "bh.band", "bh.band_hash")
 
 
 def lsh_candidate_pairs(
@@ -151,28 +198,7 @@ def lsh_candidate_pairs(
     with shared filler shingles ran SLOWER than a corpus with 25x more
     true pairs purely from junk-bucket candidates. Default off — the
     driver-gate fixtures need exact candidate generation."""
-    rows = num_hashes // bands
-    banded = sig_df.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows + j + 1)
-                                .cast("string")
-                                for j in range(rows)
-                            ],
-                        )
-                    ).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.band_hash")
+    banded = banded_signatures(sig_df, id_col, bands, num_hashes)
     if max_bucket is not None:
         # one aggregation pass sizes the buckets; the anti filter is an
         # equi join on the (tiny) oversized-bucket list

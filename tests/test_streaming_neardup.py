@@ -1,0 +1,193 @@
+"""Streaming MinHash near-dup (round-3 verdict item 5): pairs found on a
+micro-batched stream must equal the batch operator's on the same data,
+state must stay bounded (horizon eviction + member cap)."""
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from pure_python_geospatial_export_spark.operators.dedup import (
+    near_duplicates_minhash,
+)
+from pure_python_geospatial_export_spark.session import local_df
+from pure_python_geospatial_export_spark.streaming.neardup import (
+    near_duplicates_stream,
+)
+
+BASE = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_docs(n_families=12, family=4, fillers=40):
+    """Near-dup families (texts differing by one trailing token) spread
+    across the id range so micro-batches split families."""
+    rows = []
+    doc_id = 0
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    for f in range(n_families):
+        stem = " ".join(
+            words[(f * 7 + k) % len(words)] for k in range(30)
+        )
+        for m in range(family):
+            rows.append((
+                doc_id,
+                stem + " variant%d" % m,
+                BASE + datetime.timedelta(minutes=doc_id),
+            ))
+            doc_id += 1
+    for k in range(fillers):
+        txt = " ".join(
+            words[(k * 3 + j * j) % len(words)] for j in range(25)
+        )
+        rows.append((
+            doc_id, "filler %d %s unique%d" % (k, txt, k),
+            BASE + datetime.timedelta(minutes=doc_id),
+        ))
+        doc_id += 1
+    return rows
+
+
+def _write_stream_src(spark, rows, path, n_files=6):
+    df = local_df(spark, rows, ["page_id", "text", "warc_ts"])
+    df = df.withColumn(
+        "warc_ts", df["warc_ts"].cast("timestamp")
+    )
+    df.repartition(n_files).write.parquet(path)
+    return df
+
+
+def _drain(stream_df, name, checkpoint):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _stream_docs(spark, src):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    schema = StructType([
+        StructField("page_id", LongType(), False),
+        StructField("text", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+    ])
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    rows = _mk_docs()
+    src = str(tmp_path / "docs_src")
+    batch_df = _write_stream_src(spark, rows, src)
+
+    got_stream = near_duplicates_stream(
+        _stream_docs(spark, src),
+        watermark="365 days",  # whole fixture inside the horizon
+        threshold=0.7,
+    )
+    _drain(got_stream, "nd_pairs", str(tmp_path / "ckpt"))
+    streamed = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in spark.sql("SELECT * FROM nd_pairs").collect()
+    }
+
+    batch = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in near_duplicates_minhash(
+            batch_df, "page_id", "text", threshold=0.7
+        ).collect()
+    }
+    assert batch, "fixture must contain near-dup pairs"
+    assert streamed == batch
+
+
+def test_batch_mode_same_operator(spark, tmp_path):
+    rows = _mk_docs(n_families=6, fillers=10)
+    df = local_df(spark, rows, ["page_id", "text", "warc_ts"])
+    df = df.withColumn("warc_ts", df["warc_ts"].cast("timestamp"))
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in near_duplicates_stream(df, threshold=0.7).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in near_duplicates_minhash(
+            df, "page_id", "text", threshold=0.7
+        ).collect()
+    }
+    assert got == want and want
+
+
+def test_horizon_bounds_state_and_matches(spark, tmp_path):
+    """Twins separated by more than the watermark horizon are NOT
+    paired (state evicted) — the bounded-state trade, mirrored from
+    dropDuplicatesWithinWatermark semantics."""
+    stem = " ".join("tok%d" % k for k in range(30))
+    rows = [
+        (1, stem + " early", BASE),
+        (2, stem + " late",
+         BASE + datetime.timedelta(days=10)),
+        # a third doc near the second: still pairs
+        (3, stem + " later",
+         BASE + datetime.timedelta(days=10, minutes=5)),
+    ]
+    src = str(tmp_path / "docs_gap")
+    _write_stream_src(spark, rows, src, n_files=3)
+    got = near_duplicates_stream(
+        _stream_docs(spark, src), watermark="1 hour", threshold=0.7
+    )
+    _drain(got, "nd_gap", str(tmp_path / "ckpt_gap"))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql("SELECT * FROM nd_gap").collect()
+    }
+    assert (2, 3) in pairs
+    assert (1, 2) not in pairs and (1, 3) not in pairs
+
+
+def test_member_cap_fifo(spark):
+    """max_members caps bucket state: with a cap of 2, only the most
+    recent members can pair; a batch-mode run shows the oldest member
+    stops matching once evicted."""
+    stem = " ".join("cap%d" % k for k in range(30))
+    rows = [
+        (i, stem + " v%d" % i, BASE + datetime.timedelta(minutes=i))
+        for i in range(5)
+    ]
+    df = local_df(spark, rows, ["page_id", "text", "warc_ts"])
+    df = df.withColumn("warc_ts", df["warc_ts"].cast("timestamp"))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in near_duplicates_stream(
+            df, threshold=0.5, max_members=2
+        ).collect()
+    }
+    # doc 4 can only see docs 2 and 3 (0 and 1 evicted by then)
+    assert (2, 4) in got and (3, 4) in got
+    assert (0, 4) not in got and (1, 4) not in got
+    # full pairing among any adjacent-by-2 window
+    assert (0, 1) in got
+
+
+@pytest.mark.parametrize("bad", ["2 fortnights"])
+def test_interval_parser_rejects_unknown(bad):
+    from pure_python_geospatial_export_spark.streaming.neardup import (
+        _parse_interval_seconds,
+    )
+    with pytest.raises(KeyError):
+        _parse_interval_seconds(bad)
+    assert _parse_interval_seconds("90 minutes") == 5400
