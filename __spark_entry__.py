@@ -623,6 +623,22 @@ def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hh_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable SpaceSaving heavy hitters (operators/sketch.py): top-5
+    sources per language. Fixture has ~20 distinct sources per lang,
+    far below m=64, so EVERY per-partition summary is exact (no
+    eviction: err = 0, pmin = 0) and the merged output equals the exact
+    top-k bit-for-bit with lo = est = hi — deterministically oracled
+    regardless of partitioning, the same fixture-pins-the-sketch trick
+    as the LSH queries."""
+    from pure_python_geospatial_export_spark.operators.sketch import (
+        heavy_hitters_sketch,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return heavy_hitters_sketch(docs, ["lang"], "source", k=5, m=64)
+
+
 def _q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pure_python_geospatial_export_spark.streaming.sessions import (
         sessionize_batch,
@@ -757,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_range": _q_events_range,
         "kmv_cells": _q_kmv_cells,
+        "hh_sketch": _q_hh_sketch,
         "doc_sample": _q_doc_sample,
         "top_sources": _q_top_sources,
         "events_quantiles": _q_events_quantiles,
@@ -1195,6 +1212,14 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": events_asof_sql,
         "events_range": events_range_sql,
         "kmv_cells": kmv_sql,
+        "hh_sketch": (
+            "WITH c AS (SELECT lang, source AS key, COUNT(*) AS est "
+            "FROM documents GROUP BY 1, 2) "
+            "SELECT * FROM (SELECT lang, key, est, est AS lo, est AS hi, "
+            "CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY est DESC, key ASC) AS INTEGER) AS rank FROM c) "
+            "WHERE rank <= 5"
+        ),
         "doc_sample": doc_sample_sql,
         "top_sources": top_sources_sql,
         "events_quantiles": events_quantiles_sql,

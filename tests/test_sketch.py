@@ -86,3 +86,69 @@ def test_kmv_hash_sql_matches_column(spark):
         % (sketch.kmv_hash_sql("s"), vals)
     ).fetchall())
     assert got == duck
+
+
+# --------------------------------------------------------------------------
+# SpaceSaving mergeable heavy hitters (round-3 verdict item 6)
+# --------------------------------------------------------------------------
+
+
+def _zipf_rows(n_heavy=6, heavy_count=400, n_tail=3000, groups=("g1", "g2")):
+    """Per group: n_heavy keys with ~heavy_count occurrences + a long
+    tail of singletons. True counts are exact and known."""
+    rows = []
+    true = {}
+    for g in groups:
+        for h in range(n_heavy):
+            c = heavy_count - 30 * h
+            true[(g, "heavy%d" % h)] = c
+            rows += [(g, "heavy%d" % h)] * c
+        for t in range(n_tail):
+            key = "tail-%s-%d" % (g, t)
+            rows.append((g, key))
+            true[(g, key)] = 1
+    return rows, true
+
+
+def test_space_saving_guarantee_vs_exact(spark):
+    rows, true = _zipf_rows()
+    df = _vals_df(spark, rows).repartition(8)
+    m = 128
+    got = sketch.heavy_hitters_sketch(df, ["grp"], "val", k=6, m=m)
+    exact = sketch.top_keys_per_group(df, ["grp"], "val", k=6)
+    got_rows = got.collect()
+    assert got_rows, "sketch must return hitters"
+    n_per_group = {}
+    for (g, _k), c in true.items():
+        n_per_group[g] = n_per_group.get(g, 0) + c
+    for r in got_rows:
+        t = true.get((r["grp"], r["key"]), 0)
+        assert r["lo"] <= t <= r["hi"], (r, t)
+        # interval width bounded by the merged-minima bound
+        assert r["hi"] - r["lo"] <= 2 * n_per_group[r["grp"]] / m
+    # every exact top-6 key (all with freq >> N/m) is found by the sketch
+    exact_keys = {(r["grp"], r["val"]) for r in exact.collect()}
+    sk_keys = {(r["grp"], r["key"]) for r in got_rows}
+    assert exact_keys == sk_keys
+
+
+def test_space_saving_single_partition_is_exact_for_heavies(spark):
+    rows, true = _zipf_rows(n_tail=500, groups=("solo",))
+    df = _vals_df(spark, rows).coalesce(1)
+    got = sketch.heavy_hitters_sketch(df, ["grp"], "val", k=4, m=64)
+    for r in got.collect():
+        t = true[(r["grp"], r["key"])]
+        # single summary: est may overcount by err but lo/hi still bracket
+        assert r["lo"] <= t <= r["hi"]
+        assert r["est"] >= t  # SpaceSaving never undercounts locally
+
+
+def test_space_saving_shuffle_rows_bounded(spark):
+    """The merge input is <= m rows per (group, partition), independent
+    of distinct-key cardinality — the scale rationale."""
+    rows, _ = _zipf_rows(n_tail=4000, groups=("g1",))
+    df = _vals_df(spark, rows).repartition(4)
+    m = 32
+    summ = sketch.space_saving_summaries(df, ["grp"], "val", m=m)
+    per = summ.groupBy("grp", "pid").count().collect()
+    assert per and all(r["count"] <= m for r in per)
