@@ -1112,16 +1112,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id + 100000 AS doc_id, text || ' zzzz' AS text
           FROM documents
         ), toks AS (
-          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS t
           FROM alldocs
-        ), idx AS (
-          SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i FROM toks
-        ), grams AS (
-          SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-          FROM idx
         ), sh AS (
-          SELECT doc_id, list(DISTINCT sh) AS shingles
-          FROM grams GROUP BY doc_id
+          -- mirrors the Spark kernel's short-doc fallback: fewer than 3
+          -- tokens -> the whole text is the single shingle (previously
+          -- range(1, len-1) silently dropped such docs, making the gate
+          -- depend on the fixture containing none)
+          SELECT doc_id,
+            CASE WHEN len(t) >= 3 THEN
+              list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [text] END AS shingles
+          FROM toks
         )
         SELECT id_a, id_b, jaccard FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,

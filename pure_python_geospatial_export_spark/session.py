@@ -64,13 +64,16 @@ def get_spark(
                 os.environ.get("SPARK_DRIVER_MEMORY", default_mem))
         .config("spark.sql.session.timeZone", "UTC")
         # warehouse for saveAsTable (bucketed tables): keep it out of
-        # the repo working dir
+        # the repo working dir, and scope it BY USER — a world-shared
+        # /tmp/ppge_warehouse collides across users on a multi-tenant
+        # host (permission failures / cross-user table mixups)
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get(
                 "SPARK_GRAFT_WAREHOUSE",
                 os.path.join(
-                    __import__("tempfile").gettempdir(), "ppge_warehouse"
+                    __import__("tempfile").gettempdir(),
+                    "ppge_warehouse-uid%d" % os.getuid(),
                 ),
             ),
         )

@@ -37,15 +37,28 @@ def write_bucketed(
         # the default catalog is in-memory per session: a managed-table
         # directory left by a PREVIOUS session is invisible to it and
         # saveAsTable refuses the location — drop both catalog entry
-        # and stale directory
+        # and stale directory. The stale path is derived from the
+        # CATALOG's database location (handles db-qualified names like
+        # 'db.tbl' -> <db location>/tbl) and only removed for local
+        # filesystems — a remote warehouse URI is left to the catalog.
         import os
         import shutil
         from urllib.parse import urlparse
 
         spark = df.sparkSession
         spark.sql("DROP TABLE IF EXISTS %s" % table)
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+        parts = table.split(".")
+        db = parts[-2] if len(parts) >= 2 else (
+            spark.catalog.currentDatabase()
+        )
+        tbl = parts[-1]
+        try:
+            loc = urlparse(spark.catalog.getDatabase(db).locationUri)
+        except Exception:
+            loc = None
+        if loc is not None and loc.scheme in ("", "file") and loc.path:
+            shutil.rmtree(os.path.join(loc.path, tbl),
+                          ignore_errors=True)
     w = (
         df.write.format("parquet")
         .mode(mode)

@@ -128,8 +128,16 @@ def compact_spatial_table(
     — only partitions present in the input are replaced, so compaction
     composes with ongoing ingest of OTHER regions.
 
-    In-place mode stages through ``<path>/_compact_tmp`` because Spark
-    cannot overwrite a path it is reading from.
+    In-place mode stages through ``<path>/_compact_tmp`` (underscore
+    prefix: invisible to Spark's file listing) because Spark cannot
+    overwrite a path it is reading from, then swaps each partition dir
+    ATOMICALLY via ``renameat2(RENAME_EXCHANGE)`` — a concurrent reader
+    always lists either the old files or the compacted file, never a
+    missing partition and never a mix. On filesystems/kernels without
+    the exchange syscall it falls back to backup-rename (old ->
+    ``.__bak__`` -> new in -> drop backup): still no data-loss window on
+    crash (the backup survives until the new data is in place), at the
+    cost of a microsecond listing gap.
     """
     import shutil
     import os as _os
@@ -153,14 +161,43 @@ def compact_spatial_table(
         else:
             conf.set(key, prev)
     if out_path is None:
-        # swap: replace each partition dir with its compacted form
         for name in _os.listdir(staged):
             if not name.startswith("part_cell="):
                 continue
             dst = _os.path.join(path, name)
-            shutil.rmtree(dst, ignore_errors=True)
-            shutil.move(_os.path.join(staged, name), dst)
+            src = _os.path.join(staged, name)
+            if not _os.path.exists(dst):
+                shutil.move(src, dst)
+            elif _exchange_dirs(src, dst):
+                pass  # atomic swap; src now holds the pre-compact files
+            else:
+                bak = dst + ".__bak__"
+                shutil.rmtree(bak, ignore_errors=True)
+                _os.rename(dst, bak)
+                _os.rename(src, dst)
+                shutil.rmtree(bak)
         shutil.rmtree(staged, ignore_errors=True)
+
+
+def _exchange_dirs(a: str, b: str) -> bool:
+    """Atomically swap two paths with Linux ``renameat2(RENAME_EXCHANGE)``
+    (no instant at which either path is absent). Returns False when the
+    syscall/libc wrapper is unavailable or fails (caller falls back)."""
+    import ctypes
+    import ctypes.util
+    import os as _os
+
+    try:
+        libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6",
+                           use_errno=True)
+        fn = libc.renameat2
+    except (OSError, AttributeError):
+        return False
+    at_fdcwd = -100
+    rename_exchange = 2
+    ret = fn(at_fdcwd, _os.fsencode(a), at_fdcwd, _os.fsencode(b),
+             rename_exchange)
+    return ret == 0
 
 
 def read_polygon(

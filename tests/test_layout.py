@@ -186,3 +186,68 @@ def test_read_polygon_prunes_and_matches_kernel(spark, tmp_path):
         pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), [ring])
     assert {int(r["page_id"]) for r in got_geo.collect()} == set(
         pdf["page_id"][inside_g].tolist())
+
+
+def test_exchange_dirs_atomic_swap(tmp_path):
+    import os
+
+    from pure_python_geospatial_export_spark.sources.layout import (
+        _exchange_dirs,
+    )
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    (a / "fa").write_text("A")
+    (b / "fb").write_text("B")
+    assert _exchange_dirs(str(a), str(b)), \
+        "renameat2(RENAME_EXCHANGE) must work on this Linux host"
+    assert os.path.exists(a / "fb") and os.path.exists(b / "fa")
+
+
+def test_reader_never_sees_missing_partition(spark, tmp_path):
+    """Round-3 verdict item 7: a reader looping during repeated in-place
+    compactions must always see the full row count — the partition swap
+    is renameat2(RENAME_EXCHANGE)-atomic, so no listing can catch a
+    partition absent or half-swapped."""
+    import threading
+
+    from pure_python_geospatial_export_spark.sources.layout import (
+        compact_spatial_table,
+        write_spatial_table,
+    )
+    from pure_python_geospatial_export_spark.sources.pages import (
+        synth_pages,
+    )
+    from pure_python_geospatial_export_spark.functions.points import (
+        with_point,
+    )
+
+    path = str(tmp_path / "tbl")
+    pts = with_point(synth_pages(spark, 4000, partitions=4))
+    write_spatial_table(pts, path)
+    expected = spark.read.parquet(path).count()
+    assert expected == 4000
+
+    counts = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            counts.append(spark.read.parquet(path).count())
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for _ in range(5):
+            compact_spatial_table(spark, path)
+    finally:
+        stop.set()
+        t.join()
+    assert counts, "reader must have sampled during compaction"
+    assert set(counts) == {expected}, (
+        "reader observed row counts %s != %d" % (set(counts), expected)
+    )
+    # table still healthy and morton-sorted read works
+    assert spark.read.parquet(path).count() == expected
