@@ -20,9 +20,21 @@ from .geo.geojson import round_geom
 
 
 def translate(text: str, output_format: str = "json",
-              indent=None, precision: int = -1) -> str:
+              indent=None, precision: int = -1,
+              ewkt: bool = False) -> str:
     if text.startswith("{"):
         geom = json.loads(text)
+    elif ewkt and text.startswith("SRID="):
+        # opt-in extension: 'SRID=4326;POINT (1 2)'. The DEFAULT sniff
+        # below is deliberately reference-identical (geomet/tool.py:47-52
+        # has no EWKT branch, so 'S...' falls through to the hex-WKB
+        # parse and errors) — the flag adds the capability without
+        # changing golden CLI behavior.
+        from .geo.geojson import srid_keys
+
+        head, _, rest = text.partition(";")
+        geom = wktmod.loads(rest)
+        geom.update(srid_keys(int(head[5:])))
     elif text.startswith(("G", "L", "M", "P")):
         geom = wktmod.loads(text)
     else:
@@ -53,6 +65,11 @@ def main(argv=None) -> int:
                        const="wkt")
     ap.add_argument("--precision", type=int, default=-1)
     ap.add_argument("--indent", type=int, default=None)
+    ap.add_argument(
+        "--ewkt", action="store_true",
+        help="accept EWKT input lines ('SRID=n;WKT'); off by default "
+             "to keep the reference CLI's exact sniffing behavior",
+    )
     ap.set_defaults(fmt="json")
     args = ap.parse_args(argv)
 
@@ -72,7 +89,8 @@ def main(argv=None) -> int:
                 continue
             sys.stdout.write(
                 translate(text, output_format=args.fmt,
-                          indent=args.indent, precision=args.precision)
+                          indent=args.indent, precision=args.precision,
+                          ewkt=args.ewkt)
             )
             sys.stdout.write("\n")
         return 0

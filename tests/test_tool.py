@@ -63,3 +63,26 @@ def test_cli_stdin_multiline():
         "POINT (1.0 2.0)",
         "LINESTRING (0.0 0.0, 1.0 1.0)",
     ]
+
+
+def test_ewkt_flag_roundtrip(capsys):
+    from pure_python_geospatial_export_spark import tool
+
+    rc = tool.main(["SRID=4326;POINT (1 2)", "--ewkt", "--wkb"])
+    assert rc == 0
+    hexout = capsys.readouterr().out.strip()
+    from pure_python_geospatial_export_spark.geo import wkb as wkbmod
+
+    geom = wkbmod.loads(bytes.fromhex(hexout))
+    assert geom["type"] == "Point"
+    assert geom["meta"]["srid"] == 4326
+    assert geom["coordinates"] == [1.0, 2.0]
+
+
+def test_ewkt_default_still_missniffs(capsys):
+    """Reference-identical default: without --ewkt the 'S' prefix falls
+    through to the hex-WKB parse and errors (geomet/tool.py:47-52)."""
+    from pure_python_geospatial_export_spark import tool
+
+    rc = tool.main(["SRID=4326;POINT (1 2)"])
+    assert rc == 1
