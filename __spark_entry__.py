@@ -623,6 +623,74 @@ def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# synthetic URL per document — ONE expression string valid in BOTH Spark
+# SQL and DuckDB (concat/CASE/%), so the Spark query (via F.expr) and the
+# oracle share it verbatim; exercises www-stripping, ccTLD second-level
+# domains, ports, userinfo, path depth, extensions, and query strings
+_URL_SYNTH_SQL = (
+    "concat('https://', "
+    "CASE WHEN doc_id % 3 = 0 THEN 'user@www.' ELSE '' END, "
+    "source, "
+    "CASE WHEN doc_id % 4 = 0 THEN '.co.uk' "
+    "WHEN doc_id % 4 = 1 THEN '.com:8080' "
+    "WHEN doc_id % 4 = 2 THEN '.org' ELSE '.io' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN '' "
+    "WHEN doc_id % 5 = 1 THEN '/a' "
+    "WHEN doc_id % 5 = 2 THEN '/a/b/c' "
+    "WHEN doc_id % 5 = 3 THEN '/img/photo.JPG?w=1' "
+    "ELSE '/docs/paper.pdf' END)"
+)
+
+
+def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.functions import urls as U
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    with_url = docs.select(
+        "doc_id", F.expr(_URL_SYNTH_SQL).alias("url")
+    )
+    host = U.url_host(F.col("url"))
+    return with_url.select(
+        "doc_id",
+        host.alias("host"),
+        U.registered_domain(host).alias("domain"),
+        U.url_path_depth(F.col("url")).alias("depth"),
+        U.url_extension(F.col("url")).alias("ext"),
+        U.url_is_media(F.col("url")).alias("is_media"),
+    )
+
+
+def _q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain quota sampling (curate.quota_sample):
+    at most 20 docs per source, picked by the md5-hash order — a pure
+    function of (source, doc_id), so the DuckDB twin selects the
+    identical rows."""
+    from pure_python_geospatial_export_spark.operators.curate import (
+        quota_sample,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return quota_sample(docs, "source", "doc_id", quota=20).select(
+        "doc_id", "source"
+    )
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap scan (curate.ngram_contamination, n=8 token
+    shingles): benchmark = every 10th doc, scanned corpus = all docs.
+    The 'benchmark' docs flag themselves at contamination 1.0; any
+    organic 8-gram overlap flags other docs too — the oracle recomputes
+    the full overlap exactly."""
+    from pure_python_geospatial_export_spark.operators.curate import (
+        ngram_contamination,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    return ngram_contamination(docs, bench, "doc_id", "text", "text",
+                               n=8)
+
+
 def _q_hh_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable SpaceSaving heavy hitters (operators/sketch.py): top-5
     sources per language. Fixture has ~20 distinct sources per lang,
@@ -774,6 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range": _q_events_range,
         "kmv_cells": _q_kmv_cells,
         "hh_sketch": _q_hh_sketch,
+        "url_features": _q_url_features,
+        "domain_quota": _q_domain_quota,
+        "decontaminate": _q_decontaminate,
         "doc_sample": _q_doc_sample,
         "top_sources": _q_top_sources,
         "events_quantiles": _q_events_quantiles,
@@ -1193,6 +1264,57 @@ def oracle_sql() -> dict[str, str]:
           FROM u a, u b WHERE a.vec_id < b.vec_id
         ) WHERE score >= 0.99"""
 
+    from pure_python_geospatial_export_spark.functions import urls as U
+    from pure_python_geospatial_export_spark.operators.sketch import (
+        kmv_hash_sql,
+    )
+
+    url_features_sql = (
+        "WITH u AS (SELECT doc_id, %s AS url FROM documents), "
+        "h AS (SELECT doc_id, url, %s AS host FROM u) "
+        "SELECT doc_id, host, %s AS domain, "
+        "CAST(%s AS INTEGER) AS depth, "
+        "%s AS ext, %s AS is_media FROM h"
+        % (
+            _URL_SYNTH_SQL,
+            U.url_host_sql("url"),
+            U.registered_domain_sql("host"),
+            U.url_path_depth_sql("url"),
+            U.url_extension_sql("url"),
+            U.url_is_media_sql("url"),
+        )
+    )
+
+    domain_quota_sql = (
+        "WITH r AS (SELECT doc_id, source, row_number() OVER ("
+        "PARTITION BY source ORDER BY %s ASC, doc_id ASC) AS rn "
+        "FROM documents) "
+        "SELECT doc_id, source FROM r WHERE rn <= 20"
+        % kmv_hash_sql("CAST(doc_id AS VARCHAR)")
+    )
+
+    _sh8 = " || ' ' || ".join("t[i+%d]" % j for j in range(8)).replace(
+        "t[i+0]", "t[i]"
+    )
+    decontaminate_sql = (
+        "WITH tk AS (SELECT doc_id, text, "
+        "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+        "sh AS (SELECT doc_id, CASE WHEN len(t) >= 8 THEN "
+        "list_distinct(list_transform(range(1, len(t) - 6), i -> %s)) "
+        "ELSE [text] END AS shingles FROM tk), "
+        "ds AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
+        "bs AS (SELECT DISTINCT unnest(shingles) AS s FROM sh "
+        "WHERE doc_id %% 10 = 0), "
+        "tot AS (SELECT doc_id, count(*) AS n_shingles FROM ds "
+        "GROUP BY 1), "
+        "mt AS (SELECT doc_id, count(*) AS n_matched FROM ds "
+        "WHERE s IN (SELECT s FROM bs) GROUP BY 1) "
+        "SELECT tot.doc_id AS doc_id, n_shingles, n_matched, "
+        "CAST(n_matched AS DOUBLE) / CAST(n_shingles AS DOUBLE) "
+        "AS contamination FROM tot JOIN mt USING (doc_id)"
+        % _sh8
+    )
+
     return {
         "pip_join": pip_sql,
         "pip_join_geodesic": _geodesic_oracle_sql(),
@@ -1224,6 +1346,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY est DESC, key ASC) AS INTEGER) AS rank FROM c) "
             "WHERE rank <= 5"
         ),
+        "url_features": url_features_sql,
+        "domain_quota": domain_quota_sql,
+        "decontaminate": decontaminate_sql,
         "doc_sample": doc_sample_sql,
         "top_sources": top_sources_sql,
         "events_quantiles": events_quantiles_sql,

@@ -87,6 +87,40 @@ def deterministic_sample(
     return df.where(h < F.lit(float(fraction) * HASH_SPACE))
 
 
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    quota: int,
+    seed: str = "",
+) -> DataFrame:
+    """Cap rows per group at ``quota`` with a DETERMINISTIC pick — the
+    per-domain cap every crawl-curation recipe applies so mega-domains
+    don't dominate the training mix.
+
+    Rows are ranked within each group by the same md5-derived hash as
+    :func:`deterministic_sample` (tie-broken by key), so the selection
+    is a pure function of (group, key, seed): partitioning, retries,
+    cluster size, and the DuckDB oracle all pick identical rows — unlike
+    rank-by-random. One shuffle on the group key; WindowGroupLimit caps
+    per-group state at ``quota`` rows before the final exchange."""
+    from pyspark.sql import Window
+
+    from .sketch import kmv_hash_col
+
+    h = kmv_hash_col(
+        F.concat(F.col(key_col).cast("string"), F.lit(seed))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_qs_rn", F.row_number().over(w))
+        .where(F.col("_qs_rn") <= quota)
+        .drop("_qs_rn")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,
@@ -111,3 +145,72 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(float(frac) * HASH_SPACE)
         ).otherwise(thresh)
     return df.where(h < thresh)
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination scan: per document, the fraction of its
+    distinct n-token shingles that appear anywhere in the benchmark set
+    -> (id, n_shingles, n_matched, contamination), contaminated docs
+    only (contamination > 0).
+
+    The standard pre-training hygiene op: before training on a crawl,
+    drop documents that overlap evaluation benchmarks. Plan shape:
+    benchmark shingles are DISTINCT and (being eval-set sized) land as a
+    broadcast build side; doc shingles explode once and semi-join the
+    build side; one groupBy on the doc id re-aggregates. Nothing in the
+    pipeline is quadratic and the only wide exchange carries matched
+    shingles, not text. Shingles travel as xxhash64 int64s (collision
+    odds ~2^-64 per pair).
+    """
+    from .dedup import shingles_col
+
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), n)).alias("_sh"),
+    ).select(id_col, F.xxhash64("_sh").alias("_h"))
+    bench_sh = benchmark.select(
+        F.explode(shingles_col(F.col(bench_text_col), n)).alias("_sh")
+    ).select(F.xxhash64("_sh").alias("_h")).distinct()
+    matched = (
+        doc_sh.join(F.broadcast(bench_sh), "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    totals = doc_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        totals.join(matched, id_col)
+        .select(
+            id_col,
+            "n_shingles",
+            "n_matched",
+            (F.col("n_matched").cast("double")
+             / F.col("n_shingles").cast("double")).alias("contamination"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 8,
+    max_contamination: float = 0.0,
+) -> DataFrame:
+    """Drop documents whose benchmark shingle overlap exceeds
+    ``max_contamination`` (default: any overlap). Anti join against the
+    flagged ids — ``docs`` rows pass through unchanged."""
+    flagged = ngram_contamination(
+        docs, benchmark, id_col, text_col, bench_text_col, n
+    ).where(F.col("contamination") > max_contamination).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")

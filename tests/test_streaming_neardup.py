@@ -134,21 +134,46 @@ def test_batch_mode_same_operator(spark, tmp_path):
 
 def test_horizon_bounds_state_and_matches(spark, tmp_path):
     """Twins separated by more than the watermark horizon are NOT
-    paired (state evicted) — the bounded-state trade, mirrored from
-    dropDuplicatesWithinWatermark semantics."""
+    paired once the watermark has actually advanced past the early
+    twin — the bounded-state trade, mirrored from
+    dropDuplicatesWithinWatermark semantics. Eviction lags one batch
+    (the watermark updates AFTER each micro-batch), so the fixture
+    processes an unrelated watermark-advancing doc between the twins,
+    with file modification times pinned so the file source's
+    mtime-ordered batching is deterministic."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     stem = " ".join("tok%d" % k for k in range(30))
-    rows = [
+    filler = " ".join("zz%d" % k for k in range(30))
+    docs = [
         (1, stem + " early", BASE),
-        (2, stem + " late",
-         BASE + datetime.timedelta(days=10)),
-        # a third doc near the second: still pairs
+        (99, filler, BASE + datetime.timedelta(days=5)),
+        (2, stem + " late", BASE + datetime.timedelta(days=10)),
         (3, stem + " later",
          BASE + datetime.timedelta(days=10, minutes=5)),
     ]
-    src = str(tmp_path / "docs_gap")
-    _write_stream_src(spark, rows, src, n_files=3)
+    src = tmp_path / "docs_gap"
+    src.mkdir()
+    schema = pa.schema([
+        ("page_id", pa.int64()),
+        ("text", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+    ])
+    for i, (pid, text, ts) in enumerate(docs):
+        f = src / ("f%d.parquet" % i)
+        pq.write_table(
+            pa.table(
+                {"page_id": [pid], "text": [text], "warc_ts": [ts]},
+                schema=schema,
+            ),
+            str(f),
+        )
+        os.utime(f, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
     got = near_duplicates_stream(
-        _stream_docs(spark, src), watermark="1 hour", threshold=0.7
+        _stream_docs(spark, str(src)), watermark="1 hour", threshold=0.7
     )
     _drain(got, "nd_gap", str(tmp_path / "ckpt_gap"))
     pairs = {
@@ -156,6 +181,8 @@ def test_horizon_bounds_state_and_matches(spark, tmp_path):
         for r in spark.sql("SELECT * FROM nd_gap").collect()
     }
     assert (2, 3) in pairs
+    # doc 99's batch advanced the watermark to day5-1h, evicting doc 1
+    # before either twin arrived
     assert (1, 2) not in pairs and (1, 3) not in pairs
 
 
