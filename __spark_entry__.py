@@ -691,6 +691,30 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                                n=8)
 
 
+def _q_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact within-300km haversine pairs among the derived doc points
+    (operators/knn.radius_join, latitude-adaptive candidate fan-out).
+    The oracle recomputes every pair with the identical clamped
+    haversine arithmetic — sin/cos/asin agree bitwise between the JVM
+    and DuckDB's libm on this fixture (hash-checked)."""
+    from pure_python_geospatial_export_spark.operators.knn import (
+        radius_join,
+    )
+
+    pts = _docs_points(spark, sf_dir).select("doc_id", "lon", "lat")
+    pairs = radius_join(
+        pts.select(F.col("doc_id").alias("id_a"), "lon", "lat"),
+        pts.select(F.col("doc_id").alias("id_b"), "lon", "lat"),
+        "id_a", "id_b", radius_km=300.0, res=6,
+    )
+    # distances rounded to 6 decimals (~1mm): JVM and DuckDB libm trig
+    # drift by 1 ulp on a couple of fixture pairs — the PAIR SET is
+    # bit-stable, the 15th decimal of the distance is not
+    return pairs.where(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", F.round("dist_km", 6).alias("dist_km")
+    )
+
+
 def _q_hh_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable SpaceSaving heavy hitters (operators/sketch.py): top-5
     sources per language. Fixture has ~20 distinct sources per lang,
@@ -842,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range": _q_events_range,
         "kmv_cells": _q_kmv_cells,
         "hh_sketch": _q_hh_sketch,
+        "radius_pairs": _q_radius_pairs,
         "url_features": _q_url_features,
         "domain_quota": _q_domain_quota,
         "decontaminate": _q_decontaminate,
@@ -1285,6 +1310,23 @@ def oracle_sql() -> dict[str, str]:
         )
     )
 
+    # haversine mirrored term-for-term incl. the [0,1] clamp; 2R and
+    # the /2.0 half-angles match the Spark column expression exactly
+    _hav = (
+        "2.0 * 6371.0088 * asin(sqrt(greatest(least("
+        "sin(radians(b.lat - a.lat) / 2.0) "
+        "* sin(radians(b.lat - a.lat) / 2.0) "
+        "+ cos(radians(a.lat)) * cos(radians(b.lat)) "
+        "* sin(radians(b.lon - a.lon) / 2.0) "
+        "* sin(radians(b.lon - a.lon) / 2.0), 1.0), 0.0)))"
+    )
+    radius_pairs_sql = PTS_CTE + (
+        " SELECT id_a, id_b, round(dist_km, 6) AS dist_km FROM ("
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, %s AS dist_km "
+        "FROM pts a, pts b WHERE a.doc_id < b.doc_id) "
+        "WHERE dist_km <= 300.0" % _hav
+    )
+
     domain_quota_sql = (
         "WITH r AS (SELECT doc_id, source, row_number() OVER ("
         "PARTITION BY source ORDER BY %s ASC, doc_id ASC) AS rn "
@@ -1346,6 +1388,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY est DESC, key ASC) AS INTEGER) AS rank FROM c) "
             "WHERE rank <= 5"
         ),
+        "radius_pairs": radius_pairs_sql,
         "url_features": url_features_sql,
         "domain_quota": domain_quota_sql,
         "decontaminate": decontaminate_sql,

@@ -136,6 +136,110 @@ def knn_join(
     )
 
 
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    id_right: str,
+    radius_km: float,
+    res: int = 6,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """EXACT within-radius spatial join: (id_left, id_right, dist_km)
+    for every cross pair at great-circle distance <= ``radius_km``
+    (self-pairs on equal ids excluded).
+
+    Plan: grid the world at ``res``; each RIGHT point is exploded to
+    every cell a within-radius LEFT point could occupy, then an equi
+    shuffle join on the cell key and the exact haversine filter. The
+    latitude fan-out is a constant (degrees of latitude are uniform);
+    the LONGITUDE fan-out is computed PER ROW from the row's latitude
+    band — lon degrees shrink by cos(lat), so a fixed ring would either
+    miss pairs near the poles or over-replicate at the equator. The
+    bound uses haversine's lower bound
+    ``dist >= (2/pi) * R * dlon_rad * cos(phi_band)`` (so
+    ``dlon_deg <= 90 * radius / (R * cos(phi_band))``), +1 cell of
+    slack; bands touching a pole wrap the full circle. Exact by
+    construction: every qualifying pair is a candidate, and the final
+    filter is the true distance.
+    """
+    import math
+
+    n = 1 << res
+    cell_h = 180.0 / n
+    cell_w = 360.0 / n
+    dlat_deg = math.degrees(radius_km / EARTH_RADIUS_KM)
+    ring_y = int(math.ceil(dlat_deg / cell_h)) + 1
+
+    lft = _with_xy(left, res, lon, lat).select(
+        F.col(id_left).alias("_lid"),
+        F.col(lon).alias("_llon"),
+        F.col(lat).alias("_llat"),
+        "_gx",
+        "_gy",
+    )
+    phi_band = F.least(
+        F.abs(F.col(lat)) + F.lit(dlat_deg), F.lit(90.0)
+    )
+    dlon_deg = F.lit(90.0 * radius_km / EARTH_RADIUS_KM) / F.cos(
+        F.radians(phi_band)
+    )
+    max_dx = F.when(
+        phi_band >= 90.0, F.lit(n // 2)
+    ).otherwise(
+        F.least(
+            F.ceil(dlon_deg / F.lit(cell_w)).cast("int") + F.lit(1),
+            F.lit(n // 2),
+        )
+    )
+    rgt = (
+        _with_xy(right, res, lon, lat)
+        .select(
+            F.col(id_right).alias("_rid"),
+            F.col(lon).alias("_rlon"),
+            F.col(lat).alias("_rlat"),
+            "_gx",
+            "_gy",
+            max_dx.alias("_mdx"),
+        )
+        .withColumn(
+            "_dy",
+            F.explode(F.array(*[
+                F.lit(d) for d in range(-ring_y, ring_y + 1)
+            ])),
+        )
+        .withColumn("_ny", F.col("_gy") + F.col("_dy"))
+        .where((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .withColumn(
+            "_dx", F.explode(F.sequence(-F.col("_mdx"), F.col("_mdx")))
+        )
+        # full-wrap rows (mdx == n/2) produce n+1 offsets whose +-n/2
+        # ends alias the same column: drop the negative end — cheaper
+        # than a distinct, and the only duplication the cap allows
+        .where(
+            ~((F.col("_mdx") == F.lit(n // 2))
+              & (F.col("_dx") == -F.col("_mdx")))
+        )
+        .withColumn("_nx", F.pmod(F.col("_gx") + F.col("_dx"), F.lit(n)))
+        .select("_rid", "_rlon", "_rlat", "_nx", "_ny")
+    )
+    joined = lft.join(
+        rgt, (lft["_gx"] == rgt["_nx"]) & (lft["_gy"] == rgt["_ny"])
+    ).where(F.col("_lid") != F.col("_rid"))
+    dist = haversine_km(F.col("_llon"), F.col("_llat"),
+                        F.col("_rlon"), F.col("_rlat"))
+    return (
+        joined.withColumn("dist_km", dist)
+        .where(F.col("dist_km") <= F.lit(float(radius_km)))
+        .select(
+            F.col("_lid").alias(id_left),
+            F.col("_rid").alias(id_right),
+            "dist_km",
+        )
+    )
+
+
 def knn_exact(
     left: DataFrame,
     right: DataFrame,

@@ -391,3 +391,59 @@ def test_mercator_tiles_and_quadkey(spark, pages):
     got = {r["i"]: r["y"] for r in edge.select(
         "i", ey_.alias("y")).collect()}
     assert got[1] == 0 and got[2] == (1 << zoom) - 1
+
+
+def test_radius_join_exact_vs_bruteforce(spark):
+    """radius_join must return EXACTLY the within-R pairs, including
+    near-pole (lon-degree shrink) and antimeridian-adjacent points."""
+    import numpy as np
+
+    from pure_python_geospatial_export_spark.operators.knn import (
+        haversine_km,
+        radius_join,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(17)
+    lons = np.concatenate([
+        rng.uniform(-180, 180, 120),
+        rng.uniform(175, 180, 30),       # seam east
+        rng.uniform(-180, -175, 30),     # seam west
+        rng.uniform(-180, 180, 40),      # polar band (lats below)
+    ])
+    lats = np.concatenate([
+        rng.uniform(-60, 60, 120),
+        rng.uniform(-10, 10, 60),
+        rng.uniform(82, 89.5, 40),
+    ])
+    rows = [(i, float(lons[i]), float(lats[i])) for i in range(220)]
+    pts = local_df(spark, rows, ["pid", "lon", "lat"])
+
+    got = {
+        (r["pid_a"], r["pid_b"])
+        for r in radius_join(
+            pts.select(F.col("pid").alias("pid_a"), "lon", "lat"),
+            pts.select(F.col("pid").alias("pid_b"), "lon", "lat"),
+            "pid_a", "pid_b", radius_km=500.0, res=6,
+        ).collect()
+    }
+    a = pts.select(F.col("pid").alias("pa"), F.col("lon").alias("la"),
+                   F.col("lat").alias("pha"))
+    b = pts.select(F.col("pid").alias("pb"), F.col("lon").alias("lb"),
+                   F.col("lat").alias("phb"))
+    brute = {
+        (r["pa"], r["pb"])
+        for r in a.crossJoin(b)
+        .where(F.col("pa") != F.col("pb"))
+        .where(
+            haversine_km(F.col("la"), F.col("pha"),
+                         F.col("lb"), F.col("phb")) <= 500.0
+        )
+        .collect()
+    }
+    assert brute, "fixture must contain within-radius pairs"
+    assert got == brute
+    # polar points must pair across longitudes (full-wrap fan-out)
+    polar = {p for p in brute if p[0] >= 180 and p[1] >= 180}
+    assert polar & got == polar and polar
