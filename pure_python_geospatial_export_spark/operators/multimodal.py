@@ -2,11 +2,16 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode/feature-extraction run as ``mapInPandas`` Arrow kernels so payload
-bytes stream executor-side in batches and never hit the driver. The actual
-media decoding is STUBBED (no imaging/audio libraries in this container):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake decoder exercises the full Spark plumbing
-(schema, batch shapes, partitioning) end-to-end.
+bytes stream executor-side in batches and never hit the driver.
+
+Since round 3 the image path is REAL for PNG and BMP: a pure-stdlib
+decoder (operators/imaging.py — zlib inflate + scanline unfilter /
+struct parse) produces pixel arrays, grid-brightness features, and
+nearest-neighbor thumbnails with no imaging library. Formats whose
+decode genuinely requires a codec library (JPEG/GIF/WebP, all audio /
+video sample decode) still raise NotImplementedError — or pass
+``fake=True`` for the deterministic byte-level stand-in that exercises
+the identical Spark plumbing for any payload.
 """
 
 from __future__ import annotations
@@ -63,17 +68,21 @@ def extract_features(
     kind_col: str = "kind",
     dim: int = 8,
     fake: bool = False,
+    on_undecodable: str = "null",
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
-    Real decode is not available in this environment; pass ``fake=True``
-    to run the deterministic fake decoder through the identical plumbing.
+    ``fake=False`` (default) runs the REAL pure-stdlib decoder for PNG
+    and BMP payloads (operators/imaging.py) and emits the grid-brightness
+    feature vector; payloads in formats that genuinely need a codec
+    library get a NULL feature (``on_undecodable='null'``, the curation
+    default — n_bytes still reported) or raise
+    (``on_undecodable='raise'``). ``fake=True`` keeps the deterministic
+    byte-level stand-in for plumbing tests on arbitrary payloads.
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires imaging/audio libraries not present "
-            "in this environment; use fake=True to exercise the pipeline"
-        )
+    if on_undecodable not in ("null", "raise"):
+        raise ValueError("on_undecodable must be 'null' or 'raise'")
+    from . import imaging
 
     src = df.select(
         F.col(id_col).alias("media_id"),
@@ -89,7 +98,20 @@ def extract_features(
             for p in payloads:
                 b = bytes(p) if not isinstance(p, str) else p.encode()
                 nbytes.append(len(b))
-                feats.append(_fake_decode(b, dim).tolist())
+                if fake:
+                    feats.append(_fake_decode(b, dim).tolist())
+                    continue
+                try:
+                    px = imaging.decode_image(b)
+                    feats.append(imaging.image_feature(px).tolist())
+                except NotImplementedError:
+                    if on_undecodable == "raise":
+                        raise
+                    feats.append(None)
+                except ValueError:
+                    if on_undecodable == "raise":
+                        raise
+                    feats.append(None)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

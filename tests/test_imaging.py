@@ -1,0 +1,168 @@
+"""Pure-stdlib PNG/BMP codecs (round 3: the multimodal decode stub is
+now real for these formats)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pure_python_geospatial_export_spark.operators import imaging
+
+
+def _rand_px(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def test_png_roundtrip_all_channel_counts():
+    for c in (1, 2, 3, 4):
+        px = _rand_px(13, 9, c, seed=c)
+        data = imaging.encode_png(px)
+        back = imaging.decode_png(data)
+        np.testing.assert_array_equal(back, px)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    # w=5 -> 15-byte rows padded to 16: exercises stride handling
+    px = _rand_px(7, 5, 3, seed=9)
+    back = imaging.decode_bmp(imaging.encode_bmp(px))
+    np.testing.assert_array_equal(back, px)
+
+
+def _filter_row(ftype, line, prev, bpp):
+    """Forward PNG filtering (encoder side) for the test vectors."""
+    out = bytearray()
+    for x in range(len(line)):
+        left = line[x - bpp] if x >= bpp else 0
+        up = prev[x]
+        ul = prev[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            base = 0
+        elif ftype == 1:
+            base = left
+        elif ftype == 2:
+            base = up
+        elif ftype == 3:
+            base = (left + up) >> 1
+        else:
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            base = left if pa <= pb and pa <= pc else (
+                up if pb <= pc else ul
+            )
+        out.append((line[x] - base) & 0xFF)
+    return bytes(out)
+
+
+def test_png_decode_every_filter_type():
+    """Hand-encode rows with filters 0..4 and verify exact recovery —
+    encode_png only emits filter 0, so this pins the sub/up/average/
+    paeth unfilter paths."""
+    px = _rand_px(5, 6, 3, seed=3)
+    h, w, c = px.shape
+    raw = bytearray()
+    prev = bytes(w * c)
+    for y in range(h):
+        line = px[y].tobytes()
+        ftype = y % 5
+        raw.append(ftype)
+        raw += _filter_row(ftype, line, prev, c)
+        prev = line
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", crc))
+
+    data = (
+        imaging.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(imaging.decode_png(data), px)
+
+
+def test_png_palette_expansion():
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                    dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    h, w = idx.shape
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", crc))
+
+    data = (
+        imaging.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = imaging.decode_png(data)
+    np.testing.assert_array_equal(got, plte[idx])
+
+
+def test_decode_image_dispatch_and_unsupported():
+    px = _rand_px(4, 4, 3, seed=1)
+    np.testing.assert_array_equal(
+        imaging.decode_image(imaging.encode_png(px)), px
+    )
+    np.testing.assert_array_equal(
+        imaging.decode_image(imaging.encode_bmp(px)), px
+    )
+    with pytest.raises(NotImplementedError):
+        imaging.decode_image(b"\xff\xd8\xffJPEGDATA")
+
+
+def test_resize_and_feature():
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:4, :, :] = 255  # top half white
+    small = imaging.resize_nearest(px, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert small[:2].mean() == 255.0 and small[2:].mean() == 0.0
+    feat = imaging.image_feature(px, grid=4)
+    assert feat.shape == (18,)  # 16 grid cells + mean + std
+    assert 0.45 < feat[-2] < 0.55  # global mean ~0.5
+
+
+def test_extract_features_real_decode(spark):
+    """End-to-end Spark path: PNG/BMP payloads decode for real, an
+    unsupported payload nulls out."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pure_python_geospatial_export_spark.operators import multimodal
+
+    png = imaging.encode_png(_rand_px(6, 6, 3, seed=5))
+    bmp = imaging.encode_bmp(_rand_px(6, 6, 3, seed=6))
+    schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png)),
+         (2, "image", bytearray(bmp)),
+         (3, "image", bytearray(b"\xff\xd8\xffnot-decodable"))],
+        schema,
+    )
+    got = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(df, fake=False).collect()
+    }
+    assert got[1]["feature"] is not None and len(got[1]["feature"]) == 18
+    assert got[2]["feature"] is not None
+    assert got[3]["feature"] is None
+    # feature values match the local computation exactly
+    want = imaging.image_feature(imaging.decode_png(png)).tolist()
+    assert got[1]["feature"] == pytest.approx(want)

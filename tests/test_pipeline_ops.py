@@ -469,8 +469,14 @@ def test_multimodal_feature_plumbing(spark):
     for r in feats:
         assert len(r["feature"]) == 8
         assert r["n_bytes"] > 0
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(df, fake=False)
+    # real decode path: undecodable payloads null out (default) or raise
+    real = multimodal.extract_features(df, fake=False).collect()
+    assert all(r["feature"] is None for r in real)
+    assert all(r["n_bytes"] > 0 for r in real)
+    with pytest.raises(Exception):
+        multimodal.extract_features(
+            df, fake=False, on_undecodable="raise"
+        ).collect()
     frames = multimodal.frame_sample_plan(df, every_ms=1000).collect()
     assert {(int(r["media_id"]), int(r["frame_ts_ms"])) for r in frames} == {
         (3, 0), (3, 1000), (3, 2000), (3, 3000)
