@@ -350,6 +350,34 @@ def _q_pip_join_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pole-encircling rings (planar polar-cap convention): a ring winding
+# once around in longitude bounds the cap on the side of its mean
+# latitude. The Antarctic ring winds eastward, the Arctic ring westward —
+# both directions must behave identically under even-odd parity.
+POLAR_CAP_WKTS = [
+    (1, "antarctic", "POLYGON ((" + ", ".join(
+        "%d -70" % x for x in list(range(0, 181, 30))
+        + list(range(-150, 1, 30))
+    ) + "))"),
+    (2, "arctic", "POLYGON ((" + ", ".join(
+        "%d 75" % x for x in list(range(0, -181, -30))
+        + list(range(150, -1, -30))
+    ) + "))"),
+]
+
+
+def _q_pip_join_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.session import local_df
+
+    pts = _docs_points(spark, sf_dir)
+    layer = local_df(spark, POLAR_CAP_WKTS,
+                     ["polygon_id", "name", "wkt"])
+    return (
+        spatial_join(pts, layer, res=6)
+        .select("doc_id", "name")
+    )
+
+
 def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _docs_points(spark, sf_dir)
     return pts.select(
@@ -847,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_geodesic": _q_pip_join_geodesic,
         "pip_join_salted": _q_pip_join_salted,
         "pip_join_antimeridian": _q_pip_join_antimeridian,
+        "pip_join_polar": _q_pip_join_polar,
         "bbox_filter": _q_bbox_filter,
         "tile_assign": _q_tile_assign,
         "zonal_stats": _q_zonal_stats,
@@ -903,6 +932,14 @@ def oracle_sql() -> dict[str, str]:
         " AND (lon >= 150.0 OR lon <= -150.0)"
         " AND NOT (lat > 40.0 AND lat < 55.0"
         " AND (lon > 170.0 OR lon < -170.0))"
+    )
+
+    # polar caps are constant-latitude boundaries, so the planar cap
+    # interior is a pure latitude predicate — trivially SQL-expressible
+    pip_polar_sql = PTS_CTE + (
+        " SELECT doc_id, 'antarctic' AS name FROM pts WHERE lat < -70.0"
+        " UNION ALL"
+        " SELECT doc_id, 'arctic' AS name FROM pts WHERE lat > 75.0"
     )
 
     bbox_parts = [
@@ -1362,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_geodesic": _geodesic_oracle_sql(),
         "pip_join_salted": pip_sql,
         "pip_join_antimeridian": pip_antimeridian_sql,
+        "pip_join_polar": pip_polar_sql,
         "bbox_filter": bbox_sql,
         "tile_assign": tile_assign_sql,
         "zonal_stats": zonal_sql,

@@ -211,6 +211,28 @@ def split_ring_antimeridian(ring) -> List[np.ndarray]:
         np.where(d > 180.0, -360.0, np.where(d < -180.0, 360.0, 0.0))
     )
     pts = np.column_stack([lon + shift, arr[:, 1]])
+    # POLE-ENCIRCLING rings wind once around in longitude, so the
+    # unwrapped polyline ends 360 deg from where it started — an OPEN
+    # curve with no chart-bounded interior. Close it over the pole on
+    # the side of the ring's mean latitude (the polar-cap convention:
+    # an Antarctic coastline ring means the south cap): walk from the
+    # last vertex to the pole, across at pole latitude, and back down
+    # to the first vertex. The subsequent seam clipping then yields
+    # lobes whose planar interior is exactly the cap.
+    wind = int(round((pts[-1, 0] - pts[0, 0]) / 360.0))
+    if wind:
+        if abs(wind) > 1:
+            raise ValueError(
+                "ring winds %d times around the globe — not a valid "
+                "polygon boundary" % wind
+            )
+        pole = 90.0 if float(np.mean(arr[:-1, 1])) >= 0.0 else -90.0
+        closure = np.array([
+            [pts[-1, 0], pole],
+            [pts[0, 0], pole],
+            [pts[0, 0], pts[0, 1]],
+        ])
+        pts = np.vstack([pts, closure])
     lo, hi = float(pts[:, 0].min()), float(pts[:, 0].max())
     k0 = math.ceil((lo - 180.0) / 360.0)
     k1 = math.floor((hi - 180.0) / 360.0)

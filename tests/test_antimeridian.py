@@ -212,3 +212,87 @@ def test_geodesic_cover_seam_pad_wraps():
     assert any(
         int(cellmod.decode(np.array([c]))[0][0]) == 1 for c in full
     )
+
+
+# ---------------------------------------------------------------------------
+# Pole-encircling rings on the PLANAR path (round-3; geodesic cover already
+# handled caps specially). A ring that winds once around in longitude has no
+# chart-bounded interior; split_ring_antimeridian closes it over the pole on
+# the side of its mean latitude (polar-cap convention), then the usual seam
+# clipping yields lobes whose planar interior is exactly the cap.
+# ---------------------------------------------------------------------------
+
+def _cap_ring(lat, lons):
+    pts = [[float(x), float(lat)] for x in lons]
+    return pts + [pts[0]]
+
+
+def test_polar_cap_south_pip():
+    ring = _cap_ring(-70.0, range(0, 360, 30))
+    assert kernels.ring_crosses_antimeridian(ring)
+    rng = np.random.default_rng(21)
+    px = rng.uniform(-180.0, 180.0, size=6000)
+    py = rng.uniform(-89.9, 0.0, size=6000)
+    got = kernels.points_in_polygon(px, py, [ring])
+    assert (got == (py < -70.0)).all()
+
+
+def test_polar_cap_north_pip_reversed_winding():
+    # descending longitudes (wind = -1) must behave identically
+    ring = _cap_ring(70.0, range(0, -360, -30))
+    rng = np.random.default_rng(22)
+    px = rng.uniform(-180.0, 180.0, size=6000)
+    py = rng.uniform(0.0, 89.9, size=6000)
+    got = kernels.points_in_polygon(px, py, [ring])
+    assert (got == (py > 70.0)).all()
+
+
+def test_polar_cap_zigzag_matches_interp_oracle():
+    """Non-constant-latitude cap boundary: the planar interior at each
+    longitude is bounded by linear interpolation of the ring in the
+    unwrapped chart — oracle with np.interp over the unwrapped vertices."""
+    lons = list(range(0, 360, 30))
+    lats = [-60.0 if (i % 2 == 0) else -75.0 for i in range(len(lons))]
+    ring = [[float(x), lat] for x, lat in zip(lons, lats)]
+    ring.append(ring[0])
+    rng = np.random.default_rng(23)
+    px = rng.uniform(-180.0, 180.0, size=6000)
+    py = rng.uniform(-89.9, -40.0, size=6000)
+    got = kernels.points_in_polygon(px, py, [ring])
+    xs = np.array(lons + [360.0])
+    ys = np.array(lats + [lats[0]])
+    bound = np.interp(np.mod(px, 360.0), xs, ys)
+    off_edge = np.abs(py - bound) > 1e-6
+    assert (got[off_edge] == (py[off_edge] < bound[off_edge])).all()
+
+
+def test_polar_cap_cover_complete_and_sound():
+    ring = _cap_ring(-70.0, range(0, 360, 30))
+    res = 6
+    cover = cellmod.polygon_cover([ring], res)
+    covered = {c for c, _ in cover}
+    full = {c for c, f in cover if f}
+    rng = np.random.default_rng(24)
+    px = rng.uniform(-180.0, 180.0, size=8000)
+    py = rng.uniform(-89.9, -40.0, size=8000)
+    inside = kernels.points_in_polygon(px, py, [ring])
+    ids = cellmod.cell_id(px, py, res)
+    assert all(int(c) in covered for c in ids[inside])
+    in_full = np.array([int(c) in full for c in ids])
+    assert inside[in_full].all()
+    # deep-cap cells (well south of -70) exist and are full across
+    # longitudes on both sides of the seam
+    assert full, "cap cover has no full cells"
+    mid = cellmod.cell_id_scalar(0.0, 55.0, res)
+    assert mid not in covered
+
+
+def test_double_winding_ring_raises():
+    lons = list(range(0, 360, 30)) * 2
+    ring = [[float(x), -70.0] for x in lons] + [[0.0, -70.0]]
+    try:
+        kernels.split_ring_antimeridian(ring)
+    except ValueError as e:
+        assert "winds" in str(e)
+    else:
+        raise AssertionError("expected ValueError for 2x winding ring")
