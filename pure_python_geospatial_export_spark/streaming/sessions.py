@@ -53,7 +53,7 @@ def _ts(us: int) -> datetime.datetime:
                                            ).replace(tzinfo=None)
 
 
-def make_sessionizer(gap_seconds: int = 1800):
+def make_sessionizer(gap_seconds: int = 1800, event_time_timeout=False):
     gap_us = gap_seconds * _US
 
     def sessionize(
@@ -96,6 +96,17 @@ def make_sessionizer(gap_seconds: int = 1800):
                 start_us, end_us, n, sv = t, t, 1, float(v)
 
         state.update((start_us, end_us, n, sv))
+        if event_time_timeout:
+            # TTL compaction: arm a timer at session_end + gap. When the
+            # watermark passes it, the open session closes through the
+            # hasTimedOut branch above and its state is REMOVED — state
+            # size stays proportional to users active within the
+            # watermark horizon, not to all users ever seen. The timer
+            # must sit strictly above the current watermark (Spark
+            # rejects already-expired timestamps for late replays).
+            wm_ms = state.getCurrentWatermarkMs()
+            deadline_ms = end_us // 1000 + gap_seconds * 1000
+            state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
         return_rows = closed
         if return_rows:
             yield pd.DataFrame({
@@ -110,19 +121,37 @@ def make_sessionizer(gap_seconds: int = 1800):
 
 
 def sessionized_stream(
-    events: DataFrame, gap_seconds: int = 1800, user_col: str = "user_id"
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    watermark: str = None,
 ) -> DataFrame:
     """events(ts, user_id, value) -> closed sessions (streaming or batch
-    semantics decided by the input DataFrame)."""
+    semantics decided by the input DataFrame).
+
+    Pass ``watermark`` (e.g. ``"10 minutes"``) to bound state on an
+    unbounded stream: a watermark is applied to ``ts`` and each open
+    session arms an event-time timer at ``session_end + gap`` — once the
+    watermark passes it, the session is emitted as closed and its state
+    deleted, so state holds only users active within the horizon. With
+    no watermark (default), open sessions persist indefinitely — fine
+    for batch/finite replays, unbounded state on a true stream.
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.NoTimeout
     return (
         events.select(user_col, "ts", "value")
         .groupBy(user_col)
         .applyInPandasWithState(
-            make_sessionizer(gap_seconds),
+            make_sessionizer(gap_seconds,
+                             event_time_timeout=watermark is not None),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

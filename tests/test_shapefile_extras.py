@@ -294,3 +294,55 @@ def test_sessionization_batch_oracle(spark):
         }
     # only user 1's first session closes (gap 90min > 30min)
     assert got == {(1, ts(0), ts(20), 3, 6.0)}
+
+
+def test_sessionization_watermark_ttl_closes_idle_sessions(spark):
+    """With a watermark, an idle user's open session must close via the
+    event-time timer (state TTL) once the watermark passes
+    session_end + gap — without the timer the session stays open (and
+    its state resident) forever, as in the NoTimeout test above."""
+    import datetime
+    import tempfile
+
+    from pure_python_geospatial_export_spark.streaming.sessions import (
+        sessionized_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: one burst, then silence — must be closed by the TTL
+        (1, ts(0), 1.0), (1, ts(10), 2.0), (1, ts(20), 3.0),
+        # user 99: a much later event that drags the watermark forward;
+        # its own session stays open (timer not yet expired)
+        (99, ts(600), 7.0),
+    ]
+    src_df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "events")
+        ckpt = os.path.join(d, "ckpt")
+        src_df.write.parquet(src)
+        stream = spark.readStream.schema(src_df.schema).parquet(src)
+        out = sessionized_stream(
+            stream, gap_seconds=1800, watermark="10 minutes"
+        )
+        q = (
+            out.writeStream.format("memory").queryName("sessions_ttl")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (int(r["user_id"]), r["session_start"], r["session_end"],
+             int(r["n_events"]), r["sum_value"])
+            for r in spark.table("sessions_ttl").collect()
+        }
+    # watermark after the batch = ts(600) - 10min = ts(590); user 1's
+    # timer at ts(20) + 30min = ts(50) < ts(590) fires in the no-data
+    # micro-batch; user 99's timer at ts(630) has not expired.
+    assert got == {(1, ts(0), ts(20), 3, 6.0)}
