@@ -655,6 +655,46 @@ def _q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL and DuckDB (concat/CASE/%), so the Spark query (via F.expr) and the
 # oracle share it verbatim; exercises www-stripping, ccTLD second-level
 # domains, ports, userinfo, path depth, extensions, and query strings
+# Deterministic PII planting (the corpus itself is PII-free word salad):
+# valid in BOTH Spark SQL and DuckDB — one string, two engines, so the
+# synthesized column is identical on each side of the oracle compare.
+_PII_SYNTH_SQL = (
+    "concat(text, "
+    "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', "
+    "CAST(doc_id AS STRING), '@example.org now') ELSE '' END, "
+    "CASE WHEN doc_id % 4 = 0 THEN concat(' from 10.', "
+    "CAST(doc_id % 200 AS STRING), '.0.', "
+    "CAST(doc_id % 250 AS STRING), ' logged') ELSE '' END, "
+    "CASE WHEN doc_id % 5 = 0 THEN concat(' call 555-010', "
+    "CAST(doc_id % 1000 AS STRING), ' today') ELSE '' END)"
+)
+
+
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.functions import pii as P
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    aug = docs.select("doc_id", F.expr(_PII_SYNTH_SQL).alias("text2"))
+    t = F.col("text2")
+    return aug.select(
+        "doc_id",
+        P.email_count(t).alias("n_emails"),
+        P.phone_count(t).alias("n_phones"),
+        P.ipv4_count(t).alias("n_ips"),
+        P.pii_hit(t).alias("has_pii"),
+        P.redact_pii(t).alias("redacted"),
+    )
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.curate import (
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return repetition_stats(docs)
+
+
 _URL_SYNTH_SQL = (
     "concat('https://', "
     "CASE WHEN doc_id % 3 = 0 THEN 'user@www.' ELSE '' END, "
@@ -897,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hh_sketch": _q_hh_sketch,
         "radius_pairs": _q_radius_pairs,
         "url_features": _q_url_features,
+        "pii_scan": _q_pii_scan,
+        "repetition": _q_repetition,
         "domain_quota": _q_domain_quota,
         "decontaminate": _q_decontaminate,
         "doc_sample": _q_doc_sample,
@@ -1375,6 +1417,50 @@ def oracle_sql() -> dict[str, str]:
     _sh8 = " || ' ' || ".join("t[i+%d]" % j for j in range(8)).replace(
         "t[i+0]", "t[i]"
     )
+    from pure_python_geospatial_export_spark.functions import pii as P
+
+    pii_scan_sql = (
+        "WITH aug AS (SELECT doc_id, %s AS text2 FROM documents) "
+        "SELECT doc_id, %s AS n_emails, %s AS n_phones, %s AS n_ips, "
+        "%s AS has_pii, %s AS redacted FROM aug"
+        % (
+            _PII_SYNTH_SQL,
+            P.email_count_sql("text2"),
+            P.phone_count_sql("text2"),
+            P.ipv4_count_sql("text2"),
+            P.pii_hit_sql("text2"),
+            P.redact_pii_sql("text2"),
+        )
+    )
+
+    repetition_sql = (
+        "WITH tk AS (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
+        "st AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens, "
+        "CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct_tokens, t "
+        "FROM tk), "
+        "g AS (SELECT doc_id, n_tokens, n_distinct_tokens, "
+        "unnest(list_transform(range(1, len(t)), "
+        "i -> concat_ws(' ', t[i], t[i+1]))) AS gr "
+        "FROM st WHERE n_tokens >= 2), "
+        "c AS (SELECT doc_id, n_tokens, n_distinct_tokens, gr, "
+        "count(*) AS cnt FROM g "
+        "GROUP BY doc_id, n_tokens, n_distinct_tokens, gr), "
+        "m AS (SELECT doc_id, n_tokens, n_distinct_tokens, "
+        "max(cnt) AS top_gram_count FROM c "
+        "GROUP BY doc_id, n_tokens, n_distinct_tokens) "
+        "SELECT doc_id, n_tokens, n_distinct_tokens, top_gram_count, "
+        "CAST(top_gram_count AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE) "
+        "AS top_gram_frac, "
+        "CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) "
+        "AS distinct_ratio FROM m "
+        "UNION ALL "
+        "SELECT doc_id, n_tokens, n_distinct_tokens, "
+        "CAST(0 AS BIGINT) AS top_gram_count, 0.0 AS top_gram_frac, "
+        "CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) "
+        "AS distinct_ratio FROM st WHERE n_tokens < 2"
+    )
+
     decontaminate_sql = (
         "WITH tk AS (SELECT doc_id, text, "
         "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
@@ -1428,6 +1514,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "radius_pairs": radius_pairs_sql,
         "url_features": url_features_sql,
+        "pii_scan": pii_scan_sql,
+        "repetition": repetition_sql,
         "domain_quota": domain_quota_sql,
         "decontaminate": decontaminate_sql,
         "doc_sample": doc_sample_sql,

@@ -147,6 +147,75 @@ def stratified_hash_sample(
     return df.where(h < thresh)
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: boilerplate and
+    degenerate generations repeat the same n-gram over and over, and
+    "fraction of the text covered by the most common n-gram" is the
+    classic filter for it (Rae et al. 2021 §A1.1 use exactly this family
+    of thresholds).
+
+    Returns (id, n_tokens, n_distinct_tokens, top_gram_count,
+    top_gram_frac, distinct_ratio) where ``top_gram_frac`` is the
+    most-frequent n-gram's share of the document's n-gram slots and
+    ``distinct_ratio`` the type/token ratio. Docs shorter than ``n``
+    tokens report 0 / 0.0 for the gram columns.
+
+    Plan shape: grams explode once, then two hash aggregations keyed by
+    the doc id (count per gram, max over grams) — both partial-agg
+    friendly, no joins, nothing quadratic. The gram text never leaves
+    the first aggregation's key.
+    """
+    toks = T.tokens_col(F.col(text_col))
+    ntok = F.size(toks)
+    grams = F.when(
+        ntok >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(ntok - F.lit(n - 1),
+                                            F.lit(1))),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.try_element_at(toks, i + F.lit(j)) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        ntok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.explode_outer(grams).alias("_g"),
+    )
+    counts = base.groupBy(
+        id_col, "n_tokens", "n_distinct_tokens", "_g"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        counts.groupBy(id_col, "n_tokens", "n_distinct_tokens")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("_g").isNotNull(), F.col("_c"))),
+                F.lit(0).cast("long"),
+            ).alias("top_gram_count")
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            "top_gram_count",
+            F.when(
+                F.col("n_tokens") >= n,
+                F.col("top_gram_count").cast("double")
+                / (F.col("n_tokens") - F.lit(n - 1)).cast("double"),
+            ).otherwise(F.lit(0.0)).alias("top_gram_frac"),
+            (F.col("n_distinct_tokens").cast("double")
+             / F.col("n_tokens").cast("double")).alias("distinct_ratio"),
+        )
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -118,3 +118,145 @@ def test_decontaminate_drops_overlap(spark):
     # threshold above the overlap keeps everything
     kept_all = decontaminate(docs, bench, n=8, max_contamination=1.0)
     assert kept_all.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (functions/pii.py)
+# ---------------------------------------------------------------------------
+
+def test_pii_counts_and_redaction(spark):
+    from pure_python_geospatial_export_spark.functions import pii as P
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rows = [
+        (1, "mail me at jo.doe+spam@sub.example.co.uk thanks"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (3, "call +1 (555) 010-4477 or 555 0100 998 now"),
+        (4, "clean text with the year 2024 and number 7"),
+        (5, "a@b.io from 8.8.8.8 dial 555-0100-22"),
+    ]
+    df = local_df(spark, rows, ["id", "text"])
+    t = __import__("pyspark.sql.functions", fromlist=["col"]).col("text")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            P.email_count(t).alias("e"),
+            P.ipv4_count(t).alias("i"),
+            P.phone_count(t).alias("p"),
+            P.pii_hit(t).alias("hit"),
+            P.redact_pii(t).alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["i"], out[1]["p"]) == (1, 0, 0)
+    assert out[1]["red"] == "mail me at <EMAIL> thanks"
+    assert (out[2]["e"], out[2]["i"]) == (0, 2)
+    assert out[2]["red"] == "server at <IP> and <IP> responded"
+    assert out[3]["e"] == 0 and out[3]["i"] == 0 and out[3]["p"] >= 1
+    assert "<PHONE>" in out[3]["red"]
+    assert "4477" not in out[3]["red"]
+    assert (out[4]["e"], out[4]["i"], out[4]["p"]) == (0, 0, 0)
+    assert out[4]["hit"] is False
+    assert out[4]["red"] == rows[3][1]
+    assert (out[5]["e"], out[5]["i"], out[5]["p"]) == (1, 1, 1)
+    assert out[5]["red"] == "<EMAIL> from <IP> dial <PHONE>"
+    assert all(out[i]["hit"] for i in (1, 2, 3, 5))
+
+
+def test_pii_sql_twins_match_duckdb(spark):
+    """The *_sql twins must compute the identical values in DuckDB —
+    including on adversarial inputs (adjacent classes, greedy runs)."""
+    import duckdb
+
+    from pure_python_geospatial_export_spark.functions import pii as P
+    from pure_python_geospatial_export_spark.session import local_df
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a@b.io c@d.org 1.2.3.4 999.999.999.999 +44 20 7946 0958"),
+        (2, "x 2024 2025 2026 2027 y"),  # year run = phone-ish, by design
+        (3, "v6-ish 2001:db8::1 and 1.2.3.4.5 dotted-run"),
+        (4, ""),
+    ]
+    df = local_df(spark, rows, ["id", "text"])
+    t = F.col("text")
+    got = {
+        r["id"]: (r["e"], r["i"], r["p"], r["red"])
+        for r in df.select(
+            "id",
+            P.email_count(t).alias("e"),
+            P.ipv4_count(t).alias("i"),
+            P.phone_count(t).alias("p"),
+            P.redact_pii(t).alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(id INT, text VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            "SELECT id, %s, %s, %s, %s FROM tt"
+            % (
+                P.email_count_sql("text"),
+                P.ipv4_count_sql("text"),
+                P.phone_count_sql("text"),
+                P.redact_pii_sql("text"),
+            )
+        ).fetchall()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats (operators/curate.py)
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_known_values(spark):
+    from pure_python_geospatial_export_spark.operators.curate import (
+        repetition_stats,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rows = [
+        (1, "spam spam spam spam"),          # "spam spam" x3 of 3 slots
+        (2, "a b a b c"),                    # "a b" x2 of 4 slots
+        (3, "all words here differ fully"),  # every bigram unique
+        (4, "solo"),                         # < n tokens
+    ]
+    df = local_df(spark, rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["n_distinct_tokens"] == 1
+    assert out[1]["top_gram_count"] == 3
+    assert out[1]["top_gram_frac"] == 1.0
+    assert out[1]["distinct_ratio"] == 0.25
+    assert out[2]["top_gram_count"] == 2
+    assert out[2]["top_gram_frac"] == 0.5
+    assert out[3]["top_gram_count"] == 1
+    assert out[3]["top_gram_frac"] == 0.25
+    assert out[3]["distinct_ratio"] == 1.0
+    assert out[4]["top_gram_count"] == 0
+    assert out[4]["top_gram_frac"] == 0.0
+    assert out[4]["distinct_ratio"] == 1.0
+    assert len(out) == 4
+
+
+def test_repetition_stats_trigram(spark):
+    from pure_python_geospatial_export_spark.operators.curate import (
+        repetition_stats,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    df = local_df(
+        spark,
+        [(1, "x y z x y z x y z"), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=3).collect()}
+    # 7 trigram slots; "x y z" occurs 3 times
+    assert out[1]["top_gram_count"] == 3
+    assert out[1]["top_gram_frac"] == 3.0 / 7.0
+    # 2 tokens < n=3 -> gram columns zero out
+    assert out[2]["top_gram_count"] == 0
+    assert out[2]["top_gram_frac"] == 0.0
