@@ -695,6 +695,18 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+def _q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.pack import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return pack_sequences(docs, 96).select(
+        "source", "doc_id", "n_tokens", "pack_id", "pack_offset",
+        "overflow",
+    )
+
+
 _URL_SYNTH_SQL = (
     "concat('https://', "
     "CASE WHEN doc_id % 3 = 0 THEN 'user@www.' ELSE '' END, "
@@ -939,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_features": _q_url_features,
         "pii_scan": _q_pii_scan,
         "repetition": _q_repetition,
+        "pack_docs": _q_pack_docs,
         "domain_quota": _q_domain_quota,
         "decontaminate": _q_decontaminate,
         "doc_sample": _q_doc_sample,
@@ -1461,6 +1474,33 @@ def oracle_sql() -> dict[str, str]:
         "AS distinct_ratio FROM st WHERE n_tokens < 2"
     )
 
+    # greedy packing's bin state depends on the running result (a reset
+    # whenever the fill WOULD overflow) — not prefix-sum expressible, so
+    # the oracle walks each shard with a recursive CTE in the same
+    # doc_id order the applyInPandas kernel uses.
+    pack_docs_sql = (
+        "WITH RECURSIVE s AS (SELECT source, doc_id, "
+        "CAST(%s AS INTEGER) AS n_tokens, "
+        "CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) "
+        "AS BIGINT) AS rn FROM documents), "
+        "r AS ("
+        "SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS "
+        "pack_id, CAST(0 AS BIGINT) AS pack_offset, n_tokens AS fill "
+        "FROM s WHERE rn = 1 "
+        "UNION ALL "
+        "SELECT s.source, s.doc_id, s.n_tokens, s.rn, "
+        "CASE WHEN r.fill + s.n_tokens > 96 THEN r.pack_id + 1 "
+        "ELSE r.pack_id END, "
+        "CASE WHEN r.fill + s.n_tokens > 96 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(r.fill AS BIGINT) END, "
+        "CASE WHEN r.fill + s.n_tokens > 96 THEN s.n_tokens "
+        "ELSE r.fill + s.n_tokens END "
+        "FROM r JOIN s ON s.source = r.source AND s.rn = r.rn + 1) "
+        "SELECT source, doc_id, n_tokens, pack_id, pack_offset, "
+        "n_tokens > 96 AS overflow FROM r"
+        % T.token_count_sql("text")
+    )
+
     decontaminate_sql = (
         "WITH tk AS (SELECT doc_id, text, "
         "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
@@ -1516,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "url_features": url_features_sql,
         "pii_scan": pii_scan_sql,
         "repetition": repetition_sql,
+        "pack_docs": pack_docs_sql,
         "domain_quota": domain_quota_sql,
         "decontaminate": decontaminate_sql,
         "doc_sample": doc_sample_sql,

@@ -260,3 +260,95 @@ def test_repetition_stats_trigram(spark):
     # 2 tokens < n=3 -> gram columns zero out
     assert out[2]["top_gram_count"] == 0
     assert out[2]["top_gram_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences (operators/pack.py)
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_greedy_semantics(spark):
+    from pure_python_geospatial_export_spark.operators.pack import (
+        pack_sequences,
+        packing_efficiency,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    # (shard, id, n_tokens) with a pre-counted token column
+    rows = [
+        ("a", 1, 40), ("a", 2, 60),   # 40+60=100 == cap: same bin
+        ("a", 3, 1),                  # would make 101 -> new bin
+        ("a", 4, 150),                # overlong -> own bin, overflow
+        ("a", 5, 99),                 # next bin
+        ("b", 1, 100),                # exact-capacity single doc
+        ("b", 2, 100),
+    ]
+    df = local_df(spark, rows, ["source", "doc_id", "nt"])
+    out = {
+        (r["source"], r["doc_id"]):
+            (r["pack_id"], r["pack_offset"], r["overflow"])
+        for r in pack_sequences(df, 100, tokens_col="nt").collect()
+    }
+    assert out[("a", 1)] == (0, 0, False)
+    assert out[("a", 2)] == (0, 40, False)   # fill+60 == cap joins
+    assert out[("a", 3)] == (1, 0, False)
+    assert out[("a", 4)] == (2, 0, True)     # overlong: own bin
+    assert out[("a", 5)] == (3, 0, False)
+    assert out[("b", 1)] == (0, 0, False)
+    assert out[("b", 2)] == (1, 0, False)
+
+    eff = {
+        r["source"]: (r["n_bins"], r["n_tokens"], r["fill_fraction"])
+        for r in packing_efficiency(
+            pack_sequences(df, 100, tokens_col="nt"), 100
+        ).collect()
+    }
+    assert eff["a"] == (4, 350, 350 / 400)
+    assert eff["b"] == (2, 200, 1.0)
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    """The assignment is a pure function of (shard, id, n_tokens) —
+    repartitioning the input must not change a single row."""
+    from pure_python_geospatial_export_spark.operators.pack import (
+        pack_sequences,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    import random
+    rnd = random.Random(9)
+    rows = [
+        ("s%d" % (i % 5), i, rnd.randint(5, 120)) for i in range(400)
+    ]
+    df = local_df(spark, rows, ["source", "doc_id", "nt"])
+    a = sorted(
+        map(tuple, pack_sequences(df, 128, tokens_col="nt").collect())
+    )
+    b = sorted(
+        map(tuple, pack_sequences(
+            df.repartition(13), 128, tokens_col="nt"
+        ).collect())
+    )
+    assert a == b
+    # every non-overflow bin respects the capacity
+    import collections
+    fill = collections.Counter()
+    for source, doc_id, nt, pack_id, off, overflow in a:
+        fill[(source, pack_id)] += nt
+        assert off + nt <= 128 or overflow
+    for (source, pack_id), tot in fill.items():
+        assert tot <= 128 or tot == max(
+            nt for s, d, nt, p, o, ov in a
+            if s == source and p == pack_id
+        )
+
+
+def test_pack_sequences_rejects_bad_capacity(spark):
+    from pure_python_geospatial_export_spark.operators.pack import (
+        pack_sequences,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    df = local_df(spark, [("a", 1, 5)], ["source", "doc_id", "nt"])
+    import pytest
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0, tokens_col="nt")
