@@ -834,6 +834,26 @@ def _q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixture chosen so the sketch is EXACT (k = 4096 >= every group's
+    # row count at the gate SF — same trick as the LSH recall-1
+    # oracles), so the bounded-state path equals the full type-1
+    # quantile the DuckDB twin computes; the ~1/sqrt(k) sampling regime
+    # is property-tested in tests/test_sketch.py instead.
+    from pure_python_geospatial_export_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sample,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    sample = quantile_sample(
+        ev, ["event_type"], "value", "event_id", k=4096
+    )
+    return quantile_estimate(
+        sample, ["event_type"], [0.1, 0.5, 0.9, 0.99]
+    )
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (
@@ -957,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": _q_doc_sample,
         "top_sources": _q_top_sources,
         "events_quantiles": _q_events_quantiles,
+        "quantile_sketch": _q_quantile_sketch,
         "events_sessions": _q_events_sessions,
         "events_rollup": _q_events_rollup,
         "events_json": _q_events_json,
@@ -1562,6 +1583,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": doc_sample_sql,
         "top_sources": top_sources_sql,
         "events_quantiles": events_quantiles_sql,
+        "quantile_sketch": (
+            "WITH g AS (SELECT event_type, list_sort(list(value)) AS vs "
+            "FROM events GROUP BY event_type), "
+            "q AS (SELECT CAST(unnest([0.1, 0.5, 0.9, 0.99]) AS DOUBLE) "
+            "AS q) "
+            "SELECT event_type, q, "
+            "vs[CAST(greatest(ceil(q * len(vs)), 1) AS BIGINT)] AS est "
+            "FROM g CROSS JOIN q"
+        ),
         "events_sessions": events_sessions_sql,
         "events_rollup": events_rollup_sql,
         "events_json": events_json_sql,

@@ -105,6 +105,76 @@ def kmv_estimate(sketch_col, k: int = 64) -> Column:
     )
 
 
+def quantile_sample(
+    df: DataFrame,
+    group_cols: List[str],
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Mergeable quantile sketch as a RELATION: the ``k`` rows with the
+    smallest ``kmv_hash(key)`` per group, carried as
+    (group_cols..., _h, value).
+
+    Exact quantiles need a full sort of the group; at 10^12 rows the
+    scale path is a bounded uniform sample. Hashing a row-unique key
+    makes the sample a PURE FUNCTION of the data — partitioning,
+    retries, cluster size, and the DuckDB oracle all draw the identical
+    rows (unlike rand()-reservoirs) — and gives the bottom-k merge
+    property: the sketch of a union is the k smallest of the unioned
+    sketches (:func:`quantile_sample_merge`), so per-partition /
+    per-day sketches roll up without touching raw data again. Sampling
+    error is the usual ~1/sqrt(k) on ranks. One shuffle;
+    WindowGroupLimit caps per-group state at k before the exchange."""
+    src = df.select(
+        *group_cols,
+        kmv_hash_col(F.col(key_col).cast("string")).alias("_h"),
+        F.col(value_col).alias("value"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return src.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    ).drop("_rn")
+
+
+def quantile_sample_merge(df: DataFrame, group_cols: List[str],
+                          k: int = 256) -> DataFrame:
+    """Roll sketches up to coarser groups: union the child relations
+    (or pass one DataFrame holding them) and keep the k smallest hashes
+    per coarser group. Identical shape to the build, so merge trees of
+    any depth produce the same sketch as a direct build over the raw
+    rows."""
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return df.select(*group_cols, "_h", "value").withColumn(
+        "_rn", F.row_number().over(w)
+    ).where(F.col("_rn") <= k).drop("_rn")
+
+
+def quantile_estimate(
+    sample: DataFrame,
+    group_cols: List[str],
+    qs: List[float],
+) -> DataFrame:
+    """(group_cols..., q, est) — type-1 (lower) empirical quantile of
+    the sample: sorted values indexed at ``max(ceil(q * m), 1)``. The
+    arithmetic is deliberately SQL-primitive so the DuckDB oracle can
+    mirror it token for token; with k >= group size the sample is the
+    whole group and the estimate is the exact type-1 quantile."""
+    agg = sample.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("value")).alias("_vs")
+    )
+    qlit = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    with_q = agg.select(*group_cols, "_vs", qlit)
+    idx = F.greatest(
+        F.ceil(F.col("q") * F.size("_vs")), F.lit(1)
+    ).cast("int")
+    return with_q.select(
+        *group_cols, "q", F.element_at("_vs", idx).alias("est")
+    )
+
+
 def space_saving_summaries(
     df: DataFrame,
     group_cols: List[str],

@@ -152,3 +152,86 @@ def test_space_saving_shuffle_rows_bounded(spark):
     summ = sketch.space_saving_summaries(df, ["grp"], "val", m=m)
     per = summ.groupBy("grp", "pid").count().collect()
     assert per and all(r["count"] <= m for r in per)
+
+
+# ---------------------------------------------------------------------------
+# quantile sample sketch
+# ---------------------------------------------------------------------------
+
+def test_quantile_sample_exact_when_unsaturated(spark):
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rows = [("g", i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7])]
+    df = local_df(spark, rows, ["grp", "rid", "value"])
+    sample = sketch.quantile_sample(df, ["grp"], "value", "rid", k=100)
+    got = {
+        (r["grp"], r["q"]): r["est"]
+        for r in sketch.quantile_estimate(
+            sample, ["grp"], [0.2, 0.5, 1.0]
+        ).collect()
+    }
+    # sorted: [1,3,5,7,9]; type-1 index = max(ceil(q*5), 1)
+    assert got[("g", 0.2)] == 1.0
+    assert got[("g", 0.5)] == 5.0
+    assert got[("g", 1.0)] == 9.0
+
+
+def test_quantile_sample_merge_property(spark):
+    """Sketch(union) == merge(sketch(half A), sketch(half B)) at
+    saturation — the bottom-k property that makes rollups sound."""
+    import random
+
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rnd = random.Random(31)
+    rows = [
+        ("g%d" % (i % 3), i, rnd.gauss(0, 1)) for i in range(3000)
+    ]
+    df = local_df(spark, rows, ["grp", "rid", "value"])
+    k = 64
+    whole = sketch.quantile_sample(df, ["grp"], "value", "rid", k=k)
+    half_a = sketch.quantile_sample(
+        df.where("rid % 2 = 0"), ["grp"], "value", "rid", k=k
+    )
+    half_b = sketch.quantile_sample(
+        df.where("rid % 2 = 1"), ["grp"], "value", "rid", k=k
+    )
+    merged = sketch.quantile_sample_merge(
+        half_a.unionAll(half_b), ["grp"], k=k
+    )
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+    # and the per-group sample is capped at k
+    sizes = whole.groupBy("grp").count().collect()
+    assert all(r["count"] == k for r in sizes)
+
+
+def test_quantile_sample_rank_error_bound(spark):
+    """Saturated regime: estimated quantiles must sit within a few
+    /sqrt(k) of the true rank (deterministic fixture, generous bound)."""
+    import random
+
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rnd = random.Random(7)
+    n, k = 20000, 256
+    vals = sorted(rnd.expovariate(1.0) for _ in range(n))
+    rows = [("g", i, v) for i, v in enumerate(
+        [vals[j] for j in rnd.sample(range(n), n)]
+    )]
+    df = local_df(spark, rows, ["grp", "rid", "value"])
+    sample = sketch.quantile_sample(df, ["grp"], "value", "rid", k=k)
+    got = {
+        r["q"]: r["est"]
+        for r in sketch.quantile_estimate(
+            sample, ["grp"], [0.1, 0.5, 0.9]
+        ).collect()
+    }
+    import bisect
+    for q, est in got.items():
+        true_rank = q * n
+        est_rank = bisect.bisect_right(vals, est)
+        assert abs(est_rank - true_rank) <= 4.0 * n / (k ** 0.5), (
+            q, est_rank, true_rank
+        )
