@@ -183,11 +183,20 @@ def repetition_stats(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = df.select(
+    # scalars and the gram array are projected BELOW the explode: with
+    # explode alongside computed columns in one select, ExtractGenerator
+    # parks those expressions in a Project ABOVE the Generate, where
+    # tokenization + array_distinct would re-run per exploded gram row —
+    # O(tokens^2) per document (observed in the physical plan).
+    pre = df.select(
         F.col(id_col),
         ntok.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.explode_outer(grams).alias("_g"),
+        grams.alias("_gs"),
+    )
+    base = pre.select(
+        id_col, "n_tokens", "n_distinct_tokens",
+        F.explode_outer("_gs").alias("_g"),
     )
     counts = base.groupBy(
         id_col, "n_tokens", "n_distinct_tokens", "_g"
