@@ -695,6 +695,15 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.curate import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return tfidf_top_terms(docs, k=5)
+
+
 def _q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pure_python_geospatial_export_spark.operators.pack import (
         pack_sequences,
@@ -972,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "repetition": _q_repetition,
         "pack_docs": _q_pack_docs,
+        "tfidf_terms": _q_tfidf,
         "domain_quota": _q_domain_quota,
         "decontaminate": _q_decontaminate,
         "doc_sample": _q_doc_sample,
@@ -1522,6 +1532,24 @@ def oracle_sql() -> dict[str, str]:
         % T.token_count_sql("text")
     )
 
+    tfidf_sql = (
+        "WITH tk AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM tk "
+        "GROUP BY doc_id, term), "
+        "dfq AS (SELECT term, count(*) AS _df FROM tf GROUP BY term), "
+        "n AS (SELECT count(*) AS _n FROM documents), "
+        "sc AS (SELECT doc_id, tf.term AS term, tf, "
+        "round(CAST(tf AS DOUBLE) * (ln((CAST(_n AS DOUBLE) + 1.0) / "
+        "(CAST(_df AS DOUBLE) + 1.0)) + 1.0), 9) AS score "
+        "FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n) "
+        "SELECT doc_id, term, tf, score, rank FROM "
+        "(SELECT *, CAST(row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score DESC, term ASC) AS INTEGER) AS rank FROM sc) "
+        "WHERE rank <= 5"
+    )
+
     decontaminate_sql = (
         "WITH tk AS (SELECT doc_id, text, "
         "regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), "
@@ -1578,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": pii_scan_sql,
         "repetition": repetition_sql,
         "pack_docs": pack_docs_sql,
+        "tfidf_terms": tfidf_sql,
         "domain_quota": domain_quota_sql,
         "decontaminate": decontaminate_sql,
         "doc_sample": doc_sample_sql,

@@ -225,6 +225,55 @@ def repetition_stats(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF — the classic
+    keyword-extraction / topic-labeling pass over a crawl:
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)``.
+
+    Returns (id, term, tf, score, rank). The score is rounded to 9
+    decimals BEFORE ranking (the radius_pairs trick: ln comes from two
+    libms, rounding absorbs ulp drift and makes the rank order — ties
+    broken on term asc — identical cross-engine).
+
+    Plan shape at scale: one explode, then only aggregates of
+    aggregates — tf over (doc, term) with map-side combine, df over the
+    already-distinct (doc, term) pairs, the term join carries one row
+    per distinct pair (never raw tokens), N broadcasts as one row, and
+    the final window is a per-doc top-k. Nothing quadratic, no
+    driver-side collection."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(T.tokens_col(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+    score = F.round(
+        F.col("tf").cast("double")
+        * (F.log((F.col("_n").cast("double") + F.lit(1.0))
+                 / (F.col("_df").cast("double") + F.lit(1.0)))
+           + F.lit(1.0)),
+        9,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

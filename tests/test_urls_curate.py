@@ -352,3 +352,54 @@ def test_pack_sequences_rejects_bad_capacity(spark):
     import pytest
     with pytest.raises(ValueError):
         pack_sequences(df, 0, tokens_col="nt")
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms (operators/curate.py)
+# ---------------------------------------------------------------------------
+
+def test_tfidf_top_terms_known_values(spark):
+    import math
+
+    from pure_python_geospatial_export_spark.operators.curate import (
+        tfidf_top_terms,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana banana banana"),
+        (3, "cherry"),
+    ]
+    df = local_df(spark, rows, ["doc_id", "text"])
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"])
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+
+    def score(tf, dfreq, n=3):
+        return round(tf * (math.log((n + 1.0) / (dfreq + 1.0)) + 1.0), 9)
+
+    # df: apple 1, banana 2, cherry 1
+    assert got[(1, 1)] == ("apple", 2, score(2, 1))
+    assert got[(1, 2)] == ("banana", 1, score(1, 2))
+    assert got[(2, 1)] == ("banana", 3, score(3, 2))
+    assert got[(3, 1)] == ("cherry", 1, score(1, 1))
+    assert len(got) == 4  # k=2 caps doc 1; docs 2/3 have 1 term each
+
+
+def test_tfidf_tie_breaks_on_term(spark):
+    from pure_python_geospatial_export_spark.operators.curate import (
+        tfidf_top_terms,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    # both terms appear once in this doc and once in the corpus ->
+    # identical scores; rank must follow term ascending
+    df = local_df(spark, [(1, "zeta alpha")], ["doc_id", "text"])
+    got = [
+        (r["rank"], r["term"])
+        for r in tfidf_top_terms(df, k=2)
+        .orderBy("rank").collect()
+    ]
+    assert got == [(1, "alpha"), (2, "zeta")]
