@@ -74,6 +74,94 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force top-k, Arrow execution: the fast twin of
+    :func:`cosine_topk`.
+
+    Two structural wins over the column-expression baseline:
+
+    * scores come from one float64 BLAS matmul per Arrow batch instead
+      of interpreted ``zip_with``/``aggregate`` folds per row pair (the
+      docs/PLANS.md ~18us/element pitfall);
+    * each partition emits only its LOCAL top-k per query (top-k is
+      distributive), so the final window combines q * k * partitions
+      rows — the baseline shuffles all n * q scored rows.
+
+    The query set rides to executors inside the kernel closure (query
+    sets are small by definition — the baseline broadcasts them too).
+    Scores equal the baseline's up to float-summation order (BLAS vs
+    left fold); ranks use the same (score desc, id asc) tiebreak. Kept
+    separate from :func:`cosine_topk` because the driver oracle pins the
+    left-fold double exactly; an equality test ties the two together.
+    """
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.stack([
+        np.asarray(r[1], dtype=np.float64) for r in qrows
+    ])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    nq = len(qids)
+    cap = int(k)
+
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(vec_col).alias("_vec"))
+    id_field = src.schema["_id"].dataType
+    qid_field = queries.schema[query_id].dataType
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    out_schema = StructType([
+        StructField("_qid", qid_field, True),
+        StructField("_id", id_field, True),
+        StructField("score", DoubleType(), True),
+    ])
+
+    def kernel(batches):
+        # per-query running candidates, re-reduced to k after each batch
+        acc_ids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        acc_sc = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        for pdf in batches:
+            ids = pdf["_id"].to_numpy()
+            mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            scores = mat @ qmat.T  # (batch, nq)
+            for j in range(nq):
+                keep = ids != qids[j]
+                cid = np.concatenate([acc_ids[j], ids[keep]])
+                csc = np.concatenate([acc_sc[j], scores[keep, j]])
+                if len(cid) > cap:
+                    order = np.lexsort((cid, -csc))[:cap]
+                    cid, csc = cid[order], csc[order]
+                acc_ids[j], acc_sc[j] = cid, csc
+        rows = {
+            "_qid": np.repeat(qids, [len(a) for a in acc_ids]),
+            "_id": np.concatenate(acc_ids) if acc_ids else [],
+            "score": np.concatenate(acc_sc) if acc_sc else [],
+        }
+        yield pd.DataFrame(rows)
+
+    partial = src.mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("score").desc(), F.col("_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id),
+            F.col("_id").alias(id_col),
+            "score",
+            "rank",
+        )
+    )
+
+
 def _make_bucket_udf(n_planes: int, dim: int, seed: int = 42):
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))

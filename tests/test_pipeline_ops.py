@@ -641,3 +641,40 @@ def test_deduplicate_clustered(spark):
     )
     assert 1 in kept and 4 in kept
     assert 2 not in kept
+
+
+def test_cosine_topk_arrow_equals_baseline(emb, spark):
+    """The Arrow matmul twin must reproduce the column-expression
+    baseline's exact result — ids, ranks, and scores to 1e-9 (BLAS vs
+    left-fold summation order)."""
+    qids = [0, 1, 2, 3]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    args = (emb, queries, "vec_id", "embedding", "query_id", "qvec")
+    base = {
+        (int(r["query_id"]), int(r["rank"])):
+            (int(r["vec_id"]), r["score"])
+        for r in similarity.cosine_topk(*args, k=7).collect()
+    }
+    fast = {
+        (int(r["query_id"]), int(r["rank"])):
+            (int(r["vec_id"]), r["score"])
+        for r in similarity.cosine_topk_arrow(*args, k=7).collect()
+    }
+    assert set(base) == set(fast)
+    for key, (vid, score) in base.items():
+        fvid, fscore = fast[key]
+        assert fvid == vid, (key, vid, fvid)
+        assert abs(fscore - score) < 1e-9
+
+    # repartitioning must not change the result (local top-k is exact)
+    fast13 = {
+        (int(r["query_id"]), int(r["rank"])): int(r["vec_id"])
+        for r in similarity.cosine_topk_arrow(
+            emb.repartition(13), queries, "vec_id", "embedding",
+            "query_id", "qvec", k=7
+        ).collect()
+    }
+    assert fast13 == {key: vid for key, (vid, _) in fast.items()}
