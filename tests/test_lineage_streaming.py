@@ -281,3 +281,93 @@ def test_stream_to_spatial_table_prunes(spark, tmp_path):
             F.input_file_name().alias("f")).distinct().collect()
     }
     assert 0 < len(touched) < len(set(table.inputFiles()))
+
+
+def test_curated_stream_end_to_end(spark, tmp_path):
+    """Streaming curation preset: quality floor drops junk, PII is
+    redacted in place, exact dup within the watermark horizon is
+    dropped — one pass, one stateful stage."""
+    import datetime
+    import os
+
+    from pure_python_geospatial_export_spark.streaming.curate import (
+        curated_stream,
+    )
+
+    base = datetime.datetime(2024, 6, 1)
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "it runs far away to the hills and sleeps")
+    pii = good + " contact agent007@example.org now"
+    rows = [
+        (1, base, good),
+        (2, base + datetime.timedelta(minutes=1), "too short"),
+        (3, base + datetime.timedelta(minutes=2), pii),
+        (4, base + datetime.timedelta(minutes=3), good),  # dup of 1
+    ]
+    src_df = spark.createDataFrame(rows, ["page_id", "warc_ts", "text"])
+    src = os.path.join(tmp_path, "pages")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    src_df.write.parquet(src)
+    stream = spark.readStream.schema(src_df.schema).parquet(src)
+    out = curated_stream(stream, dedup_watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("curated")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["page_id"]: r["text"]
+           for r in spark.table("curated").collect()}
+    # 2 fails the quality floor; 1 and 4 are exact twins, so exactly
+    # ONE survives (which one is batch-internal arrival order — the
+    # operator guarantees dedup, not a representative)
+    assert 3 in got and len(got) == 2
+    (dup_kept,) = set(got) - {3}
+    assert dup_kept in (1, 4)
+    assert got[dup_kept] == good
+    assert got[3] == good + " contact <EMAIL> now"
+
+
+def test_curated_stream_stateless_matches_batch_preset(spark):
+    """With the stateful stage off, the streaming preset's filters must
+    keep exactly the rows the batch preset's filter stages keep."""
+    import datetime
+
+    from pure_python_geospatial_export_spark.functions import text as T
+    from pure_python_geospatial_export_spark.session import local_df
+    from pure_python_geospatial_export_spark.streaming.curate import (
+        curated_stream,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank and the other animals watch it in the morning light",
+        "x",
+        "!!! ??? ,,, ;;; ::: !!!",
+        "der hund und die katze ist das haus und der baum ist gross "
+        "und die sonne ist hell und das wasser ist kalt heute",
+    ]
+    rows = [
+        (i, datetime.datetime(2024, 6, 1), t)
+        for i, t in enumerate(texts)
+    ]
+    df = local_df(spark, rows, ["page_id", "warc_ts", "text"])
+    got = {
+        r["page_id"]
+        for r in curated_stream(
+            df, min_tokens=5, min_quality=0.3, keep_langs=["en"],
+            redact=False, dedup_watermark=None,
+        ).collect()
+    }
+    want = {
+        r["page_id"]
+        for r in df.where(
+            (T.token_count(F.col("text")) >= 5)
+            & (T.quality_score(F.col("text")) >= 0.3)
+            & T.lang_id(F.col("text")).isin(["en"])
+        ).collect()
+    }
+    assert got == want
+    assert got == {0}  # 1 too short, 2 pure punctuation, 3 German
