@@ -403,3 +403,92 @@ def test_tfidf_tie_breaks_on_term(spark):
         .orderBy("rank").collect()
     ]
     assert got == [(1, "alpha"), (2, "zeta")]
+
+
+def test_pii_cross_engine_fuzz(spark):
+    """2000 adversarial random strings, one Spark job vs one DuckDB
+    query: counts and redacted text must agree on every row — evidence
+    the patterns really live in the Java-regex/RE2 common subset."""
+    import random
+
+    import duckdb
+
+    from pure_python_geospatial_export_spark.functions import pii as P
+    from pure_python_geospatial_export_spark.session import local_df
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(42)
+    alpha = "ab.Z0129@._%+-() :\t/";
+
+    def rand_str():
+        return "".join(
+            rnd.choice(alpha) for _ in range(rnd.randrange(0, 60))
+        )
+
+    def emailish():
+        return "%s@%s.%s" % (
+            rand_str()[:8] or "x",
+            rnd.choice(["ex.co", "a", "b-c", "9"]),
+            "t" * rnd.randrange(1, 4),
+        )
+
+    def ipish():
+        return ".".join(
+            str(rnd.randrange(0, 10 ** rnd.randrange(1, 5)))
+            for _ in range(rnd.randrange(3, 6))
+        )
+
+    def phoneish():
+        return "+" * rnd.randrange(0, 2) + "".join(
+            rnd.choice("0123456789- ()")
+            for _ in range(rnd.randrange(4, 16))
+        )
+
+    rows = []
+    for i in range(2000):
+        kind = i % 4
+        if kind == 0:
+            s = rand_str()
+        elif kind == 1:
+            s = rand_str() + emailish() + rand_str()
+        elif kind == 2:
+            s = ipish() + " " + rand_str() + phoneish()
+        else:
+            s = emailish() + ipish() + phoneish()
+        rows.append((i, s))
+
+    df = local_df(spark, rows, ["id", "text"])
+    t = F.col("text")
+    got = {
+        r["id"]: (r["e"], r["i"], r["p"], r["red"])
+        for r in df.select(
+            "id",
+            P.email_count(t).alias("e"),
+            P.ipv4_count(t).alias("i"),
+            P.phone_count(t).alias("p"),
+            P.redact_pii(t).alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE fz(id INT, text VARCHAR)")
+    con.executemany("INSERT INTO fz VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            "SELECT id, %s, %s, %s, %s FROM fz"
+            % (
+                P.email_count_sql("text"),
+                P.ipv4_count_sql("text"),
+                P.phone_count_sql("text"),
+                P.redact_pii_sql("text"),
+            )
+        ).fetchall()
+    }
+    mismatches = {
+        i: (got[i], want[i]) for i in got if got[i] != want[i]
+    }
+    assert not mismatches, list(mismatches.items())[:5]
+    # the fixture actually exercises the patterns
+    assert sum(1 for v in got.values() if v[0] > 0) > 100
+    assert sum(1 for v in got.values() if v[1] > 0) > 100
+    assert sum(1 for v in got.values() if v[2] > 0) > 100
