@@ -77,9 +77,8 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(
-            "# BENCH/BASELINE — measured engine numbers\n\n"
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    section = (
             "## Scaling (north rule: efficiency >= 0.8 from N to 4N)\n\n"
             "Sandbox proxy for two cluster sizes: the identical flagship "
             "job (synthesize %d pages -> derive points -> spatial join vs "
@@ -102,8 +101,25 @@ def main() -> None:
                     {str(k): v for k, v in results.items()}, indent=1
                 ),
             )
-        )
-    print("wrote BENCH/BASELINE.md")
+    )
+    # REPLACE only this script's section — the file accumulates other
+    # measured sections (steady-state bench, operator A/Bs, linearity)
+    # that a full rewrite would destroy.
+    header = "# BENCH/BASELINE — measured engine numbers\n\n"
+    if os.path.exists(path):
+        old = open(path).read()
+        start = old.find("## Scaling")
+        if start == -1:
+            new = old.rstrip() + "\n\n" + section
+        else:
+            end = old.find("\n## ", start + 1)
+            tail = "" if end == -1 else old[end + 1:]
+            new = old[:start] + section.rstrip() + "\n\n" + tail
+    else:
+        new = header + section
+    with open(path, "w") as f:
+        f.write(new)
+    print("wrote BENCH/BASELINE.md (scaling section)")
 
 
 if __name__ == "__main__":
