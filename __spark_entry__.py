@@ -695,6 +695,17 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.curate import (
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return weighted_sample(
+        docs, "doc_id", "n_chars", k=5, group_cols=["source"]
+    ).select("doc_id", "source", "n_chars")
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pure_python_geospatial_export_spark.operators.curate import (
         tfidf_top_terms,
@@ -982,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "pack_docs": _q_pack_docs,
         "tfidf_terms": _q_tfidf,
+        "weighted_sample": _q_weighted_sample,
         "domain_quota": _q_domain_quota,
         "decontaminate": _q_decontaminate,
         "doc_sample": _q_doc_sample,
@@ -1532,6 +1544,18 @@ def oracle_sql() -> dict[str, str]:
         % T.token_count_sql("text")
     )
 
+    weighted_sample_sql = (
+        "WITH s AS (SELECT doc_id, source, n_chars, "
+        "round(pow((CAST(%s AS DOUBLE) + 1.0) / 4294967297.0, "
+        "1.0 / CAST(n_chars AS DOUBLE)), 12) AS sc FROM documents "
+        "WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0) "
+        "SELECT doc_id, source, n_chars FROM "
+        "(SELECT doc_id, source, n_chars, row_number() OVER "
+        "(PARTITION BY source ORDER BY sc DESC, doc_id ASC) AS rn "
+        "FROM s) WHERE rn <= 5"
+        % kmv_hash_sql("CAST(doc_id AS VARCHAR) || ''")
+    )
+
     tfidf_sql = (
         "WITH tk AS (SELECT doc_id, "
         "unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
@@ -1607,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition": repetition_sql,
         "pack_docs": pack_docs_sql,
         "tfidf_terms": tfidf_sql,
+        "weighted_sample": weighted_sample_sql,
         "domain_quota": domain_quota_sql,
         "decontaminate": decontaminate_sql,
         "doc_sample": doc_sample_sql,

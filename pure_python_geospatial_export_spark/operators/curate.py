@@ -225,6 +225,50 @@ def repetition_stats(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    k: int,
+    group_cols: Optional[list] = None,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis 2006): keep the ``k`` rows with the largest ``u^(1/w)``,
+    where ``u`` is a (0,1) uniform DERIVED FROM THE KEY HASH rather than
+    an RNG — so like :func:`deterministic_sample` the selection is a
+    pure function of (key, seed): partitioning, retries, cluster size,
+    and the DuckDB oracle all pick identical rows, while inclusion
+    probabilities stay proportional to weight (the training-mix op:
+    sample documents by quality/length without a global sort-by-random).
+
+    The sort key is rounded to 12 decimals before ranking (ties then
+    break on the key column) so cross-engine ``pow`` ulp drift cannot
+    reorder the boundary. Rows with ``weight <= 0`` or NULL are
+    excluded. One shuffle (the per-group window top-k)."""
+    from pyspark.sql import Window
+
+    from .sketch import HASH_SPACE, kmv_hash_col
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (kmv_hash_col(
+        F.concat(F.col(key_col).cast("string"), F.lit(seed))
+    ).cast("double") + F.lit(1.0)) / F.lit(HASH_SPACE + 1.0)
+    score = F.round(
+        F.pow(u, F.lit(1.0) / w.cast("double")), 12
+    )
+    parts = [F.col(c) for c in (group_cols or [])]
+    win = Window.partitionBy(*parts).orderBy(
+        score.desc(), F.col(key_col).asc()
+    )
+    return (
+        df.where(w.isNotNull() & (w.cast("double") > 0))
+        .withColumn("_ws_rn", F.row_number().over(win))
+        .where(F.col("_ws_rn") <= k)
+        .drop("_ws_rn")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

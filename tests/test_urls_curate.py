@@ -492,3 +492,75 @@ def test_pii_cross_engine_fuzz(spark):
     assert sum(1 for v in got.values() if v[0] > 0) > 100
     assert sum(1 for v in got.values() if v[1] > 0) > 100
     assert sum(1 for v in got.values() if v[2] > 0) > 100
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (operators/curate.py)
+# ---------------------------------------------------------------------------
+
+def _es_pick(keys, weights, k, seed=""):
+    """Pure-python mirror of the Efraimidis-Spirakis hash formula."""
+    import hashlib
+
+    scored = []
+    for key, w in zip(keys, weights):
+        if w is None or w <= 0:
+            continue
+        h = int(hashlib.md5(
+            ("%s%s" % (key, seed)).encode()
+        ).hexdigest()[:8], 16)
+        u = (h + 1.0) / 4294967297.0
+        scored.append((round(u ** (1.0 / w), 12), -key))
+    scored.sort(reverse=True)
+    return {int(-nk) for _sc, nk in scored[:k]}
+
+
+def test_weighted_sample_matches_python_mirror(spark):
+    import random
+
+    from pure_python_geospatial_export_spark.operators.curate import (
+        weighted_sample,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rnd = random.Random(3)
+    rows = [
+        ("g%d" % (i % 3), i, float(rnd.choice([0.5, 1.0, 5.0, 25.0])))
+        for i in range(600)
+    ]
+    # plant degenerate weights that must be excluded
+    rows += [("g0", 1000, 0.0), ("g1", 1001, -2.0)]
+    df = local_df(spark, rows, ["grp", "key", "w"])
+    got = {
+        (r["grp"], r["key"])
+        for r in weighted_sample(
+            df, "key", "w", k=10, group_cols=["grp"]
+        ).collect()
+    }
+    want = set()
+    for g in ("g0", "g1", "g2"):
+        sub = [(key, w) for grp, key, w in rows if grp == g]
+        picked = _es_pick([key for key, _ in sub],
+                          [w for _, w in sub], 10)
+        want |= {(g, key) for key in picked}
+    assert got == want
+    assert len(got) == 30
+    assert not {k for _, k in got} & {1000, 1001}
+
+
+def test_weighted_sample_inclusion_tracks_weight():
+    """Across seeds, heavy keys must be drawn far more often — the
+    whole point of weight-proportional sampling (pure-python mirror:
+    the Spark path computes the identical formula, pinned above)."""
+    keys = list(range(200))
+    weights = [10.0 if key < 20 else 1.0 for key in keys]
+    heavy_hits = light_hits = 0
+    for s in range(150):
+        picked = _es_pick(keys, weights, 20, seed="s%d" % s)
+        heavy_hits += sum(1 for key in picked if key < 20)
+        light_hits += sum(1 for key in picked if key >= 20)
+    # 20 heavy (w=10) vs 180 light (w=1): heavy expected inclusion
+    # rate per key is ~5x the light rate; demand at least 3x
+    heavy_rate = heavy_hits / (150 * 20)
+    light_rate = light_hits / (150 * 180)
+    assert heavy_rate > 3 * light_rate, (heavy_rate, light_rate)
