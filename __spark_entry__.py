@@ -874,6 +874,24 @@ def _q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.events import (
+        funnel_stages,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+def _q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.events import (
+        cohort_retention,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return cohort_retention(ev, period="week")
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (
@@ -1000,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_sources": _q_top_sources,
         "events_quantiles": _q_events_quantiles,
         "quantile_sketch": _q_quantile_sketch,
+        "events_funnel": _q_events_funnel,
+        "events_cohort": _q_events_cohort,
         "events_sessions": _q_events_sessions,
         "events_rollup": _q_events_rollup,
         "events_json": _q_events_json,
@@ -1637,6 +1657,34 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": doc_sample_sql,
         "top_sources": top_sources_sql,
         "events_quantiles": events_quantiles_sql,
+        "events_funnel": (
+            "WITH e1 AS (SELECT user_id, ts, event_type, "
+            "min(CASE WHEN event_type = 'view' THEN ts END) "
+            "OVER (PARTITION BY user_id) AS t_1 FROM events), "
+            "e2 AS (SELECT *, min(CASE WHEN event_type = 'click' "
+            "AND ts > t_1 THEN ts END) "
+            "OVER (PARTITION BY user_id) AS t_2 FROM e1), "
+            "e3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' "
+            "AND ts > t_2 THEN ts END) "
+            "OVER (PARTITION BY user_id) AS t_3 FROM e2) "
+            "SELECT user_id, max(t_1) AS t_1, max(t_2) AS t_2, "
+            "max(t_3) AS t_3, CAST(CASE "
+            "WHEN max(t_3) IS NOT NULL THEN 3 "
+            "WHEN max(t_2) IS NOT NULL THEN 2 "
+            "WHEN max(t_1) IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) "
+            "AS reached FROM e3 GROUP BY user_id"
+        ),
+        "events_cohort": (
+            "WITH f AS (SELECT user_id, ts, "
+            "min(ts) OVER (PARTITION BY user_id) AS first_ts "
+            "FROM events), "
+            "c AS (SELECT user_id, date_trunc('week', first_ts) AS "
+            "cohort, CAST(floor(datediff('day', "
+            "date_trunc('week', first_ts), date_trunc('week', ts)) "
+            "/ 7.0) AS INTEGER) AS \"offset\" FROM f) "
+            "SELECT cohort, \"offset\", count(DISTINCT user_id) "
+            "AS n_users FROM c GROUP BY cohort, \"offset\""
+        ),
         "quantile_sketch": (
             "WITH g AS (SELECT event_type, list_sort(list(value)) AS vs "
             "FROM events GROUP BY event_type), "
