@@ -892,6 +892,37 @@ def _q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, period="week")
 
 
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable continuous aggregate: build the day-chunked layout +
+    # precomputed rollup in a scratch dir, then serve precomputed-days
+    # UNION fresh-tail — the result must equal a flat recompute over the
+    # raw events (the DuckDB oracle), proving the chunk/tail seam.
+    import hashlib
+    import tempfile
+
+    from pure_python_geospatial_export_spark.sources.timeseries import (
+        serve_rollup,
+        write_events_table,
+        write_rollup,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(
+        tempfile.gettempdir(), "ppge_tsroll_%s" % tag
+    )
+    write_events_table(ev, os.path.join(base, "events"))
+    write_rollup(
+        spark, os.path.join(base, "events"), os.path.join(base, "rollup")
+    )
+    return serve_rollup(
+        spark,
+        os.path.join(base, "events"),
+        os.path.join(base, "rollup"),
+        "2024-01-21",
+    )
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (
@@ -1020,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": _q_quantile_sketch,
         "events_funnel": _q_events_funnel,
         "events_cohort": _q_events_cohort,
+        "time_rollup": _q_time_rollup,
         "events_sessions": _q_events_sessions,
         "events_rollup": _q_events_rollup,
         "events_json": _q_events_json,
@@ -1684,6 +1716,13 @@ def oracle_sql() -> dict[str, str]:
             "/ 7.0) AS INTEGER) AS \"offset\" FROM f) "
             "SELECT cohort, \"offset\", count(DISTINCT user_id) "
             "AS n_users FROM c GROUP BY cohort, \"offset\""
+        ),
+        "time_rollup": (
+            "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+            "event_type, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_cents "
+            "FROM events GROUP BY 1, 2"
         ),
         "quantile_sketch": (
             "WITH g AS (SELECT event_type, list_sort(list(value)) AS vs "
