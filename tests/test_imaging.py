@@ -166,3 +166,48 @@ def test_extract_features_real_decode(spark):
     # feature values match the local computation exactly
     want = imaging.image_feature(imaging.decode_png(png)).tolist()
     assert got[1]["feature"] == pytest.approx(want)
+
+
+def test_image_near_dup_pipeline(spark):
+    """End-to-end image near-dup: PNG payloads -> real decode ->
+    grid-brightness features -> banded sign-LSH embedding near-dup.
+    Perturbed copies of the same image pair up; unrelated images don't
+    — the multimodal column feeding the similarity stack directly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pure_python_geospatial_export_spark.operators import (
+        imaging,
+        multimodal,
+        similarity,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rng = np.random.default_rng(12)
+    base_a = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+    base_b = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+
+    def perturb(px, eps):
+        noise = rng.integers(-eps, eps + 1, px.shape)
+        return np.clip(px.astype(int) + noise, 0, 255).astype(np.uint8)
+
+    payloads = [
+        (0, "image", bytearray(imaging.encode_png(base_a))),
+        (1, "image", bytearray(imaging.encode_png(perturb(base_a, 2)))),
+        (2, "image", bytearray(imaging.encode_png(base_b))),
+        (3, "image", bytearray(imaging.encode_png(perturb(base_b, 2)))),
+    ]
+    df = local_df(spark, payloads, ["media_id", "kind", "payload"])
+    feats = multimodal.extract_features(df).where(
+        F.col("feature").isNotNull()
+    ).select("media_id", F.col("feature").alias("embedding"))
+    assert feats.count() == 4
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in similarity.embedding_near_duplicates(
+            feats, "media_id", "embedding",
+            threshold=0.995, n_bands=8, band_planes=4, dim=18,
+        ).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert not {(0, 2), (0, 3), (1, 2), (1, 3)} & pairs
