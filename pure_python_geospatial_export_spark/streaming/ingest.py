@@ -181,3 +181,31 @@ def stream_to_spatial_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_to_events_table(
+    events_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+):
+    """Continuously ingest an events stream into the day-chunked
+    hypertable layout (sources/timeseries.py): each micro-batch lands
+    under its ``part_day`` partitions, so :func:`read_time_range`
+    prunes live data exactly like batch-written data, and
+    ``write_rollup`` refreshes the continuous aggregate from the same
+    directories. Micro-batches accumulate small files per day —
+    schedule ``compact``-style rewrites or size micro-batches
+    accordingly (same trade as the spatial streaming sink). Returns the
+    started StreamingQuery."""
+    from ..sources.timeseries import _day_col
+
+    out = events_stream.withColumn("part_day", _day_col(ts_col))
+    return (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("part_day")
+        .trigger(availableNow=True)
+        .start()
+    )

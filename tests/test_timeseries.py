@@ -115,3 +115,43 @@ def test_rollup_incremental_day_append(spark, tmp_path):
     assert len(served) == 1
     assert served[0]["n_events"] == 20
     assert served[0]["sum_cents"] == 20 * 125
+
+
+def test_stream_ingest_into_time_layout(spark, tmp_path):
+    """Streamed micro-batches land in part_day dirs; pruned range reads
+    and the continuous aggregate work on live-ingested data."""
+    from pure_python_geospatial_export_spark.streaming.ingest import (
+        stream_to_events_table,
+    )
+
+    src = os.path.join(tmp_path, "src")
+    table = os.path.join(tmp_path, "events")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    roll = os.path.join(tmp_path, "rollup")
+    df = _events_df(spark, n=200, days=4)
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = stream_to_events_table(stream, table, ckpt)
+    q.awaitTermination()
+
+    got = read_time_range(
+        spark, table, "2024-05-02 00:00:00", "2024-05-04 00:00:00"
+    )
+    lo, hi = datetime.datetime(2024, 5, 2), datetime.datetime(2024, 5, 4)
+    want = {r["event_id"] for r in df.collect() if lo <= r["ts"] < hi}
+    assert {r["event_id"] for r in got.collect()} == want and want
+
+    write_rollup(spark, table, roll)
+    served = {
+        (r["day"], r["event_type"]): r["n_events"]
+        for r in serve_rollup(spark, table, roll, "2024-05-03").collect()
+    }
+    flat = {
+        (r["day"], r["event_type"]): r["n_events"]
+        for r in df.withColumn(
+            "day", F.date_trunc("day", "ts").cast("date")
+        ).groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        ).collect()
+    }
+    assert served == flat
