@@ -1,0 +1,52 @@
+"""Physical-plan regression locks for the measured perf wins.
+
+These plans were audited and tuned across rounds (docs/PLANS.md); a
+Catalyst-visible regression — a shuffle creeping back into the flagship
+join, the kNN window re-shuffling its candidates, the repetition
+scalars hoisting above the explode — should fail CI, not a future
+benchmark."""
+
+import os
+
+import __spark_entry__ as em
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _plan(spark, name):
+    df = em.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan):
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange RoundRobin")
+    )
+
+
+def test_flagship_pip_join_is_shuffle_free(spark):
+    """The r2 win: broadcast cell-cover join, interior cells resolved in
+    codegen, boundary refined inside the scan stage — ZERO shuffle
+    exchanges anywhere (broadcasts are fine and expected)."""
+    plan = _plan(spark, "pip_join")
+    assert _shuffles(plan) == 0, plan
+    assert "BroadcastExchange" in plan
+
+
+def test_knn_grid_single_shuffle(spark):
+    """The top-k window keys on a superset of the join's partitioning
+    keys, so the replicated candidate relation is NOT re-shuffled: one
+    hash exchange total."""
+    plan = _plan(spark, "knn_grid")
+    assert _shuffles(plan) == 1, plan
+
+
+def test_repetition_projects_scalars_below_generate(spark):
+    """Tokenization scalars must sit in the Project UNDER the Generate
+    (parent prints first): if ExtractGenerator hoists them above, they
+    re-evaluate per exploded gram row — O(tokens^2)/doc."""
+    plan = _plan(spark, "repetition")
+    assert plan.index("Generate") < plan.index("array_distinct"), plan
+    assert _shuffles(plan) == 2, plan  # gram count + per-doc max
