@@ -565,6 +565,26 @@ def _q_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same planted-twin fixture as minhash_pairs (suffix-appended copies
+    # are true near-dups); natural word-salad 3-gram overlap tops out
+    # ~0.03, so threshold 0.5 isolates exactly the planted pairs
+    from pure_python_geospatial_export_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    base = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).where(F.col("doc_id") < 120).select("doc_id", "text")
+    planted = base.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
+    )
+    return ngram_jaccard_pairs(
+        base.unionAll(planted), "doc_id", "text", threshold=0.5
+    )
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup fixture: every doc + a one-token-appended mutation
     docs = spark.read.parquet(
@@ -1057,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "bpe_tokens": _q_bpe_tokens,
         "wkt_roundtrip": _q_wkt_roundtrip,
+        "jaccard_pairs": _q_jaccard_pairs,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1388,6 +1409,35 @@ def oracle_sql() -> dict[str, str]:
     # near-dups far above the threshold), so the OUTPUT equals the exact
     # all-pairs threshold set, which DuckDB can compute directly. The
     # shingling (strip/split/3-gram/distinct) mirrors the Arrow kernel.
+    # exact all-pairs n-gram Jaccard on a bounded subset (the no-LSH
+    # small-data path gets its own driver-level evidence)
+    jaccard_pairs_sql = """
+        WITH alldocs AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 120
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text || ' zzzz' AS text
+          FROM documents WHERE doc_id < 120
+        ), toks AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM alldocs
+        ), sh AS (
+          SELECT doc_id,
+            CASE WHEN len(t) >= 3 THEN
+              list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+            ELSE [text] END AS shingles
+          FROM toks
+        )
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / CAST(len(list_distinct(
+                    list_concat(a.shingles, b.shingles))) AS DOUBLE)
+              AS jaccard
+          FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        ) WHERE jaccard >= 0.5"""
+
     minhash_pairs_sql = """
         WITH alldocs AS (
           SELECT doc_id, text FROM documents
@@ -1738,6 +1788,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": events_json_sql,
         "bpe_tokens": bpe_tokens_sql,
         "wkt_roundtrip": wkt_roundtrip_sql,
+        "jaccard_pairs": jaccard_pairs_sql,
         "minhash_pairs": minhash_pairs_sql,
         "simhash_pairs": simhash_pairs_sql,
         "embedding_near_dup": embedding_near_dup_sql,
