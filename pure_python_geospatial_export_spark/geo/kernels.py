@@ -189,6 +189,59 @@ def _clip_ring_halfplane(
     return np.asarray(out, dtype=np.float64)
 
 
+def _clip_ring_axis(
+    ring: np.ndarray, line: float, axis: int, keep_low: bool
+) -> Optional[np.ndarray]:
+    """Sutherland-Hodgman clip against ``coord[axis] <= line`` (or >=).
+    Generalizes :func:`_clip_ring_halfplane` to both axes (tile/bbox
+    clipping needs y cuts too). Returns a closed ring or None."""
+    out: List[List[float]] = []
+    for i in range(len(ring) - 1):
+        p, q = ring[i], ring[i + 1]
+        pin = p[axis] <= line if keep_low else p[axis] >= line
+        qin = q[axis] <= line if keep_low else q[axis] >= line
+        if pin:
+            out.append([p[0], p[1]])
+            if not qin:
+                t = (line - p[axis]) / (q[axis] - p[axis])
+                v = [0.0, 0.0]
+                v[axis] = line
+                v[1 - axis] = p[1 - axis] + t * (q[1 - axis]
+                                                 - p[1 - axis])
+                out.append(v)
+        elif qin:
+            t = (line - p[axis]) / (q[axis] - p[axis])
+            v = [0.0, 0.0]
+            v[axis] = line
+            v[1 - axis] = p[1 - axis] + t * (q[1 - axis] - p[1 - axis])
+            out.append(v)
+    if len(out) < 3:
+        return None
+    out.append(list(out[0]))
+    return np.asarray(out, dtype=np.float64)
+
+
+def clip_ring_bbox(ring, bbox) -> Optional[np.ndarray]:
+    """Clip a closed ring to a bbox (four successive half-plane cuts).
+    Returns the clipped closed ring or None when nothing remains.
+    Concave rings crossing a side multiple times come back as one ring
+    joined by zero-width bridges along the cut line — crossing-parity
+    tests and signed areas are unaffected (same convention as the
+    antimeridian seam split)."""
+    x0, y0, x1, y1 = (float(v) for v in bbox)
+    arr = np.asarray(ring, dtype=np.float64)[:, :2]
+    for line, axis, keep_low in (
+        (x0, 0, False),
+        (x1, 0, True),
+        (y0, 1, False),
+        (y1, 1, True),
+    ):
+        arr = _clip_ring_axis(arr, line, axis, keep_low)
+        if arr is None:
+            return None
+    return arr
+
+
 def split_ring_antimeridian(ring) -> List[np.ndarray]:
     """Split a dateline-crossing ring into lobes entirely within
     [-180, 180], each a valid closed planar ring.

@@ -149,3 +149,63 @@ def quadkey_col(tx, ty, zoom: int):
         for i in range(zoom)
     ]
     return F.concat(*digits)
+
+
+def clip_layer_to_tiles(
+    layer: DataFrame, res: int, edges: str = "planar"
+) -> DataFrame:
+    """Cut each layer polygon into per-tile pieces — the vector-tile
+    export primitive: (polygon_id, name, tile_id, is_full, wkt).
+
+    FULL cover cells skip geometry entirely (the piece IS the cell
+    rectangle — the same interior fast path the spatial join rides);
+    boundary cells clip every ring to the cell bbox with the
+    Sutherland-Hodgman kernel (geo/kernels.clip_ring_bbox). Clipped
+    rings keep even-odd semantics, so a point is inside the original
+    polygon iff it is inside its tile's piece (pinned by the parity
+    test). Antimeridian-crossing and pole-encircling rings are
+    lobe-split first, so seam polygons tile correctly too.
+
+    The layer is the dimension side (driver-collected, like the cover
+    build); output size is O(cover cells), distributed via the Arrow
+    local-table path.
+    """
+    from ..geo import cells as cellmod
+    from ..geo import kernels
+    from ..geo import wkt as wktmod
+    from ..session import local_df
+    from ..sources.polygons import load_rings
+
+    rows = []
+    for pid, info in sorted(load_rings(layer).items()):
+        rings = kernels.expand_antimeridian_rings(info["rings"])
+        cover = cellmod.polygon_cover(info["rings"], res, edges=edges)
+        for cell, full in sorted(cover):
+            x0, y0, x1, y1 = cellmod.cell_bounds(int(cell))
+            if full:
+                coords = [[
+                    [x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0],
+                ]]
+            else:
+                coords = []
+                for ring in rings:
+                    clipped = kernels.clip_ring_bbox(
+                        ring, (x0, y0, x1, y1)
+                    )
+                    if clipped is not None:
+                        coords.append(clipped.tolist())
+                if not coords:
+                    continue
+            rows.append((
+                int(pid),
+                info["name"],
+                int(cell),
+                bool(full),
+                wktmod.dumps(
+                    {"type": "Polygon", "coordinates": coords}, 12
+                ),
+            ))
+    return local_df(
+        layer.sparkSession, rows,
+        ["polygon_id", "name", "tile_id", "is_full", "wkt"],
+    )
