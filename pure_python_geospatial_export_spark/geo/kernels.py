@@ -242,6 +242,76 @@ def clip_ring_bbox(ring, bbox) -> Optional[np.ndarray]:
     return arr
 
 
+def simplify_line(points, tolerance: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification: keep the subset of
+    vertices whose removal would deviate the line by more than
+    ``tolerance`` (perpendicular distance). Endpoints always survive.
+    Iterative stack (no recursion limit); distances vectorized per
+    segment. Deterministic: the farthest-point tie breaks on the lowest
+    index (argmax)."""
+    arr = np.asarray(points, dtype=np.float64)[:, :2]
+    n = len(arr)
+    if n <= 2:
+        return arr.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        seg = arr[j] - arr[i]
+        span = float(np.hypot(seg[0], seg[1]))
+        mid = arr[i + 1:j] - arr[i]
+        if span == 0.0:
+            d = np.hypot(mid[:, 0], mid[:, 1])
+        else:
+            d = np.abs(mid[:, 0] * seg[1] - mid[:, 1] * seg[0]) / span
+        k = int(np.argmax(d))
+        if float(d[k]) > tolerance:
+            k += i + 1
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return arr[keep]
+
+
+def simplify_ring(ring, tolerance: float) -> Optional[np.ndarray]:
+    """Douglas-Peucker for a CLOSED ring: the ring is split at its two
+    mutually farthest vertices (so no edge of the closed shape is
+    anchored arbitrarily), each half simplifies as a polyline, and the
+    halves rejoin closed. Returns None when the ring collapses below 3
+    distinct vertices (degenerate at this tolerance) — callers drop it,
+    which is the correct rendering semantics for a sub-tolerance
+    feature."""
+    arr = np.asarray(ring, dtype=np.float64)[:, :2]
+    if len(arr) > 0 and (arr[0] == arr[-1]).all():
+        arr = arr[:-1]
+    if len(arr) < 3:
+        return None
+    # anchor at the farthest pair from vertex 0 (O(n) twice — adequate
+    # anchor quality without the O(n^2) diameter)
+    d0 = np.hypot(*(arr - arr[0]).T)
+    a = int(np.argmax(d0))
+    da = np.hypot(*(arr - arr[a]).T)
+    b = int(np.argmax(da))
+    a, b = min(a, b), max(a, b)
+    if a == b:
+        return None
+    half1 = simplify_line(arr[a:b + 1], tolerance)
+    half2 = simplify_line(
+        np.concatenate([arr[b:], arr[:a + 1]]), tolerance
+    )
+    out = np.concatenate([half1[:-1], half2[:-1]])
+    # dedupe consecutive coincident vertices left by the join
+    dif = np.diff(np.concatenate([out, out[:1]]), axis=0)
+    mask = (np.abs(dif) > 0).any(axis=1)
+    out = out[mask]
+    if len(out) < 3:
+        return None
+    return np.concatenate([out, out[:1]])
+
+
 def split_ring_antimeridian(ring) -> List[np.ndarray]:
     """Split a dateline-crossing ring into lobes entirely within
     [-180, 180], each a valid closed planar ring.

@@ -209,3 +209,58 @@ def clip_layer_to_tiles(
         layer.sparkSession, rows,
         ["polygon_id", "name", "tile_id", "is_full", "wkt"],
     )
+
+
+def vector_tile_pyramid(
+    layer: DataFrame,
+    min_res: int,
+    max_res: int,
+    px: int = 256,
+    edges: str = "planar",
+) -> DataFrame:
+    """Per-zoom vector tiles: (level, polygon_id, name, tile_id,
+    is_full, wkt) — at each level the layer geometry is simplified to
+    ~one tile pixel (Douglas-Peucker, tolerance = cell_width / px)
+    before clipping, so coarse zooms carry coarse geometry: the
+    standard vector-tile build. Sub-pixel features vanish at coarse
+    zooms (simplify_ring collapsing them is the intended rendering
+    semantics). Same driver-side dimension-layer contract as
+    :func:`clip_layer_to_tiles`."""
+    from ..geo import kernels
+    from ..geo import wkt as wktmod
+    from ..session import local_df
+    from ..sources.polygons import load_rings
+
+    rings_by_id = load_rings(layer)
+    spark = layer.sparkSession
+    parts = []
+    for res in range(int(min_res), int(max_res) + 1):
+        tol = 360.0 / (1 << res) / float(px)
+        rows = []
+        for pid, info in sorted(rings_by_id.items()):
+            simp = [
+                s for s in (
+                    kernels.simplify_ring(r, tol) for r in info["rings"]
+                ) if s is not None
+            ]
+            if not simp:
+                continue
+            rows.append((pid, info["name"], wktmod.dumps({
+                "type": "Polygon",
+                "coordinates": [s.tolist() for s in simp],
+            }, 12)))
+        if not rows:
+            continue
+        lvl_layer = local_df(spark, rows, ["polygon_id", "name", "wkt"])
+        parts.append(
+            clip_layer_to_tiles(lvl_layer, res, edges=edges)
+            .withColumn("level", F.lit(res))
+        )
+    if not parts:
+        raise ValueError("no geometry survived at any level")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "level", "polygon_id", "name", "tile_id", "is_full", "wkt"
+    )

@@ -98,3 +98,49 @@ def test_clip_seam_polygon(spark):
     xs = {cellmod.decode(np.array([c]))[0][0] for c in pieces}
     n = 1 << res
     assert any(x <= 1 for x in xs) and any(x >= n - 2 for x in xs)
+
+
+def test_vector_tile_pyramid_levels(spark):
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        vector_tile_pyramid,
+    )
+
+    layer = local_df(
+        spark, [(1, "poly", CONCAVE_WITH_HOLE)],
+        ["polygon_id", "name", "wkt"],
+    )
+    rows = vector_tile_pyramid(layer, 3, 6).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    assert set(by_level) == {3, 4, 5, 6}
+    # finer levels cut more tiles
+    assert len(by_level[6]) > len(by_level[3])
+    # total vertex budget per level is monotone coarse <= fine (the
+    # simplification is doing its job)
+    def verts(rs):
+        return sum(
+            sum(len(ring) for ring in
+                wktmod.loads(r["wkt"])["coordinates"])
+            for r in rs if not r["is_full"]
+        )
+    v = {lvl: verts(rs) for lvl, rs in by_level.items()}
+    assert v[3] <= v[6]
+    # area conservation still holds per level within the per-level
+    # simplification tolerance (perimeter * tol bound, generous 3x)
+    for lvl, rs in by_level.items():
+        tol = 360.0 / (1 << lvl) / 256.0
+        total = 0.0
+        for r in rs:
+            if r["is_full"]:
+                x0, y0, x1, y1 = cellmod.cell_bounds(int(r["tile_id"]))
+                total += (x1 - x0) * (y1 - y0)
+            else:
+                total += _even_odd_area(
+                    wktmod.loads(r["wkt"])["coordinates"]
+                )
+        want = _even_odd_area(
+            wktmod.loads(CONCAVE_WITH_HOLE)["coordinates"]
+        )
+        perim = 2 * (40 + 34) + 2 * (6 + 5) + 2 * 26
+        assert abs(total - want) <= 3 * perim * tol + 1e-9, lvl
