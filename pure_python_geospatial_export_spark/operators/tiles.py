@@ -264,3 +264,87 @@ def vector_tile_pyramid(
     return out.select(
         "level", "polygon_id", "name", "tile_id", "is_full", "wkt"
     )
+
+
+def simplify_wkt(
+    df: DataFrame,
+    tolerance: float,
+    wkt_col: str = "wkt",
+    out_col: str = "wkt_simplified",
+) -> DataFrame:
+    """Fact-scale Douglas-Peucker: simplify a WKT geometry COLUMN (the
+    10^12-row side — building footprints, parcels — not the dimension
+    layer) with an Arrow ``mapInPandas`` kernel. Polygon/MultiPolygon
+    rings simplify per ring (sub-tolerance rings drop; a polygon whose
+    exterior collapses becomes NULL); Line/MultiLine simplify as
+    polylines; points pass through. Malformed or non-simplifiable
+    input nulls out (P8 convention). Stateless per row — no shuffle,
+    scales with the scan."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..geo import kernels
+    from ..geo import wkt as wktmod
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, StringType(),
+                                              True)]
+    )
+    tol = float(tolerance)
+
+    def _simp_geom(geom):
+        t = geom["type"]
+        if t == "Polygon":
+            rings = [
+                s for s in (kernels.simplify_ring(r, tol)
+                            for r in geom["coordinates"])
+                if s is not None
+            ]
+            if not rings:
+                return None
+            return {"type": "Polygon",
+                    "coordinates": [r.tolist() for r in rings]}
+        if t == "MultiPolygon":
+            polys = []
+            for poly in geom["coordinates"]:
+                rings = [
+                    s for s in (kernels.simplify_ring(r, tol)
+                                for r in poly)
+                    if s is not None
+                ]
+                if rings:
+                    polys.append([r.tolist() for r in rings])
+            if not polys:
+                return None
+            return {"type": "MultiPolygon", "coordinates": polys}
+        if t == "LineString":
+            return {
+                "type": "LineString",
+                "coordinates": kernels.simplify_line(
+                    geom["coordinates"], tol
+                ).tolist(),
+            }
+        if t == "MultiLineString":
+            return {
+                "type": "MultiLineString",
+                "coordinates": [
+                    kernels.simplify_line(line, tol).tolist()
+                    for line in geom["coordinates"]
+                ],
+            }
+        return geom  # points etc. pass through
+
+    def kernel(batches):
+        for pdf in batches:
+            outs = []
+            for s in pdf[wkt_col]:
+                try:
+                    g = _simp_geom(wktmod.loads(s))
+                    outs.append(None if g is None
+                                else wktmod.dumps(g, 12))
+                except Exception:
+                    outs.append(None)
+            yield pdf.assign(**{out_col: pd.Series(outs, dtype=object,
+                                                   index=pdf.index)})
+
+    return df.mapInPandas(kernel, out_schema)

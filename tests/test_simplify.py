@@ -82,3 +82,39 @@ def test_simplify_ring_collapses_subtolerance_feature():
     line2 = np.array([[0.0, 0.0], [1.0, 1.0]])
     out = kernels.simplify_line(line2, 10.0)
     assert (out == line2).all()
+
+
+def test_simplify_wkt_column(spark):
+    from pure_python_geospatial_export_spark.geo import wkt as wktmod
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        simplify_wkt,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    t = np.linspace(0, 2 * np.pi, 100, endpoint=False)
+    ring = np.column_stack([
+        10 * np.cos(t) + 0.02 * np.sin(31 * t), 10 * np.sin(t),
+    ])
+    ring = np.concatenate([ring, ring[:1]])
+    poly = wktmod.dumps(
+        {"type": "Polygon", "coordinates": [ring.tolist()]}, 12
+    )
+    rows = [
+        (1, poly),
+        (2, "LINESTRING (0 0, 1 0.001, 2 0, 3 5, 4 0)"),
+        (3, "POINT (3 4)"),
+        (4, "POLYGON ((0 0, 0.001 0, 0.001 0.001, 0 0))"),  # collapses
+        (5, "not a geometry"),
+    ]
+    df = local_df(spark, rows, ["gid", "wkt"])
+    got = {r["gid"]: r["wkt_simplified"]
+           for r in simplify_wkt(df, 0.1).collect()}
+    g1 = wktmod.loads(got[1])
+    assert g1["type"] == "Polygon"
+    assert 3 <= len(g1["coordinates"][0]) - 1 < 100
+    g2 = wktmod.loads(got[2])
+    assert g2["coordinates"] == [[0, 0], [2, 0], [3, 5], [4, 0]] or \
+        len(g2["coordinates"]) <= 4
+    assert got[3] == "POINT (3.000000000000 4.000000000000)"
+    assert got[4] is None
+    assert got[5] is None
