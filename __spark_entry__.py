@@ -350,6 +350,36 @@ def _q_pip_join_antimeridian(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_polygon_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # areal probes: a square of doc-dependent size around each doc
+    # point, joined to the rectangle layer by the exact "intersects"
+    # predicate. Rectangle-vs-rectangle(-with-hole) intersects is pure
+    # interval arithmetic, so the oracle mirrors it in SQL: overlap the
+    # outer box, minus probes STRICTLY inside a hole's open interior
+    # (boundary contact counts as intersecting on both sides). Probe
+    # coords round to 6 decimals before the WKT text so the parsed
+    # doubles equal the oracle's round(x, 6).
+    from pure_python_geospatial_export_spark.operators.spatial_join import (
+        polygon_overlap_join,
+    )
+
+    pts = _docs_points(spark, sf_dir)
+    half = F.lit(0.2) + (F.col("doc_id") % 4).cast("double") * F.lit(0.15)
+    x0 = F.round(F.col("lon") - half, 6)
+    x1 = F.round(F.col("lon") + half, 6)
+    y0 = F.round(F.col("lat") - half, 6)
+    y1 = F.round(F.col("lat") + half, 6)
+    probe_wkt = F.format_string(
+        "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, "
+        "%.6f %.6f))",
+        x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
+    )
+    probes = pts.select("doc_id", probe_wkt.alias("wkt"))
+    return polygon_overlap_join(
+        probes, _layer_df(spark), res=6, id_col="doc_id"
+    ).select("doc_id", "name")
+
+
 # Pole-encircling rings (planar polar-cap convention): a ring winding
 # once around in longitude bounds the cap on the side of its mean
 # latitude. The Antarctic ring winds eastward, the Arctic ring westward —
@@ -1037,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_salted": _q_pip_join_salted,
         "pip_join_antimeridian": _q_pip_join_antimeridian,
         "pip_join_polar": _q_pip_join_polar,
+        "polygon_overlap": _q_polygon_overlap,
         "bbox_filter": _q_bbox_filter,
         "tile_assign": _q_tile_assign,
         "zonal_stats": _q_zonal_stats,
@@ -1111,6 +1142,40 @@ def oracle_sql() -> dict[str, str]:
         " SELECT doc_id, 'antarctic' AS name FROM pts WHERE lat < -70.0"
         " UNION ALL"
         " SELECT doc_id, 'arctic' AS name FROM pts WHERE lat > 75.0"
+    )
+
+    # rectangle-probe "intersects": interval overlap on the outer box,
+    # minus probes strictly inside a hole's open interior
+    _pb_cte = (
+        ", pb AS (SELECT doc_id, "
+        "round(lon - (0.2 + CAST(doc_id % 4 AS DOUBLE) * 0.15), 6) "
+        "AS px0, "
+        "round(lon + (0.2 + CAST(doc_id % 4 AS DOUBLE) * 0.15), 6) "
+        "AS px1, "
+        "round(lat - (0.2 + CAST(doc_id % 4 AS DOUBLE) * 0.15), 6) "
+        "AS py0, "
+        "round(lat + (0.2 + CAST(doc_id % 4 AS DOUBLE) * 0.15), 6) "
+        "AS py1 FROM pts)"
+    )
+    overlap_parts = []
+    for _pid, rname, (ox0, oy0, ox1, oy1), hole in _rects():
+        pred = (
+            "px0 <= %r AND px1 >= %r AND py0 <= %r AND py1 >= %r"
+            % (ox1, ox0, oy1, oy0)
+        )
+        if hole:
+            hx0, hy0, hx1, hy1 = hole
+            pred += (
+                " AND NOT (px0 > %r AND px1 < %r"
+                " AND py0 > %r AND py1 < %r)"
+                % (hx0, hx1, hy0, hy1)
+            )
+        overlap_parts.append(
+            "SELECT doc_id, '%s' AS name FROM pb WHERE %s"
+            % (rname, pred)
+        )
+    polygon_overlap_sql = (
+        PTS_CTE + _pb_cte + " " + " UNION ALL ".join(overlap_parts)
     )
 
     bbox_parts = [
@@ -1701,6 +1766,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join_salted": pip_sql,
         "pip_join_antimeridian": pip_antimeridian_sql,
         "pip_join_polar": pip_polar_sql,
+        "polygon_overlap": polygon_overlap_sql,
         "bbox_filter": bbox_sql,
         "tile_assign": tile_assign_sql,
         "zonal_stats": zonal_sql,

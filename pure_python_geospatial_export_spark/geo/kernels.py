@@ -242,6 +242,78 @@ def clip_ring_bbox(ring, bbox) -> Optional[np.ndarray]:
     return arr
 
 
+def segments_intersect_any(a: np.ndarray, b: np.ndarray) -> bool:
+    """True when ANY edge of closed ring ``a`` intersects any edge of
+    closed ring ``b`` (proper crossings, collinear overlaps, and
+    endpoint touches all count). Vectorized (|a| x |b|) orientation
+    tests — both rings are small-polygon sized, so the dense matrix is
+    the fast path."""
+    p = np.asarray(a, dtype=np.float64)
+    q = np.asarray(b, dtype=np.float64)
+    p1, p2 = p[:-1], p[1:]
+    q1, q2 = q[:-1], q[1:]
+
+    def cross(o, d, pts):
+        # orientation of pts relative to segment (o -> o+d), broadcast
+        return (d[..., 0] * (pts[..., 1] - o[..., 1])
+                - d[..., 1] * (pts[..., 0] - o[..., 0]))
+
+    dp = p2 - p1
+    dq = q2 - q1
+    P1, P2 = p1[:, None, :], p2[:, None, :]
+    Q1, Q2 = q1[None, :, :], q2[None, :, :]
+    DP, DQ = dp[:, None, :], dq[None, :, :]
+    d1 = cross(P1, DP, Q1)
+    d2 = cross(P1, DP, Q2)
+    d3 = cross(Q1, DQ, P1)
+    d4 = cross(Q1, DQ, P2)
+    proper = (
+        ((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
+        & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
+    )
+    if bool(proper.any()):
+        return True
+
+    def on_seg(s1, s2, pts, d):
+        return (
+            (d == 0)
+            & (pts[..., 0] >= np.minimum(s1[..., 0], s2[..., 0]))
+            & (pts[..., 0] <= np.maximum(s1[..., 0], s2[..., 0]))
+            & (pts[..., 1] >= np.minimum(s1[..., 1], s2[..., 1]))
+            & (pts[..., 1] <= np.maximum(s1[..., 1], s2[..., 1]))
+        )
+    touch = (
+        on_seg(P1, P2, Q1, d1) | on_seg(P1, P2, Q2, d2)
+        | on_seg(Q1, Q2, P1, d3) | on_seg(Q1, Q2, P2, d4)
+    )
+    return bool(touch.any())
+
+
+def polygons_intersect(rings_a, rings_b) -> bool:
+    """Exact "intersects" predicate between two even-odd polygons given
+    as GeoJSON ring lists (boundary contact counts). True iff a vertex
+    of either polygon lies inside the other, or any boundary edges
+    cross/touch — which covers containment, partial overlap, and
+    touch; a probe sitting wholly inside a HOLE fails all three (its
+    vertices test outside by parity, and no edges meet)."""
+    a = [np.asarray(r, dtype=np.float64)[:, :2] for r in rings_a]
+    b = [np.asarray(r, dtype=np.float64)[:, :2] for r in rings_b]
+    va = np.concatenate([r[:-1] for r in a])
+    vb = np.concatenate([r[:-1] for r in b])
+    if points_in_polygon(va[:, 0], va[:, 1], rings_b).any():
+        return True
+    if points_in_polygon(vb[:, 0], vb[:, 1], rings_a).any():
+        return True
+    for ra in a:
+        bb_a = ring_bbox(ra)
+        for rb in b:
+            if not bbox_overlap(bb_a, ring_bbox(rb)):
+                continue
+            if segments_intersect_any(ra, rb):
+                return True
+    return False
+
+
 def simplify_line(points, tolerance: float) -> np.ndarray:
     """Douglas-Peucker polyline simplification: keep the subset of
     vertices whose removal would deviate the line by more than

@@ -250,3 +250,177 @@ def spatial_join_big_layer(
         polygons.select("polygon_id", "name"), "polygon_id"
     )
     return full_rows.unionByName(refined, allowMissingColumns=False)
+
+
+def _flatten_polygon_rings(geom: dict):
+    if geom["type"] == "Polygon":
+        return geom["coordinates"]
+    if geom["type"] == "MultiPolygon":
+        return [r for poly in geom["coordinates"] for r in poly]
+    raise ValueError("non-polygon geometry %s" % geom["type"])
+
+
+def polygon_overlap_join(
+    probes: DataFrame,
+    polygons: DataFrame,
+    res: int = DEFAULT_RES,
+    id_col: str = "probe_id",
+    wkt_col: str = "wkt",
+    rings_by_id: Optional[Dict[int, dict]] = None,
+    edges: str = "planar",
+) -> DataFrame:
+    """Polygon-vs-polygon "intersects" join: a fact-scale table of SMALL
+    polygon geometries (building footprints, parcels — WKT column)
+    against the dimension layer -> (id, polygon_id, name). Boundary
+    contact counts as intersecting.
+
+    Plan shape (the PIP flagship's recipe generalized to areal probes):
+
+    1. one Arrow pass extracts each probe's bbox (WKT parsed once;
+       malformed rows drop — the P8 null-guard semantics);
+    2. candidate cells are the bbox's grid-range cross product — pure
+       column ``sequence`` explodes, no geometry;
+    3. broadcast equi-join against the layer's cover cells (zero
+       shuffle of the probe side);
+    4. pair dedupe with the FULL-CELL shortcut: a probe whose bbox sits
+       inside a provably-interior cover cell intersects by containment
+       — no geometry runs for it (the areal analogue of the interior
+       fast path);
+    5. only unresolved pairs run the exact kernel
+       (``kernels.polygons_intersect``: vertex-in-polygon both ways +
+       edge crossings/touches), Arrow-batched, layer rings from the
+       driver dict in the closure.
+
+    Pick ``res`` so typical probes span O(1) cells — the explode in (2)
+    is (bbox cells per row) and the refine cost is per candidate pair.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    from ..functions.geom_udfs import grid_xy_cols
+    from ..geo import kernels
+    from ..geo import wkt as wktmod
+
+    if rings_by_id is None:
+        rings_by_id = load_rings(polygons)
+    cover = polygon_cells(
+        probes.sparkSession, rings_by_id, res, edges=edges
+    )
+
+    src = probes.select(F.col(id_col), F.col(wkt_col).alias("_wkt"))
+    bbox_schema = StructType(
+        list(src.schema.fields) + [
+            StructField("_xmin", DoubleType(), True),
+            StructField("_ymin", DoubleType(), True),
+            StructField("_xmax", DoubleType(), True),
+            StructField("_ymax", DoubleType(), True),
+        ]
+    )
+
+    def bbox_kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            vals = {k: [] for k in ("_xmin", "_ymin", "_xmax", "_ymax")}
+            for s in pdf["_wkt"]:
+                try:
+                    rings = _flatten_polygon_rings(wktmod.loads(s))
+                    arr = np.concatenate([
+                        np.asarray(r, dtype=np.float64)[:, :2]
+                        for r in rings
+                    ])
+                    vals["_xmin"].append(float(arr[:, 0].min()))
+                    vals["_ymin"].append(float(arr[:, 1].min()))
+                    vals["_xmax"].append(float(arr[:, 0].max()))
+                    vals["_ymax"].append(float(arr[:, 1].max()))
+                except Exception:
+                    for k in vals:
+                        vals[k].append(None)
+            yield pdf.assign(**{
+                k: pd.Series(v, dtype="float64", index=pdf.index)
+                for k, v in vals.items()
+            })
+
+    with_bbox = src.mapInPandas(bbox_kernel, bbox_schema).where(
+        F.col("_xmin").isNotNull()
+    )
+
+    n = 1 << res
+    gx0, gy0 = grid_xy_cols(F.col("_xmin"), F.col("_ymin"), res)
+    gx1, gy1 = grid_xy_cols(F.col("_xmax"), F.col("_ymax"), res)
+    cand = (
+        with_bbox
+        .withColumn("_gx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("_gy", F.explode(F.sequence(gy0, gy1)))
+        .withColumn(
+            "cell_id",
+            (F.lit(res * (2 ** 58)) + F.col("_gx") * F.lit(2 ** 29)
+             + F.col("_gy")).cast("long"),
+        )
+    )
+    # cell bounds as column math (decode is linear in gx/gy)
+    cx0 = F.col("_gx").cast("double") / F.lit(float(n)) * 360.0 - 180.0
+    cx1 = (F.col("_gx") + 1).cast("double") / F.lit(float(n)) * 360.0 \
+        - 180.0
+    cy0 = F.col("_gy").cast("double") / F.lit(float(n)) * 180.0 - 90.0
+    cy1 = (F.col("_gy") + 1).cast("double") / F.lit(float(n)) * 180.0 \
+        - 90.0
+    shortcut = (
+        F.col("is_full")
+        & (F.col("_xmin") >= cx0) & (F.col("_xmax") <= cx1)
+        & (F.col("_ymin") >= cy0) & (F.col("_ymax") <= cy1)
+    )
+
+    pairs = (
+        cand.join(F.broadcast(cover), "cell_id")
+        .withColumn("_sure", shortcut)
+        .groupBy(id_col, "polygon_id", "name")
+        .agg(
+            F.first("_wkt").alias("_wkt"),
+            F.max("_sure").alias("_sure"),
+        )
+    )
+    sure = pairs.where(F.col("_sure")).select(id_col, "polygon_id",
+                                              "name")
+    maybe = pairs.where(~F.col("_sure"))
+
+    out_schema = StructType([
+        maybe.schema[id_col],
+        maybe.schema["polygon_id"],
+        maybe.schema["name"],
+        StructField("_ok", BooleanType(), False),
+    ])
+    layer_rings = {
+        int(pid): info["rings"] for pid, info in rings_by_id.items()
+    }
+
+    def refine_kernel(batches):
+        for pdf in batches:
+            oks = []
+            for s, pid in zip(pdf["_wkt"], pdf["polygon_id"]):
+                try:
+                    probe_rings = _flatten_polygon_rings(wktmod.loads(s))
+                    oks.append(bool(kernels.polygons_intersect(
+                        probe_rings, layer_rings[int(pid)]
+                    )))
+                except Exception:
+                    oks.append(False)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "polygon_id": pdf["polygon_id"],
+                "name": pdf["name"],
+                "_ok": oks,
+            })
+
+    refined = (
+        maybe.select(id_col, "polygon_id", "name", "_wkt")
+        .mapInPandas(refine_kernel, out_schema)
+        .where(F.col("_ok"))
+        .select(id_col, "polygon_id", "name")
+    )
+    return sure.unionByName(refined)

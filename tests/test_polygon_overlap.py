@@ -1,0 +1,135 @@
+"""Exact polygon-intersects kernel + the polygon-overlap spatial join."""
+
+import numpy as np
+
+from pure_python_geospatial_export_spark.geo import kernels
+
+
+def sq(x0, y0, x1, y1):
+    return [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+
+
+DONUT = [sq(0, 0, 10, 10), sq(3, 3, 7, 7)]  # exterior + hole
+
+
+def test_polygons_intersect_cases():
+    cases = [
+        ([sq(2, -1, 4, 11)], True),    # crosses straight through
+        ([sq(1, 1, 2, 2)], True),      # inside the solid part
+        ([sq(-5, -5, 15, 15)], True),  # contains the donut
+        ([sq(20, 20, 30, 30)], False),  # disjoint
+        ([sq(10, 10, 12, 12)], True),  # touches at corner (0-area)
+        ([sq(10, 2, 14, 8)], True),    # shares an edge segment
+        ([sq(4, 4, 6, 6)], False),     # wholly inside the hole
+        ([sq(4, 4, 8, 6)], True),      # straddles the hole boundary
+        ([sq(3, 3, 7, 7)], True),      # exactly the hole ring: touch
+    ]
+    for probe, want in cases:
+        assert kernels.polygons_intersect(probe, DONUT) == want, probe
+        assert kernels.polygons_intersect(DONUT, probe) == want, probe
+
+
+def test_segments_intersect_collinear_and_touch():
+    a = np.array(sq(0, 0, 2, 2))
+    assert kernels.segments_intersect_any(
+        a, np.array([[2.0, 1.0], [4.0, 1.0], [4.0, 3.0], [2.0, 1.0]])
+    )  # endpoint touches edge
+    assert kernels.segments_intersect_any(
+        a, np.array([[1.0, 0.0], [3.0, 0.0], [3.0, -2.0], [1.0, 0.0]])
+    )  # collinear overlap along y=0
+    assert not kernels.segments_intersect_any(
+        a, np.array([[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 5.0]])
+    )
+
+
+def _wkt_poly(rings):
+    from pure_python_geospatial_export_spark.geo import wkt as wktmod
+    return wktmod.dumps({"type": "Polygon", "coordinates": rings}, 12)
+
+
+def test_polygon_overlap_join_matches_bruteforce(spark):
+    import random
+
+    from pure_python_geospatial_export_spark.operators.spatial_join import (
+        polygon_overlap_join,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    layer_polys = {
+        1: [sq(-20, -10, 15, 25), sq(-5, 0, 5, 10)],  # with hole
+        2: [sq(30, 30, 60, 55)],
+        3: [sq(-60, -40, -30, -20)],
+    }
+    layer = local_df(
+        spark,
+        [(pid, "p%d" % pid, _wkt_poly(r))
+         for pid, r in layer_polys.items()],
+        ["polygon_id", "name", "wkt"],
+    )
+    rnd = random.Random(23)
+    probes = []
+    for i in range(300):
+        cx = rnd.uniform(-70, 70)
+        cy = rnd.uniform(-50, 60)
+        w = rnd.uniform(0.5, 8.0)
+        h = rnd.uniform(0.5, 8.0)
+        probes.append((i, _wkt_poly([sq(cx, cy, cx + w, cy + h)])))
+    # adversarial probes: inside the hole, exactly edge-touching,
+    # spanning a whole layer polygon, malformed
+    probes += [
+        (1000, _wkt_poly([sq(-3, 2, 3, 8)])),        # wholly in hole
+        (1001, _wkt_poly([sq(15, -5, 20, 5)])),      # shares x=15 edge
+        (1002, _wkt_poly([sq(-25, -15, 20, 30)])),   # contains poly 1
+        (1003, "GARBAGE (not wkt)"),
+    ]
+    pdf = local_df(spark, probes, ["probe_id", "wkt"])
+    got = {
+        (r["probe_id"], r["polygon_id"])
+        for r in polygon_overlap_join(pdf, layer, res=5).collect()
+    }
+    want = set()
+    for pid_probe, wkt in probes:
+        if pid_probe == 1003:
+            continue
+        from pure_python_geospatial_export_spark.geo import (
+            wkt as wktmod,
+        )
+        rings = wktmod.loads(wkt)["coordinates"]
+        for pid_layer, lr in layer_polys.items():
+            if kernels.polygons_intersect(rings, lr):
+                want.add((pid_probe, pid_layer))
+    assert got == want
+    # the adversarial rows behave
+    assert (1000, 1) not in got
+    assert (1001, 1) in got
+    assert (1002, 1) in got
+    assert not any(p == 1003 for p, _ in got)
+    assert len(got) > 20  # fixture actually produces matches
+
+
+def test_polygon_overlap_join_partitioning_invariant(spark):
+    from pure_python_geospatial_export_spark.operators.spatial_join import (
+        polygon_overlap_join,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    layer = local_df(
+        spark, [(1, "zone", _wkt_poly([sq(0, 0, 20, 20)]))],
+        ["polygon_id", "name", "wkt"],
+    )
+    probes = [
+        (i, _wkt_poly([sq(i - 30.0, 5, i - 25.0, 8)]))
+        for i in range(60)
+    ]
+    pdf = local_df(spark, probes, ["probe_id", "wkt"])
+    a = sorted(
+        (r["probe_id"], r["polygon_id"])
+        for r in polygon_overlap_join(pdf, layer, res=6).collect()
+    )
+    b = sorted(
+        (r["probe_id"], r["polygon_id"])
+        for r in polygon_overlap_join(
+            pdf.repartition(7), layer, res=6
+        ).collect()
+    )
+    assert a == b and a
