@@ -385,14 +385,16 @@ def polygon_overlap_join(
             F.max("_sure").alias("_sure"),
         )
     )
-    sure = pairs.where(F.col("_sure")).select(id_col, "polygon_id",
-                                              "name")
-    maybe = pairs.where(~F.col("_sure"))
 
+    # ONE downstream pass: splitting pairs into sure/maybe branches
+    # would re-run the whole candidate pipeline per branch (unioned
+    # children recompute their common subtree) — instead the refine
+    # kernel consumes every pair and short-circuits on the _sure flag,
+    # so shortcut rows pay only the Arrow roundtrip, never geometry.
     out_schema = StructType([
-        maybe.schema[id_col],
-        maybe.schema["polygon_id"],
-        maybe.schema["name"],
+        pairs.schema[id_col],
+        pairs.schema["polygon_id"],
+        pairs.schema["name"],
         StructField("_ok", BooleanType(), False),
     ])
     layer_rings = {
@@ -402,7 +404,11 @@ def polygon_overlap_join(
     def refine_kernel(batches):
         for pdf in batches:
             oks = []
-            for s, pid in zip(pdf["_wkt"], pdf["polygon_id"]):
+            for s, pid, sure in zip(pdf["_wkt"], pdf["polygon_id"],
+                                    pdf["_sure"]):
+                if sure:
+                    oks.append(True)
+                    continue
                 try:
                     probe_rings = _flatten_polygon_rings(wktmod.loads(s))
                     oks.append(bool(kernels.polygons_intersect(
@@ -417,10 +423,8 @@ def polygon_overlap_join(
                 "_ok": oks,
             })
 
-    refined = (
-        maybe.select(id_col, "polygon_id", "name", "_wkt")
-        .mapInPandas(refine_kernel, out_schema)
+    return (
+        pairs.mapInPandas(refine_kernel, out_schema)
         .where(F.col("_ok"))
         .select(id_col, "polygon_id", "name")
     )
-    return sure.unionByName(refined)

@@ -50,3 +50,19 @@ def test_repetition_projects_scalars_below_generate(spark):
     plan = _plan(spark, "repetition")
     assert plan.index("Generate") < plan.index("array_distinct"), plan
     assert _shuffles(plan) == 2, plan  # gram count + per-doc max
+
+
+def test_polygon_overlap_single_shuffle(spark):
+    """One candidate pipeline: the pair-dedupe groupBy is the only
+    shuffle; splitting into sure/maybe branches used to re-run the
+    whole candidate subtree (2 shuffles, 2 broadcasts)."""
+    plan = _plan(spark, "polygon_overlap")
+    assert _shuffles(plan) == 1, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+
+
+def test_events_funnel_single_exchange(spark):
+    """Three chained per-user windows share the partition key — stages
+    2..n ride stage 1's hash partitioning, one exchange total."""
+    plan = _plan(spark, "events_funnel")
+    assert _shuffles(plan) == 1, plan
