@@ -66,3 +66,16 @@ def test_events_funnel_single_exchange(spark):
     2..n ride stage 1's hash partitioning, one exchange total."""
     plan = _plan(spark, "events_funnel")
     assert _shuffles(plan) == 1, plan
+
+
+def test_no_row_at_a_time_python_udfs_anywhere(spark):
+    """Global hygiene: every driver query must stay on JVM columns or
+    Arrow-batched Python (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas). A BatchEvalPython node means a row-wise
+    Python UDF crept onto a hot path."""
+    offenders = {}
+    for name in em.queries():
+        plan = _plan(spark, name)
+        if "BatchEvalPython" in plan:
+            offenders[name] = plan
+    assert not offenders, sorted(offenders)
