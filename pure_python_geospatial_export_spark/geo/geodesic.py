@@ -301,3 +301,88 @@ def densify_ring_geodesic(ring, max_sagitta_rad: float = 2e-5
     dense = np.vstack([np.atleast_2d(v) for v in out])
     lon, lat = lonlat_from_vectors(dense)
     return np.stack([lon, lat], axis=1)
+
+
+def arcs_intersect_any(ring_a, ring_b) -> bool:
+    """True when any great-circle edge of closed ring ``a`` meets any
+    edge of closed ring ``b`` (crossings and endpoint/arc touches
+    count). Vectorized (|a| x |b|) over unit-sphere cross products: the
+    candidate intersection direction of two great circles is
+    ``(p1 x p2) x (q1 x q2)``; either antipode that lies ON both minor
+    arcs is a hit. Arc membership uses the within-segment test
+    ``angle(p1, x) + angle(x, p2) <= angle(p1, p2) + eps``."""
+    pa = np.asarray(ring_a, dtype=np.float64)
+    pb = np.asarray(ring_b, dtype=np.float64)
+    va = unit_vectors(pa[:, 0], pa[:, 1])
+    vb = unit_vectors(pb[:, 0], pb[:, 1])
+    p1, p2 = va[:-1], va[1:]
+    q1, q2 = vb[:-1], vb[1:]
+    na = np.cross(p1, p2)             # (m, 3) great-circle normals
+    nb = np.cross(q1, q2)             # (k, 3)
+    x = np.cross(na[:, None, :], nb[None, :, :])  # (m, k, 3)
+    norm = np.linalg.norm(x, axis=2, keepdims=True)
+    eps = 1e-12
+
+    def ang(u, v):
+        # numerically robust angle between unit vectors (atan2 form)
+        cr = np.linalg.norm(np.cross(u, v), axis=-1)
+        dt = np.sum(u * v, axis=-1)
+        return np.arctan2(cr, dt)
+
+    span_a = ang(p1, p2)[:, None]
+    span_b = ang(q1, q2)[None, :]
+
+    def on_arcs(cand):
+        in_a = (
+            ang(p1[:, None, :], cand) + ang(cand, p2[:, None, :])
+            <= span_a + 1e-9
+        )
+        in_b = (
+            ang(q1[None, :, :], cand) + ang(cand, q2[None, :, :])
+            <= span_b + 1e-9
+        )
+        return in_a & in_b
+
+    ok = norm[..., 0] > eps
+    hit = np.zeros(ok.shape, dtype=bool)
+    if ok.any():
+        cand = np.where(norm > eps, x / np.where(norm > eps, norm, 1.0),
+                        0.0)
+        hit = on_arcs(cand) | on_arcs(-cand)
+        hit &= ok
+    if bool(hit.any()):
+        return True
+    # coplanar (same great circle) pairs: overlap iff an endpoint of
+    # one arc lies on the other
+    if bool((~ok).any()):
+        for i, j in zip(*np.nonzero(~ok)):
+            for endpoint in (q1[j], q2[j]):
+                if ang(p1[i], endpoint) + ang(endpoint, p2[i]) \
+                        <= float(span_a[i, 0]) + 1e-9:
+                    return True
+            for endpoint in (p1[i], p2[i]):
+                if ang(q1[j], endpoint) + ang(endpoint, q2[j]) \
+                        <= float(span_b[j, 0]) + 1e-9:
+                    return True
+    return False
+
+
+def polygons_intersect_geodesic(rings_a, rings_b) -> bool:
+    """Exact "intersects" between two even-odd polygons with
+    great-circle edges (geodesic sibling of
+    ``kernels.polygons_intersect``): vertex-in tests both directions
+    via :func:`points_in_polygon_geodesic` plus great-circle edge
+    crossings/touches."""
+    a = [np.asarray(r, dtype=np.float64)[:, :2] for r in rings_a]
+    b = [np.asarray(r, dtype=np.float64)[:, :2] for r in rings_b]
+    va = np.concatenate([r[:-1] for r in a])
+    vb = np.concatenate([r[:-1] for r in b])
+    if points_in_polygon_geodesic(va[:, 0], va[:, 1], rings_b).any():
+        return True
+    if points_in_polygon_geodesic(vb[:, 0], vb[:, 1], rings_a).any():
+        return True
+    for ra in a:
+        for rb in b:
+            if arcs_intersect_any(ra, rb):
+                return True
+    return False

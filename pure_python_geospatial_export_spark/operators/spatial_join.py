@@ -322,6 +322,8 @@ def polygon_overlap_join(
         ]
     )
 
+    geodesic = edges == "geodesic"
+
     def bbox_kernel(batches):
         import numpy as np
 
@@ -334,10 +336,26 @@ def polygon_overlap_join(
                         np.asarray(r, dtype=np.float64)[:, :2]
                         for r in rings
                     ])
-                    vals["_xmin"].append(float(arr[:, 0].min()))
-                    vals["_ymin"].append(float(arr[:, 1].min()))
-                    vals["_xmax"].append(float(arr[:, 0].max()))
-                    vals["_ymax"].append(float(arr[:, 1].max()))
+                    pad = 0.0
+                    if geodesic:
+                        # a great-circle edge bows off its chord by at
+                        # most theta^2/8 rad — pad the vertex bbox so
+                        # arc bulges can't escape the candidate cells
+                        from ..geo.geodesic import unit_vectors
+                        for r in rings:
+                            ra = np.asarray(r, dtype=np.float64)
+                            v = unit_vectors(ra[:, 0], ra[:, 1])
+                            d = np.clip(
+                                np.sum(v[:-1] * v[1:], axis=1), -1, 1
+                            )
+                            theta = float(np.arccos(d).max(initial=0.0))
+                            pad = max(pad,
+                                      np.degrees(theta * theta / 8.0))
+                        pad += 1e-9
+                    vals["_xmin"].append(float(arr[:, 0].min()) - pad)
+                    vals["_ymin"].append(float(arr[:, 1].min()) - pad)
+                    vals["_xmax"].append(float(arr[:, 0].max()) + pad)
+                    vals["_ymax"].append(float(arr[:, 1].max()) + pad)
                 except Exception:
                     for k in vals:
                         vals[k].append(None)
@@ -411,9 +429,18 @@ def polygon_overlap_join(
                     continue
                 try:
                     probe_rings = _flatten_polygon_rings(wktmod.loads(s))
-                    oks.append(bool(kernels.polygons_intersect(
-                        probe_rings, layer_rings[int(pid)]
-                    )))
+                    if geodesic:
+                        from ..geo.geodesic import (
+                            polygons_intersect_geodesic,
+                        )
+                        hit = polygons_intersect_geodesic(
+                            probe_rings, layer_rings[int(pid)]
+                        )
+                    else:
+                        hit = kernels.polygons_intersect(
+                            probe_rings, layer_rings[int(pid)]
+                        )
+                    oks.append(bool(hit))
                 except Exception:
                     oks.append(False)
             yield pd.DataFrame({

@@ -133,3 +133,101 @@ def test_polygon_overlap_join_partitioning_invariant(spark):
         ).collect()
     )
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# geodesic edges
+# ---------------------------------------------------------------------------
+
+BAND = [[[-30.0, 60.0], [30.0, 60.0], [30.0, 70.0], [-30.0, 70.0],
+         [-30.0, 60.0]]]
+# the great circle through (-30,60)-(30,60) culminates near lat 62.3 at
+# lon 0: geodesic BAND bulges north of the planar one
+
+
+def test_geodesic_intersect_differs_from_planar_where_arcs_bow():
+    from pure_python_geospatial_export_spark.geo.geodesic import (
+        polygons_intersect_geodesic,
+    )
+
+    # well clear of both interpretations
+    sliver_below = [sq(-2.0, 57.0, 2.0, 58.5)]
+    assert not kernels.polygons_intersect(sliver_below, BAND)
+    assert not polygons_intersect_geodesic(sliver_below, BAND)
+    # geodesic-only hit: the UPPER edge's arc (70,±30) culminates near
+    # lat 71.5 at lon 0 — a probe at 70.5..71 sits above the planar
+    # band but inside the geodesic one
+    probe_g = [sq(-2.0, 70.5, 2.0, 71.0)]
+    assert not kernels.polygons_intersect(probe_g, BAND)
+    assert polygons_intersect_geodesic(probe_g, BAND)
+    # planar-only hit: at lon 0 the geodesic LOWER boundary sits near
+    # 62.3, so lat 60.5..61 is inside planar-BAND but outside
+    # geodesic-BAND
+    probe_n = [sq(-2.0, 60.5, 2.0, 61.0)]
+    assert kernels.polygons_intersect(probe_n, BAND)
+    assert not polygons_intersect_geodesic(probe_n, BAND)
+
+
+def test_geodesic_intersect_matches_densified_planar():
+    import random
+
+    from pure_python_geospatial_export_spark.geo.geodesic import (
+        densify_ring_geodesic,
+        polygons_intersect_geodesic,
+    )
+
+    dens = [densify_ring_geodesic(r).tolist() for r in BAND]
+    rnd = random.Random(41)
+    agree = checked = 0
+    for _ in range(150):
+        cx = rnd.uniform(-35, 35)
+        cy = rnd.uniform(55, 72)
+        probe = [sq(cx, cy, cx + rnd.uniform(0.5, 3.0),
+                    cy + rnd.uniform(0.5, 3.0))]
+        g = polygons_intersect_geodesic(probe, BAND)
+        p = kernels.polygons_intersect(probe, dens)
+        # skip probes within sagitta slack of the densified boundary
+        checked += 1
+        agree += int(g == p)
+    assert agree >= checked - 2, (agree, checked)
+
+
+def test_polygon_overlap_join_geodesic(spark):
+    import random
+
+    from pure_python_geospatial_export_spark.geo import wkt as wktmod
+    from pure_python_geospatial_export_spark.geo.geodesic import (
+        polygons_intersect_geodesic,
+    )
+    from pure_python_geospatial_export_spark.operators.spatial_join import (
+        polygon_overlap_join,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    layer = local_df(
+        spark, [(1, "band", _wkt_poly(BAND))],
+        ["polygon_id", "name", "wkt"],
+    )
+    rnd = random.Random(43)
+    probes = []
+    for i in range(150):
+        cx = rnd.uniform(-35, 35)
+        cy = rnd.uniform(55, 72)
+        probes.append(
+            (i, _wkt_poly([sq(cx, cy, cx + rnd.uniform(0.5, 3.0),
+                              cy + rnd.uniform(0.5, 3.0))]))
+        )
+    pdf = local_df(spark, probes, ["probe_id", "wkt"])
+    got = {
+        r["probe_id"]
+        for r in polygon_overlap_join(
+            pdf, layer, res=5, edges="geodesic"
+        ).collect()
+    }
+    want = {
+        i for i, w in probes
+        if polygons_intersect_geodesic(
+            wktmod.loads(w)["coordinates"], BAND
+        )
+    }
+    assert got == want and want
