@@ -386,3 +386,18 @@ def polygons_intersect_geodesic(rings_a, rings_b) -> bool:
             if arcs_intersect_any(ra, rb):
                 return True
     return False
+
+
+def lines_intersect_polygon_geodesic(lines, rings_b) -> bool:
+    """Geodesic sibling of ``kernels.lines_intersect_polygon``:
+    polyline vertices tested by geodesic PIP, segments as great-circle
+    arcs against the polygon's arc edges."""
+    ls = [np.asarray(line, dtype=np.float64)[:, :2] for line in lines]
+    v = np.concatenate(ls)
+    if points_in_polygon_geodesic(v[:, 0], v[:, 1], rings_b).any():
+        return True
+    for line in ls:
+        for rb in rings_b:
+            if arcs_intersect_any(line, rb):
+                return True
+    return False

@@ -314,6 +314,26 @@ def polygons_intersect(rings_a, rings_b) -> bool:
     return False
 
 
+def lines_intersect_polygon(lines, rings_b) -> bool:
+    """Exact "intersects" between a set of polylines (open; no
+    interior) and an even-odd polygon: any polyline vertex inside the
+    polygon, or any polyline segment crossing/touching any ring edge.
+    A polyline fully inside a HOLE fails both."""
+    ls = [np.asarray(line, dtype=np.float64)[:, :2] for line in lines]
+    v = np.concatenate(ls)
+    if points_in_polygon(v[:, 0], v[:, 1], rings_b).any():
+        return True
+    for line in ls:
+        bb = ring_bbox(line)
+        for rb in rings_b:
+            arr = np.asarray(rb, dtype=np.float64)[:, :2]
+            if not bbox_overlap(bb, ring_bbox(arr)):
+                continue
+            if segments_intersect_any(line, arr):
+                return True
+    return False
+
+
 def simplify_line(points, tolerance: float) -> np.ndarray:
     """Douglas-Peucker polyline simplification: keep the subset of
     vertices whose removal would deviate the line by more than

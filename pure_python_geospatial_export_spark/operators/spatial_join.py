@@ -260,6 +260,19 @@ def _flatten_polygon_rings(geom: dict):
     raise ValueError("non-polygon geometry %s" % geom["type"])
 
 
+def _probe_parts(geom: dict):
+    """(kind, parts): areal probes flatten to rings, linear probes to
+    polylines — the overlap join accepts both."""
+    t = geom["type"]
+    if t in ("Polygon", "MultiPolygon"):
+        return "area", _flatten_polygon_rings(geom)
+    if t == "LineString":
+        return "line", [geom["coordinates"]]
+    if t == "MultiLineString":
+        return "line", list(geom["coordinates"])
+    raise ValueError("unsupported probe geometry %s" % t)
+
+
 def polygon_overlap_join(
     probes: DataFrame,
     polygons: DataFrame,
@@ -331,7 +344,7 @@ def polygon_overlap_join(
             vals = {k: [] for k in ("_xmin", "_ymin", "_xmax", "_ymax")}
             for s in pdf["_wkt"]:
                 try:
-                    rings = _flatten_polygon_rings(wktmod.loads(s))
+                    _kind, rings = _probe_parts(wktmod.loads(s))
                     arr = np.concatenate([
                         np.asarray(r, dtype=np.float64)[:, :2]
                         for r in rings
@@ -428,17 +441,25 @@ def polygon_overlap_join(
                     oks.append(True)
                     continue
                 try:
-                    probe_rings = _flatten_polygon_rings(wktmod.loads(s))
+                    kind, parts = _probe_parts(wktmod.loads(s))
+                    lr = layer_rings[int(pid)]
                     if geodesic:
                         from ..geo.geodesic import (
+                            lines_intersect_polygon_geodesic,
                             polygons_intersect_geodesic,
                         )
-                        hit = polygons_intersect_geodesic(
-                            probe_rings, layer_rings[int(pid)]
+                        hit = (
+                            polygons_intersect_geodesic(parts, lr)
+                            if kind == "area"
+                            else lines_intersect_polygon_geodesic(
+                                parts, lr)
                         )
                     else:
-                        hit = kernels.polygons_intersect(
-                            probe_rings, layer_rings[int(pid)]
+                        hit = (
+                            kernels.polygons_intersect(parts, lr)
+                            if kind == "area"
+                            else kernels.lines_intersect_polygon(
+                                parts, lr)
                         )
                     oks.append(bool(hit))
                 except Exception:

@@ -231,3 +231,64 @@ def test_polygon_overlap_join_geodesic(spark):
         )
     }
     assert got == want and want
+
+
+# ---------------------------------------------------------------------------
+# LineString probes (routes-through-regions)
+# ---------------------------------------------------------------------------
+
+def test_lines_intersect_polygon_cases():
+    cases = [
+        ([[[-5.0, 5.0], [15.0, 5.0]]], True),    # crosses through
+        ([[[1.0, 1.0], [2.0, 2.0]]], True),      # wholly inside solid
+        ([[[4.0, 4.0], [6.0, 6.0]]], False),     # wholly inside hole
+        ([[[4.0, 4.0], [9.0, 6.0]]], True),      # exits the hole
+        ([[[20.0, 20.0], [30.0, 30.0]]], False),  # disjoint
+        ([[[10.0, 2.0], [14.0, 2.0]]], True),    # starts ON boundary
+        # multiline: one part disjoint, one crossing
+        ([[[20.0, 20.0], [30.0, 30.0]],
+          [[-5.0, 8.0], [5.0, 8.0]]], True),
+    ]
+    for lines, want in cases:
+        assert kernels.lines_intersect_polygon(lines, DONUT) == want, \
+            lines
+
+
+def test_polygon_overlap_join_linestring_probes(spark):
+    import random
+
+    from pure_python_geospatial_export_spark.geo import wkt as wktmod
+    from pure_python_geospatial_export_spark.operators.spatial_join import (
+        polygon_overlap_join,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    layer = local_df(
+        spark, [(1, "donut", _wkt_poly(DONUT))],
+        ["polygon_id", "name", "wkt"],
+    )
+    rnd = random.Random(51)
+    probes = []
+    for i in range(200):
+        x0 = rnd.uniform(-15, 15)
+        y0 = rnd.uniform(-15, 15)
+        probes.append((i, wktmod.dumps({
+            "type": "LineString",
+            "coordinates": [
+                [x0, y0],
+                [x0 + rnd.uniform(-6, 6), y0 + rnd.uniform(-6, 6)],
+                [x0 + rnd.uniform(-6, 6), y0 + rnd.uniform(-6, 6)],
+            ],
+        }, 12)))
+    pdf = local_df(spark, probes, ["probe_id", "wkt"])
+    got = {
+        r["probe_id"]
+        for r in polygon_overlap_join(pdf, layer, res=5).collect()
+    }
+    want = {
+        i for i, w in probes
+        if kernels.lines_intersect_polygon(
+            [wktmod.loads(w)["coordinates"]], DONUT
+        )
+    }
+    assert got == want and want
