@@ -765,6 +765,44 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=5)
 
 
+def _q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # END-TO-END curation preset, fully oracled: plant a near-dup twin
+    # (suffix — the proven recall-1 LSH fixture), an exact duplicate,
+    # and sub-token-floor junk per base doc, then run the whole
+    # cost-ordered pipeline (quality/lang filters -> exact dedup ->
+    # MinHash near-dup). The oracle recomputes every stage in SQL; the
+    # near-dup stage's LSH recall is deterministically 1 here (only the
+    # planted twins sit above the threshold, jaccard ~0.96 vs a ~0.03
+    # natural ceiling), so the exact all-pairs SQL is the twin.
+    from pure_python_geospatial_export_spark.operators.curate import (
+        curate_corpus,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).where(F.col("doc_id") < 150).select("doc_id", "text")
+    near = docs.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
+    )
+    exact = docs.select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"), "text"
+    )
+    junk = docs.select(
+        (F.col("doc_id") + F.lit(300000)).alias("doc_id"),
+        F.lit("x").alias("text"),
+    )
+    corpus = docs.unionAll(near).unionAll(exact).unionAll(junk)
+    out = curate_corpus(
+        corpus,
+        min_quality=0.3,
+        keep_langs=["en"],
+        near_dup_threshold=0.5,
+        min_tokens=5,
+    )
+    return out.select("doc_id")
+
+
 def _q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pure_python_geospatial_export_spark.operators.pack import (
         pack_sequences,
@@ -1092,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "repetition": _q_repetition,
         "pack_docs": _q_pack_docs,
+        "curate_pipeline": _q_curate_pipeline,
         "tfidf_terms": _q_tfidf,
         "weighted_sample": _q_weighted_sample,
         "domain_quota": _q_domain_quota,
@@ -1684,6 +1723,40 @@ def oracle_sql() -> dict[str, str]:
         "AS distinct_ratio FROM st WHERE n_tokens < 2"
     )
 
+    curate_pipeline_sql = (
+        "WITH alldocs AS ("
+        "SELECT doc_id, text FROM documents WHERE doc_id < 150 "
+        "UNION ALL SELECT doc_id + 100000 AS doc_id, "
+        "text || ' zzzz' AS text FROM documents WHERE doc_id < 150 "
+        "UNION ALL SELECT doc_id + 200000 AS doc_id, text "
+        "FROM documents WHERE doc_id < 150 "
+        "UNION ALL SELECT doc_id + 300000 AS doc_id, 'x' AS text "
+        "FROM documents WHERE doc_id < 150), "
+        "filt AS (SELECT doc_id, text FROM alldocs "
+        "WHERE %s >= 5 AND (%s) >= 0.3 AND (%s) = 'en'), "
+        "exd AS (SELECT doc_id, text FROM filt "
+        "WHERE doc_id IN (SELECT min(doc_id) FROM filt "
+        "GROUP BY text)), "
+        "toks AS (SELECT doc_id, text, "
+        "regexp_split_to_array(trim(text), '\\s+') AS t FROM exd), "
+        "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+        "list_distinct(list_transform(range(1, len(t) - 1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+        "ELSE [text] END AS shingles FROM toks), "
+        "drops AS (SELECT DISTINCT b.doc_id AS doc_id "
+        "FROM sh a, sh b WHERE a.doc_id < b.doc_id AND "
+        "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) "
+        "/ CAST(len(list_distinct(list_concat(a.shingles, "
+        "b.shingles))) AS DOUBLE) >= 0.5) "
+        "SELECT doc_id FROM exd "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM drops)"
+        % (
+            T.token_count_sql("text"),
+            T.quality_score_sql("text"),
+            T.lang_id_sql("text"),
+        )
+    )
+
     # greedy packing's bin state depends on the running result (a reset
     # whenever the fill WOULD overflow) — not prefix-sum expressible, so
     # the oracle walks each shard with a recursive CTE in the same
@@ -1798,6 +1871,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan": pii_scan_sql,
         "repetition": repetition_sql,
         "pack_docs": pack_docs_sql,
+        "curate_pipeline": curate_pipeline_sql,
         "tfidf_terms": tfidf_sql,
         "weighted_sample": weighted_sample_sql,
         "domain_quota": domain_quota_sql,
