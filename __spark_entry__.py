@@ -765,6 +765,28 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, k=5)
 
 
+def _q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.pack import (
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return packing_efficiency(pack_sequences(docs, 96), 96)
+
+
+def _q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pure_python_geospatial_export_spark.operators.events import (
+        funnel_counts,
+        funnel_stages,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return funnel_counts(
+        funnel_stages(ev, ["view", "click", "purchase"])
+    )
+
+
 def _q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # END-TO-END curation preset, fully oracled: plant a near-dup twin
     # (suffix — the proven recall-1 LSH fixture), an exact duplicate,
@@ -1131,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _q_repetition,
         "pack_docs": _q_pack_docs,
         "curate_pipeline": _q_curate_pipeline,
+        "pack_efficiency": _q_pack_efficiency,
+        "funnel_counts": _q_funnel_counts,
         "tfidf_terms": _q_tfidf,
         "weighted_sample": _q_weighted_sample,
         "domain_quota": _q_domain_quota,
@@ -1833,6 +1857,24 @@ def oracle_sql() -> dict[str, str]:
         % _sh8
     )
 
+    events_funnel_sql = (
+        "WITH e1 AS (SELECT user_id, ts, event_type, "
+        "min(CASE WHEN event_type = 'view' THEN ts END) "
+        "OVER (PARTITION BY user_id) AS t_1 FROM events), "
+        "e2 AS (SELECT *, min(CASE WHEN event_type = 'click' "
+        "AND ts > t_1 THEN ts END) "
+        "OVER (PARTITION BY user_id) AS t_2 FROM e1), "
+        "e3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' "
+        "AND ts > t_2 THEN ts END) "
+        "OVER (PARTITION BY user_id) AS t_3 FROM e2) "
+        "SELECT user_id, max(t_1) AS t_1, max(t_2) AS t_2, "
+        "max(t_3) AS t_3, CAST(CASE "
+        "WHEN max(t_3) IS NOT NULL THEN 3 "
+        "WHEN max(t_2) IS NOT NULL THEN 2 "
+        "WHEN max(t_1) IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) "
+        "AS reached FROM e3 GROUP BY user_id"
+    )
+
     return {
         "pip_join": pip_sql,
         "pip_join_geodesic": _geodesic_oracle_sql(),
@@ -1879,22 +1921,40 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": doc_sample_sql,
         "top_sources": top_sources_sql,
         "events_quantiles": events_quantiles_sql,
-        "events_funnel": (
-            "WITH e1 AS (SELECT user_id, ts, event_type, "
-            "min(CASE WHEN event_type = 'view' THEN ts END) "
-            "OVER (PARTITION BY user_id) AS t_1 FROM events), "
-            "e2 AS (SELECT *, min(CASE WHEN event_type = 'click' "
-            "AND ts > t_1 THEN ts END) "
-            "OVER (PARTITION BY user_id) AS t_2 FROM e1), "
-            "e3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' "
-            "AND ts > t_2 THEN ts END) "
-            "OVER (PARTITION BY user_id) AS t_3 FROM e2) "
-            "SELECT user_id, max(t_1) AS t_1, max(t_2) AS t_2, "
-            "max(t_3) AS t_3, CAST(CASE "
-            "WHEN max(t_3) IS NOT NULL THEN 3 "
-            "WHEN max(t_2) IS NOT NULL THEN 2 "
-            "WHEN max(t_1) IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) "
-            "AS reached FROM e3 GROUP BY user_id"
+        "events_funnel": events_funnel_sql,
+        "funnel_counts": (
+            "WITH f AS (%s), "
+            "s AS (SELECT unnest(range(1, reached + 1)) AS stage "
+            "FROM f WHERE reached >= 1) "
+            "SELECT CAST(stage AS INTEGER) AS stage, "
+            "COUNT(*) AS n_users FROM s GROUP BY stage"
+            % events_funnel_sql
+        ),
+        "pack_efficiency": (
+            "WITH RECURSIVE s AS (SELECT source, doc_id, "
+            "CAST(%s AS INTEGER) AS n_tokens, "
+            "CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY doc_id) AS BIGINT) AS rn FROM documents), "
+            "r AS ("
+            "SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT) "
+            "AS pack_id, n_tokens AS fill FROM s WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT s.source, s.doc_id, s.n_tokens, s.rn, "
+            "CASE WHEN r.fill + s.n_tokens > 96 THEN r.pack_id + 1 "
+            "ELSE r.pack_id END, "
+            "CASE WHEN r.fill + s.n_tokens > 96 THEN s.n_tokens "
+            "ELSE r.fill + s.n_tokens END "
+            "FROM r JOIN s ON s.source = r.source AND "
+            "s.rn = r.rn + 1), "
+            "pb AS (SELECT source, pack_id, "
+            "CAST(SUM(n_tokens) AS BIGINT) AS fill FROM r "
+            "GROUP BY source, pack_id) "
+            "SELECT source, COUNT(*) AS n_bins, "
+            "CAST(SUM(fill) AS BIGINT) AS n_tokens, "
+            "CAST(SUM(fill) AS DOUBLE) / "
+            "CAST(COUNT(*) * 96 AS DOUBLE) AS fill_fraction "
+            "FROM pb GROUP BY source"
+            % T.token_count_sql("text")
         ),
         "events_cohort": (
             "WITH f AS (SELECT user_id, ts, "
