@@ -131,7 +131,12 @@ def quantile_sample(
         kmv_hash_col(F.col(key_col).cast("string")).alias("_h"),
         F.col(value_col).alias("value"),
     )
-    w = Window.partitionBy(*group_cols).orderBy("_h")
+    # tiebreak on value: unlike the KMV sketches (distinct hashes by
+    # construction), rows here can collide in the 32-bit hash, and an
+    # _h-only sort would make the kept row partition-dependent; rows
+    # tying on BOTH (_h, value) are identical in every output column,
+    # so this order makes the sample fully deterministic
+    w = Window.partitionBy(*group_cols).orderBy("_h", "value")
     return src.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= k
     ).drop("_rn")
@@ -144,7 +149,7 @@ def quantile_sample_merge(df: DataFrame, group_cols: List[str],
     per coarser group. Identical shape to the build, so merge trees of
     any depth produce the same sketch as a direct build over the raw
     rows."""
-    w = Window.partitionBy(*group_cols).orderBy("_h")
+    w = Window.partitionBy(*group_cols).orderBy("_h", "value")
     return df.select(*group_cols, "_h", "value").withColumn(
         "_rn", F.row_number().over(w)
     ).where(F.col("_rn") <= k).drop("_rn")
