@@ -56,8 +56,11 @@ def pack_sequences(
         F.col(tokens_col) if tokens_col is not None
         else T.token_count(F.col(text_col))
     )
+    # NULL text/count packs as 0 tokens instead of poisoning the whole
+    # shard's kernel with a NaN
     src = df.select(
-        F.col(group_col), F.col(id_col), tok.alias("n_tokens")
+        F.col(group_col), F.col(id_col),
+        F.coalesce(tok, F.lit(0)).alias("n_tokens"),
     )
     out_schema = StructType(
         list(src.schema.fields)
