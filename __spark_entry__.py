@@ -1787,7 +1787,7 @@ def oracle_sql() -> dict[str, str]:
     # doc_id order the applyInPandas kernel uses.
     pack_docs_sql = (
         "WITH RECURSIVE s AS (SELECT source, doc_id, "
-        "CAST(%s AS INTEGER) AS n_tokens, "
+        "CAST(COALESCE(%s, 0) AS INTEGER) AS n_tokens, "
         "CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) "
         "AS BIGINT) AS rn FROM documents), "
         "r AS ("
@@ -1932,7 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_efficiency": (
             "WITH RECURSIVE s AS (SELECT source, doc_id, "
-            "CAST(%s AS INTEGER) AS n_tokens, "
+            "CAST(COALESCE(%s, 0) AS INTEGER) AS n_tokens, "
             "CAST(row_number() OVER (PARTITION BY source "
             "ORDER BY doc_id) AS BIGINT) AS rn FROM documents), "
             "r AS ("

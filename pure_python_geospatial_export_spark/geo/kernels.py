@@ -169,24 +169,12 @@ def _clip_ring_halfplane(
 ) -> Optional[np.ndarray]:
     """Sutherland-Hodgman clip of a closed ring against the half-plane
     x <= line_x (or x >= line_x). Driver-side, per-polygon — not a hot
-    path. Returns a closed ring or None when nothing remains."""
-    out: List[List[float]] = []
-    for i in range(len(ring) - 1):
-        p, q = ring[i], ring[i + 1]
-        pin = p[0] <= line_x if keep_left else p[0] >= line_x
-        qin = q[0] <= line_x if keep_left else q[0] >= line_x
-        if pin:
-            out.append([p[0], p[1]])
-            if not qin:
-                t = (line_x - p[0]) / (q[0] - p[0])
-                out.append([line_x, p[1] + t * (q[1] - p[1])])
-        elif qin:
-            t = (line_x - p[0]) / (q[0] - p[0])
-            out.append([line_x, p[1] + t * (q[1] - p[1])])
-    if len(out) < 3:
-        return None
-    out.append(list(out[0]))
-    return np.asarray(out, dtype=np.float64)
+    path. Returns a closed ring or None when nothing remains.
+    Delegates to the two-axis generalization :func:`_clip_ring_axis`
+    (one clipper, one set of degenerate-case rules)."""
+    return _clip_ring_axis(
+        np.asarray(ring, dtype=np.float64), line_x, 0, keep_left
+    )
 
 
 def _clip_ring_axis(

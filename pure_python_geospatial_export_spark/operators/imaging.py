@@ -212,7 +212,13 @@ def image_feature(px: np.ndarray, grid: int = 4) -> np.ndarray:
     """Deterministic float32 feature: per-cell mean brightness of a
     grid x grid downsample plus global mean/std — the embedding-ish
     vector the similarity operators consume."""
-    gray = px[:, :, :3].mean(axis=2) if px.ndim == 3 else px
+    if px.ndim == 3:
+        # color channels only: 2-channel is gray+ALPHA (PNG color type
+        # 4) — averaging alpha in would brighten every opaque pixel
+        nc = 1 if px.shape[2] in (1, 2) else 3
+        gray = px[:, :, :nc].mean(axis=2)
+    else:
+        gray = px
     small = resize_nearest(
         gray[:, :, None].astype(np.uint8), grid, grid
     )[:, :, 0].astype(np.float64)

@@ -96,6 +96,12 @@ def extract_features(
             feats = []
             nbytes = []
             for p in payloads:
+                if p is None:
+                    # nullable payload columns (same guard byte_stats
+                    # has): NULL in, NULL feature out
+                    nbytes.append(0)
+                    feats.append(None)
+                    continue
                 b = bytes(p) if not isinstance(p, str) else p.encode()
                 nbytes.append(len(b))
                 if fake:
@@ -104,11 +110,12 @@ def extract_features(
                 try:
                     px = imaging.decode_image(b)
                     feats.append(imaging.image_feature(px).tolist())
-                except NotImplementedError:
-                    if on_undecodable == "raise":
-                        raise
-                    feats.append(None)
-                except ValueError:
+                except Exception:
+                    # corrupt payloads surface as zlib.error /
+                    # struct.error / IndexError, not just the decoder's
+                    # own NotImplementedError/ValueError — in 'null'
+                    # mode ALL of them mean "undecodable row", never a
+                    # failed job
                     if on_undecodable == "raise":
                         raise
                     feats.append(None)

@@ -101,6 +101,11 @@ def cosine_topk_arrow(
     left fold); ranks use the same (score desc, id asc) tiebreak. Kept
     separate from :func:`cosine_topk` because the driver oracle pins the
     left-fold double exactly; an equality test ties the two together.
+
+    Degenerate rows: NULL and zero-norm embeddings are SKIPPED (they
+    have no defined cosine); the baseline instead carries them as
+    NULL/NaN scores, so results can differ only when a query has fewer
+    than k well-defined candidates.
     """
     qrows = queries.select(query_id, query_vec).collect()
     qids = np.array([r[0] for r in qrows])
@@ -127,9 +132,19 @@ def cosine_topk_arrow(
         acc_ids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
         acc_sc = [np.empty(0, dtype=np.float64) for _ in range(nq)]
         for pdf in batches:
-            ids = pdf["_id"].to_numpy()
-            mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            ok = pdf["_vec"].notna().to_numpy()
+            if not ok.any():
+                continue
+            ids = pdf["_id"].to_numpy()[ok]
+            mat = np.stack(
+                pdf["_vec"].to_numpy()[ok]
+            ).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            nz = norms[:, 0] > 0.0
+            ids, mat, norms = ids[nz], mat[nz], norms[nz]
+            if not len(ids):
+                continue
+            mat = mat / norms
             scores = mat @ qmat.T  # (batch, nq)
             for j in range(nq):
                 keep = ids != qids[j]

@@ -349,11 +349,14 @@ def polygon_overlap_join(
                         np.asarray(r, dtype=np.float64)[:, :2]
                         for r in rings
                     ])
-                    pad = 0.0
+                    pad = pad_lon = 0.0
                     if geodesic:
                         # a great-circle edge bows off its chord by at
                         # most theta^2/8 rad — pad the vertex bbox so
-                        # arc bulges can't escape the candidate cells
+                        # arc bulges can't escape the candidate cells.
+                        # The pad is an ANGULAR distance: one degree of
+                        # it spans 1/cos(lat) degrees of longitude, so
+                        # the x-pad scales by the worst cos in reach
                         from ..geo.geodesic import unit_vectors
                         for r in rings:
                             ra = np.asarray(r, dtype=np.float64)
@@ -365,9 +368,18 @@ def polygon_overlap_join(
                             pad = max(pad,
                                       np.degrees(theta * theta / 8.0))
                         pad += 1e-9
-                    vals["_xmin"].append(float(arr[:, 0].min()) - pad)
+                        lat_reach = min(
+                            89.9,
+                            float(np.abs(arr[:, 1]).max()) + pad,
+                        )
+                        pad_lon = pad / float(
+                            np.cos(np.radians(lat_reach))
+                        )
+                    vals["_xmin"].append(float(arr[:, 0].min())
+                                         - pad_lon)
                     vals["_ymin"].append(float(arr[:, 1].min()) - pad)
-                    vals["_xmax"].append(float(arr[:, 0].max()) + pad)
+                    vals["_xmax"].append(float(arr[:, 0].max())
+                                         + pad_lon)
                     vals["_ymax"].append(float(arr[:, 1].max()) + pad)
                 except Exception:
                     for k in vals:

@@ -238,13 +238,19 @@ def vector_tile_pyramid(
         tol = 360.0 / (1 << res) / float(px)
         rows = []
         for pid, info in sorted(rings_by_id.items()):
-            simp = [
+            # ring 0 is THE exterior (load_rings order); if it collapses
+            # at this tolerance the feature is sub-pixel at this zoom —
+            # drop the whole polygon rather than risk promoting a
+            # surviving hole to exterior (even-odd inversion)
+            ext = kernels.simplify_ring(info["rings"][0], tol)
+            if ext is None:
+                continue
+            simp = [ext] + [
                 s for s in (
-                    kernels.simplify_ring(r, tol) for r in info["rings"]
+                    kernels.simplify_ring(r, tol)
+                    for r in info["rings"][1:]
                 ) if s is not None
             ]
-            if not simp:
-                continue
             rows.append((pid, info["name"], wktmod.dumps({
                 "type": "Polygon",
                 "coordinates": [s.tolist() for s in simp],
@@ -292,28 +298,33 @@ def simplify_wkt(
     )
     tol = float(tolerance)
 
+    def _simp_rings(poly_rings):
+        # the EXTERIOR (first ring) must survive or the polygon is gone
+        # — keeping only a surviving hole would promote it to exterior
+        # under even-odd semantics and invert the region
+        ext = kernels.simplify_ring(poly_rings[0], tol)
+        if ext is None:
+            return None
+        rings = [ext] + [
+            s for s in (kernels.simplify_ring(r, tol)
+                        for r in poly_rings[1:])
+            if s is not None
+        ]
+        return [r.tolist() for r in rings]
+
     def _simp_geom(geom):
         t = geom["type"]
         if t == "Polygon":
-            rings = [
-                s for s in (kernels.simplify_ring(r, tol)
-                            for r in geom["coordinates"])
-                if s is not None
-            ]
-            if not rings:
+            rings = _simp_rings(geom["coordinates"])
+            if rings is None:
                 return None
-            return {"type": "Polygon",
-                    "coordinates": [r.tolist() for r in rings]}
+            return {"type": "Polygon", "coordinates": rings}
         if t == "MultiPolygon":
             polys = []
             for poly in geom["coordinates"]:
-                rings = [
-                    s for s in (kernels.simplify_ring(r, tol)
-                                for r in poly)
-                    if s is not None
-                ]
-                if rings:
-                    polys.append([r.tolist() for r in rings])
+                rings = _simp_rings(poly)
+                if rings is not None:
+                    polys.append(rings)
             if not polys:
                 return None
             return {"type": "MultiPolygon", "coordinates": polys}

@@ -211,3 +211,63 @@ def test_image_near_dup_pipeline(spark):
     }
     assert (0, 1) in pairs and (2, 3) in pairs
     assert not {(0, 2), (0, 3), (1, 2), (1, 3)} & pairs
+
+
+def test_extract_features_corrupt_and_null_payloads(spark):
+    """Corrupt payloads raise zlib/struct/IndexError inside the
+    decoders — 'null' mode must null them out, never fail the job;
+    NULL payloads pass through as NULL features."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from pure_python_geospatial_export_spark.operators import (
+        imaging,
+        multimodal,
+    )
+
+    good = imaging.encode_png(
+        (np.arange(48, dtype=np.uint8)).reshape(4, 4, 3)
+    )
+    corrupt_idat = imaging.PNG_SIG + good[8:20] + b"\x00" * 30
+    truncated_bmp = b"BM" + b"\x01" * 10
+    rows = [
+        (1, "image", bytearray(good)),
+        (2, "image", bytearray(corrupt_idat)),
+        (3, "image", bytearray(truncated_bmp)),
+        (4, "image", None),
+    ]
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType(), True),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = {r["media_id"]: r for r in
+           multimodal.extract_features(df).collect()}
+    assert out[1]["feature"] is not None
+    assert out[2]["feature"] is None and out[2]["n_bytes"] > 0
+    assert out[3]["feature"] is None
+    assert out[4]["feature"] is None and out[4]["n_bytes"] == 0
+    import pytest
+    with pytest.raises(Exception):
+        multimodal.extract_features(
+            df, on_undecodable="raise"
+        ).collect()
+
+
+def test_image_feature_gray_alpha_ignores_alpha():
+    from pure_python_geospatial_export_spark.operators import imaging
+
+    ga = np.zeros((8, 8, 2), dtype=np.uint8)
+    ga[:, :, 0] = 128   # mid gray
+    ga[:, :, 1] = 255   # fully opaque
+    feat = imaging.image_feature(ga)
+    # global mean brightness is feature[-2]
+    assert abs(float(feat[-2]) - 128.0 / 255.0) < 1e-6
+    rgb = np.full((8, 8, 3), 128, dtype=np.uint8)
+    np.testing.assert_allclose(feat, imaging.image_feature(rgb))

@@ -678,3 +678,35 @@ def test_cosine_topk_arrow_equals_baseline(emb, spark):
         ).collect()
     }
     assert fast13 == {key: vid for key, (vid, _) in fast.items()}
+
+
+def test_cosine_topk_arrow_skips_degenerate_vectors(spark):
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType()), True),
+    ])
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, None),          # NULL embedding
+        (4, [0.0, 0.0]),    # zero norm
+        (5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    q = spark.createDataFrame([(100, [1.0, 0.0])],
+                              ["query_id", "qvec"])
+    got = [
+        (r["vec_id"], r["rank"])
+        for r in similarity.cosine_topk_arrow(
+            df, q, "vec_id", "embedding", "query_id", "qvec", k=10
+        ).orderBy("rank").collect()
+    ]
+    assert got == [(1, 1), (2, 2), (5, 3)]  # 3 and 4 skipped

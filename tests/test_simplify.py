@@ -118,3 +118,23 @@ def test_simplify_wkt_column(spark):
     assert got[3] == "POINT (3.000000000000 4.000000000000)"
     assert got[4] is None
     assert got[5] is None
+
+
+def test_simplify_never_promotes_hole_to_exterior(spark):
+    from pure_python_geospatial_export_spark.geo import wkt as wktmod
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        simplify_wkt,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    # flat-band exterior collapses at tol=1.0; the V-shaped hole spans
+    # the band's full height and survives
+    ext = [[0.0, 0.0], [20.0, 0.0], [20.0, 0.4], [0.0, 0.4], [0.0, 0.0]]
+    hole = [[2.0, 0.1], [18.0, 0.1], [10.0, 0.35], [2.0, 0.1]]
+    poly = wktmod.dumps(
+        {"type": "Polygon", "coordinates": [ext, hole]}, 12
+    )
+    df = local_df(spark, [(1, poly)], ["gid", "wkt"])
+    got = simplify_wkt(df, 1.0).collect()[0]["wkt_simplified"]
+    assert got is None  # exterior collapsed -> polygon gone, no
+    #                     hole-promoted inversion
