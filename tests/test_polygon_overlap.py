@@ -292,3 +292,48 @@ def test_polygon_overlap_join_linestring_probes(spark):
         )
     }
     assert got == want and want
+
+
+def test_arcs_intersect_random_constructive():
+    """Randomized with EXACT ground truth by construction: crossing
+    pairs share an interior point (two arcs built through one random
+    point), disjoint pairs live in angularly separated caps."""
+    from pure_python_geospatial_export_spark.geo.geodesic import (
+        arcs_intersect_any,
+        lonlat_from_vectors,
+        unit_vectors,
+    )
+
+    rng = np.random.default_rng(61)
+
+    def rand_unit():
+        v = rng.standard_normal(3)
+        return v / np.linalg.norm(v)
+
+    def arc_through(v, delta):
+        t = np.cross(v, rand_unit())
+        t /= np.linalg.norm(t)
+        a = np.cos(delta) * v - np.sin(delta) * t
+        b = np.cos(delta) * v + np.sin(delta) * t
+        lon, lat = lonlat_from_vectors(np.stack([a, b]))
+        return np.column_stack([lon, lat])
+
+    hits = 0
+    for _ in range(200):
+        p = rand_unit()
+        a1 = arc_through(p, rng.uniform(0.01, 0.4))
+        a2 = arc_through(p, rng.uniform(0.01, 0.4))
+        assert arcs_intersect_any(a1, a2), (a1, a2)
+        hits += 1
+
+    for _ in range(200):
+        c1, c2 = rand_unit(), rand_unit()
+        sep = np.arccos(np.clip(c1 @ c2, -1, 1))
+        r1 = rng.uniform(0.01, 0.2)
+        r2 = rng.uniform(0.01, 0.2)
+        if sep < r1 + r2 + 0.05:
+            continue  # caps not separated; skip
+        a1 = arc_through(c1, r1 * 0.99)
+        a2 = arc_through(c2, r2 * 0.99)
+        assert not arcs_intersect_any(a1, a2), (sep, r1, r2)
+    assert hits == 200
