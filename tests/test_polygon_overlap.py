@@ -337,3 +337,30 @@ def test_arcs_intersect_random_constructive():
         a2 = arc_through(c2, r2 * 0.99)
         assert not arcs_intersect_any(a1, a2), (sep, r1, r2)
     assert hits == 200
+
+
+def test_planar_segments_intersect_random_constructive():
+    """Planar twin of the constructive arc test: crossing pairs share
+    an interior point, disjoint pairs live in separated disks."""
+    rng = np.random.default_rng(67)
+
+    def seg_through(p, r):
+        ang = rng.uniform(0, 2 * np.pi)
+        d = np.array([np.cos(ang), np.sin(ang)])
+        return np.stack([p - r * d, p + r * d])
+
+    for _ in range(200):
+        p = rng.uniform(-100, 100, 2)
+        s1 = seg_through(p, rng.uniform(0.1, 5.0))
+        s2 = seg_through(p, rng.uniform(0.1, 5.0))
+        assert kernels.segments_intersect_any(s1, s2)
+
+    for _ in range(200):
+        c1 = rng.uniform(-100, 100, 2)
+        c2 = rng.uniform(-100, 100, 2)
+        r1, r2 = rng.uniform(0.1, 5.0, 2)
+        if np.linalg.norm(c1 - c2) < r1 + r2 + 0.1:
+            continue
+        s1 = seg_through(c1, r1 * 0.99)
+        s2 = seg_through(c2, r2 * 0.99)
+        assert not kernels.segments_intersect_any(s1, s2)
