@@ -1033,6 +1033,23 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-width integer bins: pure arithmetic (no ln/boundary-ulp
+    # risk), min/max are order-independent — fully deterministic
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.withColumn(
+            "bin", F.floor(F.col("value") / F.lit(25.0)).cast("int")
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (
@@ -1166,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q_events_funnel,
         "events_cohort": _q_events_cohort,
         "time_rollup": _q_time_rollup,
+        "value_histogram": _q_value_histogram,
         "events_sessions": _q_events_sessions,
         "events_rollup": _q_events_rollup,
         "events_json": _q_events_json,
@@ -1966,6 +1984,12 @@ def oracle_sql() -> dict[str, str]:
             "/ 7.0) AS INTEGER) AS \"offset\" FROM f) "
             "SELECT cohort, \"offset\", count(DISTINCT user_id) "
             "AS n_users FROM c GROUP BY cohort, \"offset\""
+        ),
+        "value_histogram": (
+            "SELECT event_type, "
+            "CAST(floor(value / 25.0) AS INTEGER) AS bin, "
+            "COUNT(*) AS n, min(value) AS vmin, max(value) AS vmax "
+            "FROM events GROUP BY event_type, bin"
         ),
         "time_rollup": (
             "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
