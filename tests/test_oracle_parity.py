@@ -17,8 +17,10 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-ORACLES = entry_mod.oracle_sql()
-QUERIES = entry_mod.queries()
+# the driver-facing registry PLUS the folded (driver-redundant) entries:
+# locally, every query ever registered keeps its bit-level parity gate
+ORACLES = {**entry_mod.oracle_sql(), **entry_mod.extra_oracle_sql()}
+QUERIES = {**entry_mod.queries(), **entry_mod.extra_queries()}
 
 
 @pytest.fixture(scope="module")

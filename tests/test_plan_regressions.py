@@ -74,7 +74,7 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark):
     FlatMapGroupsInPandas). A BatchEvalPython node means a row-wise
     Python UDF crept onto a hot path."""
     offenders = {}
-    for name in em.queries():
+    for name in {**em.queries(), **em.extra_queries()}:
         plan = _plan(spark, name)
         if "BatchEvalPython" in plan:
             offenders[name] = plan
