@@ -1017,9 +1017,13 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # uid + pid scoped (mirrors session.py's warehouse fix): a fixed
+    # world-shared /tmp name collides across users (permission errors)
+    # and across concurrent runs of the same sf_dir (mixed results)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     base = os.path.join(
-        tempfile.gettempdir(), "ppge_tsroll_%s" % tag
+        tempfile.gettempdir(),
+        "ppge_tsroll-uid%d-pid%d_%s" % (os.getuid(), os.getpid(), tag),
     )
     write_events_table(ev, os.path.join(base, "events"))
     write_rollup(

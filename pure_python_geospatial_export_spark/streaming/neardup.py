@@ -33,6 +33,23 @@ two ways:
   which one mega-bucket key would accumulate unbounded state AND emit
   O(m^2) pairs.
 
+KNOWN RECALL GAP under min-band ownership (``emit_mode="min_band"``,
+the default): FIFO eviction is per-bucket (it depends on that bucket's
+occupancy), so member ``o`` can be evicted from the OWNING band's
+bucket while another colliding band's bucket still holds both members
+— the non-owning bucket skips emission (its band isn't the minimum
+colliding band) and the pair is lost. This is distinct from the
+watermark horizon trade: time eviction is deterministic on (ts,
+watermark) and hence consistent across all of a doc's buckets, but
+space eviction is not. Buckets are independent state keys with no
+cross-bucket channel, so no ownership rule computable from one
+bucket's state can close this. When the consumer is idempotent on
+pairs (e.g. the ``foreachBatch`` union-find clustering sink in
+``streaming/cluster.py``, or any sink keyed on (id_a, id_b)), use
+``emit_mode="all_bands"``: every colliding bucket emits
+(at-least-once), and a pair is missed only if evicted from ALL its
+colliding buckets — strictly better recall, duplicate rows possible.
+
 Verification is EXACT inside the kernel: both members' shingle sets are
 in hand, so the emitted ``jaccard`` equals the batch operator's
 ``size(array_intersect)/size(array_union)`` double exactly — the parity
@@ -84,7 +101,13 @@ def make_bucket_matcher(
     use_timeout: bool,
     num_hashes: int,
     bands: int,
+    emit_mode: str = "min_band",
 ):
+    if emit_mode not in ("min_band", "all_bands"):
+        raise ValueError(
+            "emit_mode must be 'min_band' (exactly-once, eviction recall "
+            "gap) or 'all_bands' (at-least-once), got %r" % (emit_mode,)
+        )
     rows_per_band = num_hashes // bands
 
     def min_colliding_band(sig_a: np.ndarray, sig_b: np.ndarray) -> int:
@@ -159,8 +182,11 @@ def make_bucket_matcher(
             for oid, oset, osig, ots in zip(ids, sets, sig_arrs, ts_us):
                 if oid == rid:
                     continue
-                if min_colliding_band(cur_sig, osig) != band:
-                    continue  # another band owns this pair
+                if emit_mode == "min_band":
+                    if min_colliding_band(cur_sig, osig) != band:
+                        continue  # another band owns this pair
+                elif min_colliding_band(cur_sig, osig) < 0:
+                    continue  # hash collision without slice equality
                 inter = len(np.intersect1d(cur, oset))
                 union = len(cur) + len(oset) - inter
                 jac = float(inter) / float(union) if union else 0.0
@@ -216,9 +242,15 @@ def near_duplicates_stream(
     shingle_size: int = 3,
     watermark: str = "2 hours",
     max_members: int = 256,
+    emit_mode: str = "min_band",
 ) -> DataFrame:
     """docs stream (or batch frame) -> (id_a, id_b, jaccard, pair_ts),
     one row per near-duplicate pair found within the watermark horizon.
+
+    ``emit_mode``: ``"min_band"`` (default) emits each pair exactly once
+    but can miss pairs whose owning bucket FIFO-evicted a member (see
+    module docstring); ``"all_bands"`` emits from every colliding bucket
+    (at-least-once) for idempotent consumers such as clustering.
     """
     is_streaming = docs.isStreaming
     sig = minhash_signature(
@@ -242,7 +274,8 @@ def near_duplicates_stream(
     horizon_s = _parse_interval_seconds(watermark)
     matcher = make_bucket_matcher(threshold, max_members, horizon_s,
                                   use_timeout=is_streaming,
-                                  num_hashes=num_hashes, bands=bands)
+                                  num_hashes=num_hashes, bands=bands,
+                                  emit_mode=emit_mode)
     if not is_streaming:
         # Spark rejects applyInPandasWithState on batch frames; run the
         # SAME matcher per bucket through applyInPandas with an inert
@@ -291,12 +324,41 @@ class _InertState:
         pass
 
 
+_INTERVAL_UNIT_SECONDS = {
+    "microsecond": 1e-6, "millisecond": 1e-3, "second": 1,
+    "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
 def _parse_interval_seconds(interval: str) -> int:
-    qty, unit = interval.strip().split()
-    mult = {
-        "second": 1, "seconds": 1,
-        "minute": 60, "minutes": 60,
-        "hour": 3600, "hours": 3600,
-        "day": 86400, "days": 86400,
-    }[unit.lower()]
-    return int(qty) * mult
+    """Parse a Spark-style interval string ('2 hours', '1 hour
+    30 minutes', '1 week', with optional leading 'interval') into whole
+    seconds, matching Spark's watermark-delay grammar for the units
+    Spark itself accepts there.
+    """
+    toks = interval.strip().lower().split()
+    if toks and toks[0] == "interval":
+        toks = toks[1:]
+    if not toks or len(toks) % 2 != 0:
+        raise ValueError(
+            "cannot parse interval %r: expected one or more '<n> <unit>' "
+            "pairs with unit in %s (plural accepted)"
+            % (interval, sorted(_INTERVAL_UNIT_SECONDS))
+        )
+    total = 0.0
+    for qty, unit in zip(toks[::2], toks[1::2]):
+        u = unit[:-1] if unit.endswith("s") else unit
+        if u not in _INTERVAL_UNIT_SECONDS:
+            raise ValueError(
+                "cannot parse interval %r: unknown unit %r (accepted: %s)"
+                % (interval, unit, sorted(_INTERVAL_UNIT_SECONDS))
+            )
+        try:
+            n = int(qty)
+        except ValueError:
+            raise ValueError(
+                "cannot parse interval %r: %r is not an integer quantity"
+                % (interval, qty)
+            )
+        total += n * _INTERVAL_UNIT_SECONDS[u]
+    return int(total)

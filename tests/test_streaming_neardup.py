@@ -132,6 +132,29 @@ def test_batch_mode_same_operator(spark, tmp_path):
     assert got == want and want
 
 
+def test_all_bands_mode_at_least_once(spark, tmp_path):
+    """emit_mode='all_bands' (for idempotent consumers) emits every
+    pair from EVERY colliding bucket: distinct triples equal the
+    exactly-once output; multiplicity >= 1 per pair."""
+    rows = _mk_docs(n_families=6, fillers=10)
+    df = local_df(spark, rows, ["page_id", "text", "warc_ts"])
+    df = df.withColumn("warc_ts", df["warc_ts"].cast("timestamp"))
+    all_rows = [
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in near_duplicates_stream(
+            df, threshold=0.7, emit_mode="all_bands"
+        ).collect()
+    ]
+    once = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in near_duplicates_stream(df, threshold=0.7).collect()
+    }
+    assert set(all_rows) == once and once
+    assert len(all_rows) >= len(once)
+    with pytest.raises(ValueError, match="emit_mode"):
+        near_duplicates_stream(df, emit_mode="bogus").collect()
+
+
 def test_horizon_bounds_state_and_matches(spark, tmp_path):
     """Twins separated by more than the watermark horizon are NOT
     paired once the watermark has actually advanced past the early
@@ -210,11 +233,24 @@ def test_member_cap_fifo(spark):
     assert (0, 1) in got
 
 
-@pytest.mark.parametrize("bad", ["2 fortnights"])
+@pytest.mark.parametrize(
+    "bad", ["2 fortnights", "", "2", "hours 2", "1.5 hours"]
+)
 def test_interval_parser_rejects_unknown(bad):
     from pure_python_geospatial_export_spark.streaming.neardup import (
         _parse_interval_seconds,
     )
-    with pytest.raises(KeyError):
+    with pytest.raises(ValueError, match="cannot parse interval"):
         _parse_interval_seconds(bad)
+
+
+def test_interval_parser_accepts_spark_grammar():
+    from pure_python_geospatial_export_spark.streaming.neardup import (
+        _parse_interval_seconds,
+    )
     assert _parse_interval_seconds("90 minutes") == 5400
+    assert _parse_interval_seconds("1 week") == 604800
+    assert _parse_interval_seconds("1 hour 30 minutes") == 5400
+    assert _parse_interval_seconds("interval 2 days 6 hours") == 194400
+    assert _parse_interval_seconds("500 milliseconds") == 0
+    assert _parse_interval_seconds("1 second") == 1
