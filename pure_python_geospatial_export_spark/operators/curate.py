@@ -274,6 +274,8 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    min_df: int = 1,
+    max_df_frac: float = 1.0,
 ) -> DataFrame:
     """Per-document top-``k`` terms by smoothed TF-IDF — the classic
     keyword-extraction / topic-labeling pass over a crawl:
@@ -289,7 +291,16 @@ def tfidf_top_terms(
     already-distinct (doc, term) pairs, the term join carries one row
     per distinct pair (never raw tokens), N broadcasts as one row, and
     the final window is a per-doc top-k. Nothing quadratic, no
-    driver-side collection."""
+    driver-side collection.
+
+    ``min_df`` / ``max_df_frac`` prune the vocabulary BEFORE the term
+    join (standard TF-IDF practice): terms in fewer than ``min_df``
+    docs or more than ``max_df_frac * N`` docs are dropped. At web
+    scale this removes the stopword hot keys from the term-join shuffle
+    outright — stopwords are exactly the terms every document emits, so
+    without the cutoff they are the skewed join keys (AQE's skew-join
+    is the backstop; the prune removes the hazard). Defaults keep the
+    full vocabulary."""
     from pyspark.sql import Window
 
     toks = df.select(
@@ -299,6 +310,16 @@ def tfidf_top_terms(
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    if min_df > 1 or max_df_frac < 1.0:
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(n_docs))
+            .where(
+                (F.col("_df") >= F.lit(int(min_df)))
+                & (F.col("_df").cast("double")
+                   <= F.col("_n").cast("double") * F.lit(float(max_df_frac)))
+            )
+            .drop("_n")
+        )
     scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
     score = F.round(
         F.col("tf").cast("double")

@@ -405,7 +405,48 @@ def test_tfidf_tie_breaks_on_term(spark):
     assert got == [(1, "alpha"), (2, "zeta")]
 
 
-def test_pii_cross_engine_fuzz(spark):
+def test_tfidf_df_pruning_removes_stopword_hot_key(spark):
+    """min_df/max_df_frac prune the vocabulary BEFORE the term join:
+    a 'the'-style token present in most docs (the skewed join key at
+    web scale) disappears from both the join input and the output,
+    and surviving scores are unchanged vs the unpruned run."""
+    from pure_python_geospatial_export_spark.operators.curate import (
+        tfidf_top_terms,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    # 'the': 8/10 docs (hot key); 'mid': 3/10; 'u<i>': unique per doc
+    rows = [
+        (i,
+         ("the " if i < 8 else "")
+         + ("mid " if i < 3 else "")
+         + "u%d" % i)
+        for i in range(10)
+    ]
+    df = local_df(spark, rows, ["doc_id", "text"])
+
+    pruned = tfidf_top_terms(df, k=10, min_df=2, max_df_frac=0.5)
+    got = [(r["doc_id"], r["term"], r["score"])
+           for r in pruned.collect()]
+    terms = {t for _, t, _ in got}
+    assert "the" not in terms          # max_df prune (df=8 > 0.5*10)
+    assert "u0" not in terms           # min_df prune (df=1 < 2)
+    assert terms == {"mid"}            # df=3 survives both cuts
+
+    # scores of surviving terms match the unpruned run exactly
+    base = {(r["doc_id"], r["term"]): r["score"]
+            for r in tfidf_top_terms(df, k=10).collect()}
+    for doc, term, score in got:
+        assert base[(doc, term)] == score
+
+    # the join input (pruned vocabulary) demonstrably shrank
+    import pyspark.sql.functions as F
+    full_vocab = (
+        tfidf_top_terms(df, k=10**6)
+        .select("term").distinct().count()
+    )
+    pruned_vocab = pruned.select("term").distinct().count()
+    assert pruned_vocab < full_vocab
     """2000 adversarial random strings, one Spark job vs one DuckDB
     query: counts and redacted text must agree on every row — evidence
     the patterns really live in the Java-regex/RE2 common subset."""
