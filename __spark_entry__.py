@@ -1129,6 +1129,61 @@ def _q_geojson_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                      None)
 
 
+def _q_tile_mvt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mapbox Vector Tile encode -> independent wire decode, per res-5
+    # tile: the output columns are computed FROM THE DECODED BYTES, so
+    # the DuckDB twin (closed-form quantization arithmetic) bit-checks
+    # the whole varint/zigzag/command pipeline, not just the counts.
+    # res 5: cell w=11.25, h=5.625 are exact binary fractions, so the
+    # quantizer's scale constants (4096/11.25, 4096/5.625) are the same
+    # IEEE doubles on both engines (mirrored in the oracle SQL).
+    import pandas as pd
+
+    from pure_python_geospatial_export_spark.geo import mvt
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        encode_mvt_points,
+    )
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pts = _docs_points(spark, sf_dir).select("doc_id", "lon", "lat")
+    enc = encode_mvt_points(pts, res=5, id_col="doc_id")
+
+    out_schema = StructType([
+        StructField("tile_id", LongType(), False),
+        StructField("n_features", IntegerType(), False),
+        StructField("sum_px", LongType(), False),
+        StructField("sum_py", LongType(), False),
+        StructField("sum_ids", LongType(), False),
+    ])
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for tile_id, buf in zip(pdf["tile_id"], pdf["mvt"]):
+                tile = mvt.decode_tile(bytes(buf))
+                (layer,) = tile["layers"]
+                su = sv = sid = 0
+                for f in layer["features"]:
+                    ((u, v),) = f["parts"][0]
+                    su += u
+                    sv += v
+                    sid += f["id"]
+                rows.append((int(tile_id), len(layer["features"]),
+                             su, sv, sid))
+            yield pd.DataFrame(
+                rows,
+                columns=["tile_id", "n_features", "sum_px", "sum_py",
+                         "sum_ids"],
+            )
+
+    return enc.mapInPandas(_decode, out_schema)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial join + tile assignment on sf0.001 documents."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1173,6 +1228,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "geojson_lines": _q_geojson_lines,
+        "tile_mvt": _q_tile_mvt,
         "pip_join": _q_pip_join,
         "pip_join_geodesic": _q_pip_join_geodesic,
         "pip_join_salted": _q_pip_join_salted,
@@ -2059,6 +2115,32 @@ def _all_oracle_sql() -> dict[str, str]:
         "simhash_pairs": simhash_pairs_sql,
         "embedding_near_dup": embedding_near_dup_sql,
         "geojson_lines": _geojson_lines_sql(),
+        # tile_mvt: closed-form MVT quantization. Scale constants are
+        # written as the same float expressions the kernel evaluates
+        # (res-5 cell extents 11.25 / 5.625 are exact binary fractions,
+        # so x1-x0 == 11.25 exactly and the division+multiply order
+        # matches encode_mvt_points bit for bit).
+        "tile_mvt": (
+            PTS_CTE + ", "
+            "q AS (SELECT doc_id, lon, lat, "
+            "least(greatest(CAST(floor((lon + 180.0) / 360.0 * 32) "
+            "AS BIGINT), 0), 31) AS tx, "
+            "least(greatest(CAST(floor((lat + 90.0) / 180.0 * 32) "
+            "AS BIGINT), 0), 31) AS ty FROM pts), "
+            "px AS (SELECT doc_id, "
+            "(5 * 288230376151711744 + tx * 536870912 + ty) AS tile_id, "
+            "least(greatest(CAST(floor("
+            "(lon - (-180.0 + tx * 11.25)) / 11.25 * 4096.0"
+            ") AS BIGINT), 0), 4096) AS u, "
+            "least(greatest(CAST(floor("
+            "((-90.0 + (ty + 1) * 5.625) - lat) / 5.625 * 4096.0"
+            ") AS BIGINT), 0), 4096) AS v FROM q) "
+            "SELECT tile_id, CAST(COUNT(*) AS INTEGER) AS n_features, "
+            "CAST(SUM(u) AS BIGINT) AS sum_px, "
+            "CAST(SUM(v) AS BIGINT) AS sum_py, "
+            "CAST(SUM(doc_id) AS BIGINT) AS sum_ids "
+            "FROM px GROUP BY tile_id"
+        ),
     }
 
 

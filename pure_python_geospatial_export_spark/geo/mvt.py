@@ -1,0 +1,433 @@
+"""Mapbox Vector Tile (MVT 2.1) codec — pure stdlib.
+
+Completes the tiling story (SURVEY J5): ``clip_layer_to_tiles`` /
+``vector_tile_pyramid`` produce per-tile clipped geometry as WKT; this
+module packs those pieces (plus point layers) into the protobuf tile
+bytes every web-map client consumes, and decodes them back for
+verification. The wire format is the public Mapbox Vector Tile 2.1
+spec (protobuf: Tile{layers=3}, Layer{version=15(=2), name=1,
+features=2, keys=3, values=4, extent=5}, Feature{id=1, tags=2packed,
+type=3, geometry=4packed}, Value{string=1,float=2,double=3,int=4,
+uint=5,sint=6,bool=7}) hand-rolled with varints — no protobuf
+dependency.
+
+Geometry encoding: MoveTo(1)/LineTo(2)/ClosePath(7) command integers
+``(id & 7) | (count << 3)`` with zigzag-delta parameters; the cursor
+persists across rings and parts within one feature. Ring winding
+follows the spec's surveyor's-formula rule in tile coordinates
+(y down): exterior rings positive area, interior rings negative.
+
+The decoder is deliberately independent of the encoder (it parses the
+raw wire format, not a mirror of the writer's state) so the round-trip
+tests are meaningful.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+GEOM_UNKNOWN, GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON = 0, 1, 2, 3
+
+_CMD_MOVETO, _CMD_LINETO, _CMD_CLOSEPATH = 1, 2, 7
+
+
+# ---------------------------------------------------------------------------
+# varint / zigzag / protobuf primitives
+# ---------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    if n < 0:
+        n &= (1 << 64) - 1  # two's-complement 64-bit, per protobuf
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_delim(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _field_varint(field: int, n: int) -> bytes:
+    return _tag(field, 0) + _varint(n)
+
+
+# ---------------------------------------------------------------------------
+# Value messages (feature properties)
+# ---------------------------------------------------------------------------
+
+
+def _encode_value(v) -> bytes:
+    if isinstance(v, bool):
+        return _field_varint(7, int(v))
+    if isinstance(v, int):
+        if v >= 0:
+            return _field_varint(4, v)
+        return _field_varint(6, _zigzag(v))
+    if isinstance(v, float):
+        return _tag(3, 1) + struct.pack("<d", v)
+    if isinstance(v, str):
+        return _len_delim(1, v.encode("utf-8"))
+    raise TypeError("unsupported MVT property type: %r" % (type(v),))
+
+
+# ---------------------------------------------------------------------------
+# geometry encoding
+# ---------------------------------------------------------------------------
+
+
+def _ring_area2(pts: Sequence[Tuple[int, int]]) -> int:
+    """Twice the signed area (surveyor's formula) of an open ring in
+    tile coordinates. Positive = exterior per MVT 2.1 (y down)."""
+    s = 0
+    n = len(pts)
+    for i in range(n):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def _dedup_consecutive(
+    pts: Sequence[Tuple[int, int]]
+) -> List[Tuple[int, int]]:
+    out: List[Tuple[int, int]] = []
+    for p in pts:
+        if not out or out[-1] != p:
+            out.append(p)
+    return out
+
+
+def encode_geometry(
+    geom_type: int, parts: Sequence[Sequence[Tuple[int, int]]]
+) -> Optional[List[int]]:
+    """Command-integer sequence for a feature.
+
+    ``parts``: for POINT one sequence of points; for LINESTRING one
+    sequence per line; for POLYGON one sequence per ring, ring 0 the
+    exterior, later rings interior (winding is enforced here; pass
+    rings OPEN or closed — a closing vertex equal to the first is
+    dropped). Returns None when nothing survives degeneracy pruning
+    (the spec allows discarding such features).
+    """
+    cx = cy = 0
+    out: List[int] = []
+
+    def _moveto(pts):
+        nonlocal cx, cy
+        out.append((_CMD_MOVETO & 7) | (len(pts) << 3))
+        for x, y in pts:
+            out.append(_zigzag(x - cx))
+            out.append(_zigzag(y - cy))
+            cx, cy = x, y
+
+    def _lineto(pts):
+        nonlocal cx, cy
+        out.append((_CMD_LINETO & 7) | (len(pts) << 3))
+        for x, y in pts:
+            out.append(_zigzag(x - cx))
+            out.append(_zigzag(y - cy))
+            cx, cy = x, y
+
+    if geom_type == GEOM_POINT:
+        pts = [(int(x), int(y)) for x, y in parts[0]]
+        if not pts:
+            return None
+        _moveto(pts)
+        return out
+
+    if geom_type == GEOM_LINESTRING:
+        wrote = False
+        for line in parts:
+            pts = _dedup_consecutive(
+                [(int(x), int(y)) for x, y in line]
+            )
+            if len(pts) < 2:
+                continue
+            _moveto(pts[:1])
+            _lineto(pts[1:])
+            wrote = True
+        return out if wrote else None
+
+    if geom_type == GEOM_POLYGON:
+        wrote = False
+        for i, ring in enumerate(parts):
+            pts = [(int(x), int(y)) for x, y in ring]
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts = pts[:-1]  # drop WKT closing vertex
+            pts = _dedup_consecutive(pts)
+            if len(pts) > 1 and pts[0] == pts[-1]:
+                pts = pts[:-1]
+            if len(pts) < 3:
+                continue  # degenerate ring, spec allows discard
+            area2 = _ring_area2(pts)
+            if area2 == 0:
+                continue
+            want_positive = i == 0
+            if (area2 > 0) != want_positive:
+                pts = [pts[0]] + pts[:0:-1]  # reverse, keep start point
+            if i > 0 and not wrote:
+                # all-exterior-degenerate polygon: orphan holes are
+                # meaningless, drop the feature
+                return None
+            _moveto(pts[:1])
+            _lineto(pts[1:])
+            out.append(_CMD_CLOSEPATH & 7 | (1 << 3))
+            wrote = True
+        return out if wrote else None
+
+    raise ValueError("unknown geometry type %r" % (geom_type,))
+
+
+# ---------------------------------------------------------------------------
+# layer / tile encoding
+# ---------------------------------------------------------------------------
+
+
+def encode_layer(
+    name: str,
+    features: Iterable[dict],
+    extent: int = 4096,
+) -> bytes:
+    """One MVT layer. Each feature dict: ``{"id": int|None, "type":
+    GEOM_*, "parts": [[(x, y), ...], ...], "properties": {str: val}}``
+    with tile-local integer coordinates. Features whose geometry is
+    fully degenerate are skipped. Key/value tables are deduplicated in
+    first-seen order (the spec's layout)."""
+    keys: List[str] = []
+    key_idx: Dict[str, int] = {}
+    values: List[bytes] = []
+    val_idx: Dict[bytes, int] = {}
+
+    feat_bufs: List[bytes] = []
+    for f in features:
+        geom = encode_geometry(f["type"], f["parts"])
+        if geom is None:
+            continue
+        buf = bytearray()
+        if f.get("id") is not None:
+            buf += _field_varint(1, int(f["id"]))
+        tags: List[int] = []
+        for k, v in (f.get("properties") or {}).items():
+            if v is None:
+                continue
+            if k not in key_idx:
+                key_idx[k] = len(keys)
+                keys.append(k)
+            vb = _encode_value(v)
+            if vb not in val_idx:
+                val_idx[vb] = len(values)
+                values.append(vb)
+            tags.append(key_idx[k])
+            tags.append(val_idx[vb])
+        if tags:
+            payload = b"".join(_varint(t) for t in tags)
+            buf += _len_delim(2, payload)
+        buf += _field_varint(3, f["type"])
+        buf += _len_delim(4, b"".join(_varint(g) for g in geom))
+        feat_bufs.append(bytes(buf))
+
+    out = bytearray()
+    out += _field_varint(15, 2)  # version, required first per spec
+    out += _len_delim(1, name.encode("utf-8"))
+    for fb in feat_bufs:
+        out += _len_delim(2, fb)
+    for k in keys:
+        out += _len_delim(3, k.encode("utf-8"))
+    for vb in values:
+        out += _len_delim(4, vb)
+    out += _field_varint(5, int(extent))
+    return bytes(out)
+
+
+def encode_tile(layers: Iterable[bytes]) -> bytes:
+    return b"".join(_len_delim(3, lb) for lb in layers)
+
+
+# ---------------------------------------------------------------------------
+# decoder (independent wire-format parser, for verification)
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: bytes, pos: int) -> Tuple[int, int]:
+    out = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def _walk_fields(buf: bytes):
+    pos = 0
+    while pos < len(buf):
+        key, pos = _read_varint(buf, pos)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wire == 5:
+            val = buf[pos:pos + 4]
+            pos += 4
+        elif wire == 1:
+            val = buf[pos:pos + 8]
+            pos += 8
+        else:
+            raise ValueError("unsupported wire type %d" % wire)
+        yield field, wire, val
+
+
+def _decode_value(buf: bytes):
+    for field, _wire, val in _walk_fields(buf):
+        if field == 1:
+            return val.decode("utf-8")
+        if field == 2:
+            return struct.unpack("<f", val)[0]
+        if field == 3:
+            return struct.unpack("<d", val)[0]
+        if field == 4:
+            v = val
+            return v - (1 << 64) if v >= 1 << 63 else v
+        if field == 5:
+            return val
+        if field == 6:
+            return _unzigzag(val)
+        if field == 7:
+            return bool(val)
+    return None
+
+
+def decode_geometry(
+    cmds: Sequence[int],
+) -> List[Tuple[str, List[Tuple[int, int]]]]:
+    """Command integers -> [(op, [(x, y), ...])] with ABSOLUTE coords;
+    op in {"moveto", "lineto", "closepath"}."""
+    out: List[Tuple[str, List[Tuple[int, int]]]] = []
+    cx = cy = 0
+    i = 0
+    while i < len(cmds):
+        cmd = cmds[i]
+        i += 1
+        op_id, count = cmd & 7, cmd >> 3
+        if op_id == _CMD_CLOSEPATH:
+            out.append(("closepath", []))
+            continue
+        pts = []
+        for _ in range(count):
+            cx += _unzigzag(cmds[i])
+            cy += _unzigzag(cmds[i + 1])
+            i += 2
+            pts.append((cx, cy))
+        op = "moveto" if op_id == _CMD_MOVETO else "lineto"
+        out.append((op, pts))
+    return out
+
+
+def geometry_parts(
+    ops: Sequence[Tuple[str, List[Tuple[int, int]]]]
+) -> List[List[Tuple[int, int]]]:
+    """Group decoded ops back into coordinate parts (rings / lines /
+    point runs). ClosePath terminates a ring WITHOUT repeating the
+    first vertex (the encoder's open-ring convention)."""
+    parts: List[List[Tuple[int, int]]] = []
+    cur: List[Tuple[int, int]] = []
+    for op, pts in ops:
+        if op == "moveto":
+            if cur:
+                parts.append(cur)
+            cur = list(pts)
+        elif op == "lineto":
+            cur.extend(pts)
+        else:  # closepath
+            parts.append(cur)
+            cur = []
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+def decode_tile(buf: bytes) -> dict:
+    layers = []
+    for field, _wire, val in _walk_fields(buf):
+        if field != 3:
+            continue
+        layer = {
+            "name": None, "version": None, "extent": 4096,
+            "keys": [], "values": [], "features": [],
+        }
+        for lf, _lw, lv in _walk_fields(val):
+            if lf == 15:
+                layer["version"] = lv
+            elif lf == 1:
+                layer["name"] = lv.decode("utf-8")
+            elif lf == 3:
+                layer["keys"].append(lv.decode("utf-8"))
+            elif lf == 4:
+                layer["values"].append(_decode_value(lv))
+            elif lf == 5:
+                layer["extent"] = lv
+            elif lf == 2:
+                feat = {"id": None, "type": GEOM_UNKNOWN, "tags": [],
+                        "geometry": []}
+                for ff, fw, fv in _walk_fields(lv):
+                    if ff == 1:
+                        feat["id"] = fv
+                    elif ff == 3:
+                        feat["type"] = fv
+                    elif ff == 2:
+                        if fw == 2:
+                            pos = 0
+                            while pos < len(fv):
+                                t, pos = _read_varint(fv, pos)
+                                feat["tags"].append(t)
+                        else:
+                            feat["tags"].append(fv)
+                    elif ff == 4:
+                        if fw == 2:
+                            pos = 0
+                            while pos < len(fv):
+                                g, pos = _read_varint(fv, pos)
+                                feat["geometry"].append(g)
+                        else:
+                            feat["geometry"].append(fv)
+                layer["features"].append(feat)
+        for feat in layer["features"]:
+            feat["parts"] = geometry_parts(
+                decode_geometry(feat["geometry"])
+            )
+            props = {}
+            tags = feat["tags"]
+            for j in range(0, len(tags) - 1, 2):
+                props[layer["keys"][tags[j]]] = (
+                    layer["values"][tags[j + 1]]
+                )
+            feat["properties"] = props
+        layers.append(layer)
+    return {"layers": layers}

@@ -272,6 +272,169 @@ def vector_tile_pyramid(
     )
 
 
+def encode_mvt_polygons(
+    pieces: DataFrame,
+    layer_name: str = "zones",
+    extent: int = 4096,
+    id_col: str = "polygon_id",
+    wkt_col: str = "wkt",
+    tile_col: str = "tile_id",
+    prop_cols: tuple = ("name",),
+) -> DataFrame:
+    """Pack :func:`clip_layer_to_tiles` output into Mapbox Vector Tile
+    bytes -> (tile_id, n_features, n_bytes, mvt).
+
+    One ``applyInPandas`` group per tile (a single shuffle on the tile
+    id, the natural MVT unit of work — at fact scale each tile's pieces
+    are bounded by the clip, so per-group state is bounded); lon/lat
+    quantize to ``extent`` units of the tile's cell bbox (floor, clamped
+    to [0, extent]) with y DOWN per the MVT screen convention. Features
+    are sorted by id for deterministic bytes.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..geo import cells as cellmod
+    from ..geo import mvt
+    from ..geo import wkt as wktmod
+
+    out_schema = StructType([
+        StructField("tile_id", LongType(), False),
+        StructField("n_features", IntegerType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("mvt", BinaryType(), False),
+    ])
+    ext = int(extent)
+    props = tuple(prop_cols)
+
+    def _encode_group(key, pdf):
+        tile = int(key[0])
+        x0, y0, x1, y1 = cellmod.cell_bounds(tile)
+        sx = ext / (x1 - x0)
+        sy = ext / (y1 - y0)
+
+        def q(lon, lat):
+            u = int(math.floor((lon - x0) * sx))
+            v = int(math.floor((y1 - lat) * sy))  # y down
+            return (min(max(u, 0), ext), min(max(v, 0), ext))
+
+        feats = []
+        for row in pdf.sort_values(id_col).itertuples(index=False):
+            geom = wktmod.loads(getattr(row, wkt_col))
+            rings = (geom["coordinates"]
+                     if geom["type"] == "Polygon"
+                     else [r for poly in geom["coordinates"]
+                           for r in poly])
+            feats.append({
+                "id": int(getattr(row, id_col)),
+                "type": mvt.GEOM_POLYGON,
+                "parts": [[q(px, py) for px, py in ring]
+                          for ring in rings],
+                "properties": {
+                    c: getattr(row, c) for c in props
+                },
+            })
+        buf = mvt.encode_tile([mvt.encode_layer(layer_name, feats, ext)])
+        n_feats = len(
+            mvt.decode_tile(buf)["layers"][0]["features"]
+        )  # post-degeneracy count, from the independent decoder
+        return pd.DataFrame({
+            "tile_id": pd.Series([tile], dtype="int64"),
+            "n_features": pd.Series([n_feats], dtype="int32"),
+            "n_bytes": pd.Series([len(buf)], dtype="int64"),
+            "mvt": pd.Series([buf], dtype=object),
+        })
+
+    return pieces.groupBy(tile_col).applyInPandas(
+        _encode_group, out_schema
+    )
+
+
+def encode_mvt_points(
+    df: DataFrame,
+    res: int,
+    layer_name: str = "points",
+    extent: int = 4096,
+    id_col: str = "doc_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    prop_cols: tuple = (),
+) -> DataFrame:
+    """Point-layer MVT build straight from lon/lat columns (no WKT
+    detour on the fact side): assign tiles with pure column math, then
+    one ``applyInPandas`` per tile quantizing with numpy and encoding
+    one POINT feature per row -> (tile_id, n_features, n_bytes, mvt).
+    Same floor/clamp/y-down quantization as the polygon encoder, so
+    mixed tiles agree on pixel space.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..geo import cells as cellmod
+    from ..geo import mvt
+
+    out_schema = StructType([
+        StructField("tile_id", LongType(), False),
+        StructField("n_features", IntegerType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("mvt", BinaryType(), False),
+    ])
+    ext = int(extent)
+    props = tuple(prop_cols)
+
+    def _encode_group(key, pdf):
+        tile = int(key[0])
+        x0, y0, x1, y1 = cellmod.cell_bounds(tile)
+        pdf = pdf.sort_values(id_col)
+        u = np.clip(np.floor(
+            (pdf[lon].to_numpy(dtype=np.float64) - x0)
+            / (x1 - x0) * ext
+        ), 0, ext).astype(np.int64)
+        v = np.clip(np.floor(
+            (y1 - pdf[lat].to_numpy(dtype=np.float64))
+            / (y1 - y0) * ext
+        ), 0, ext).astype(np.int64)
+        ids = pdf[id_col].tolist()
+        prop_vals = {c: pdf[c].tolist() for c in props}
+        feats = [
+            {
+                "id": int(ids[k]),
+                "type": mvt.GEOM_POINT,
+                "parts": [[(int(u[k]), int(v[k]))]],
+                "properties": {c: prop_vals[c][k] for c in props},
+            }
+            for k in range(len(ids))
+        ]
+        buf = mvt.encode_tile([mvt.encode_layer(layer_name, feats, ext)])
+        n_feats = len(mvt.decode_tile(buf)["layers"][0]["features"])
+        return pd.DataFrame({
+            "tile_id": pd.Series([tile], dtype="int64"),
+            "n_features": pd.Series([n_feats], dtype="int32"),
+            "n_bytes": pd.Series([len(buf)], dtype="int64"),
+            "mvt": pd.Series([buf], dtype=object),
+        })
+
+    tiled = assign_tiles(df, res, lon, lat).select(
+        "tile_id", id_col, lon, lat, *props
+    )
+    return tiled.groupBy("tile_id").applyInPandas(
+        _encode_group, out_schema
+    )
+
+
 def simplify_wkt(
     df: DataFrame,
     tolerance: float,

@@ -1,0 +1,301 @@
+"""MVT 2.1 codec (geo/mvt.py) + the per-tile Spark encoders
+(operators/tiles.encode_mvt_polygons / encode_mvt_points).
+
+The decoder is an independent wire-format parser, so round-trip tests
+pin the encoder against the public spec rather than against itself;
+one golden test additionally checks the exact bytes of the spec's own
+polygon example hand-assembled from the published field layout.
+"""
+
+import pytest
+
+from pure_python_geospatial_export_spark.geo import mvt
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def test_varint_known_values():
+    assert mvt._varint(0) == b"\x00"
+    assert mvt._varint(1) == b"\x01"
+    assert mvt._varint(127) == b"\x7f"
+    assert mvt._varint(128) == b"\x80\x01"
+    assert mvt._varint(300) == b"\xac\x02"
+    # negative int64 -> 10-byte two's-complement, per protobuf
+    assert len(mvt._varint(-1)) == 10
+
+
+def test_zigzag_spec_values():
+    # the published protobuf zigzag table
+    for n, z in [(0, 0), (-1, 1), (1, 2), (-2, 3), (2, 4),
+                 (2147483647, 4294967294), (-2147483648, 4294967295)]:
+        assert mvt._zigzag(n) == z
+        assert mvt._unzigzag(z) == n
+
+
+def test_read_varint_roundtrip():
+    for n in [0, 1, 127, 128, 300, 2 ** 31, 2 ** 63 - 1]:
+        v, pos = mvt._read_varint(mvt._varint(n), 0)
+        assert (v, pos) == (n, len(mvt._varint(n)))
+
+
+# ---------------------------------------------------------------------------
+# geometry encoding
+# ---------------------------------------------------------------------------
+
+def test_point_geometry_spec_example():
+    # MVT spec example: POINT(25, 17) -> [9, 50, 34]
+    assert mvt.encode_geometry(mvt.GEOM_POINT, [[(25, 17)]]) == [9, 50, 34]
+
+
+def test_polygon_geometry_spec_example():
+    # MVT spec example polygon (3, 6)-(8, 12)-(20, 34), already CW in
+    # screen coords -> MoveTo(3,6), LineTo[(5,6),(12,22)], ClosePath
+    cmds = mvt.encode_geometry(
+        mvt.GEOM_POLYGON, [[(3, 6), (8, 12), (20, 34)]]
+    )
+    assert cmds == [9, 6, 12, 18, 10, 12, 24, 44, 15]
+
+
+def test_multiline_cursor_persists():
+    # spec example: two linestrings, cursor carries across parts
+    cmds = mvt.encode_geometry(
+        mvt.GEOM_LINESTRING,
+        [[(2, 2), (2, 10), (10, 10)], [(1, 1), (3, 5)]],
+    )
+    assert cmds == [9, 4, 4, 18, 0, 16, 16, 0, 9, 17, 17, 10, 4, 8]
+
+
+def test_polygon_winding_enforced():
+    # exterior given with negative screen area must be reversed to
+    # positive; interior given positive must flip negative
+    ext_ccw = [(0, 0), (0, 10), (10, 10), (10, 0)]   # area2 = -200
+    hole_pos = [(2, 2), (8, 2), (8, 8), (2, 8)]      # area2 = +72
+    assert mvt._ring_area2(ext_ccw) < 0
+    assert mvt._ring_area2(hole_pos) > 0
+    cmds = mvt.encode_geometry(mvt.GEOM_POLYGON, [ext_ccw, hole_pos])
+    parts = mvt.geometry_parts(mvt.decode_geometry(cmds))
+    assert mvt._ring_area2(parts[0]) > 0
+    assert mvt._ring_area2(parts[1]) < 0
+    # same vertex sets survive
+    assert set(parts[0]) == set(ext_ccw)
+    assert set(parts[1]) == set(hole_pos)
+
+
+def test_degenerate_rings_dropped():
+    # sub-3-point ring and zero-area sliver both vanish
+    assert mvt.encode_geometry(mvt.GEOM_POLYGON, [[(1, 1), (2, 2)]]) is None
+    assert mvt.encode_geometry(
+        mvt.GEOM_POLYGON, [[(1, 1), (5, 1), (9, 1)]]
+    ) is None
+    # degenerate exterior kills the feature even with a valid hole
+    assert mvt.encode_geometry(
+        mvt.GEOM_POLYGON,
+        [[(0, 0), (0, 0)], [(2, 2), (2, 8), (8, 8)]],
+    ) is None
+    # valid exterior + degenerate hole -> hole silently dropped
+    cmds = mvt.encode_geometry(
+        mvt.GEOM_POLYGON,
+        [[(0, 0), (10, 0), (10, 10), (0, 10)], [(2, 2), (2, 2)]],
+    )
+    parts = mvt.geometry_parts(mvt.decode_geometry(cmds))
+    assert len(parts) == 1
+
+
+def test_closed_ring_input_accepted():
+    open_r = [(0, 0), (0, 10), (10, 10), (10, 0)]
+    closed_r = open_r + [open_r[0]]
+    assert (mvt.encode_geometry(mvt.GEOM_POLYGON, [open_r])
+            == mvt.encode_geometry(mvt.GEOM_POLYGON, [closed_r]))
+
+
+# ---------------------------------------------------------------------------
+# layer / tile round-trip
+# ---------------------------------------------------------------------------
+
+def _sample_features():
+    return [
+        {"id": 7, "type": mvt.GEOM_POLYGON,
+         "parts": [[(0, 0), (4096, 0), (4096, 4096), (0, 4096)],
+                   [(1000, 1000), (1000, 2000), (2000, 2000),
+                    (2000, 1000)]],
+         "properties": {"name": "Wyoming", "rank": 3,
+                        "score": 0.25, "flag": True, "neg": -9}},
+        {"id": 8, "type": mvt.GEOM_POINT,
+         "parts": [[(123, 456)]],
+         "properties": {"name": "Wyoming"}},  # dedups into value table
+        {"id": 9, "type": mvt.GEOM_LINESTRING,
+         "parts": [[(5, 5), (100, 5), (100, 100)]],
+         "properties": {}},
+    ]
+
+
+def test_layer_roundtrip():
+    buf = mvt.encode_tile(
+        [mvt.encode_layer("zones", _sample_features(), extent=4096)]
+    )
+    tile = mvt.decode_tile(buf)
+    assert len(tile["layers"]) == 1
+    layer = tile["layers"][0]
+    assert layer["version"] == 2
+    assert layer["name"] == "zones"
+    assert layer["extent"] == 4096
+    feats = layer["features"]
+    assert [f["id"] for f in feats] == [7, 8, 9]
+    assert feats[0]["type"] == mvt.GEOM_POLYGON
+    assert feats[0]["properties"] == {
+        "name": "Wyoming", "rank": 3, "score": 0.25,
+        "flag": True, "neg": -9,
+    }
+    # key/value tables deduplicated: 'Wyoming' stored once
+    assert layer["values"].count("Wyoming") == 1
+    assert feats[1]["properties"] == {"name": "Wyoming"}
+    # geometry survives bit-exact (winding already conformant here)
+    assert feats[0]["parts"][0] == [
+        (0, 0), (4096, 0), (4096, 4096), (0, 4096)
+    ]
+    assert feats[1]["parts"] == [[(123, 456)]]
+    assert feats[2]["parts"] == [[(5, 5), (100, 5), (100, 100)]]
+
+
+def test_golden_tile_bytes():
+    """Hand-assembled wire bytes for a one-feature point layer, built
+    field by field from the published MVT/protobuf layout — pins the
+    writer's byte layout, not just self-consistency."""
+    feats = [{"id": 1, "type": mvt.GEOM_POINT,
+              "parts": [[(25, 17)]], "properties": {"k": "v"}}]
+    got = mvt.encode_tile([mvt.encode_layer("pts", feats, extent=4096)])
+
+    feature = (
+        b"\x08\x01"          # id=1
+        b"\x12\x02\x00\x00"  # tags=[0,0] packed
+        b"\x18\x01"          # type=POINT
+        b"\x22\x03\x09\x32\x22"  # geometry=[9,50,34] packed
+    )
+    layer = (
+        b"\x78\x02"              # version=2 (field 15)
+        b"\x0a\x03pts"           # name
+        + b"\x12" + bytes([len(feature)]) + feature
+        + b"\x1a\x01k"           # keys[0]="k"
+        + b"\x22\x03\x0a\x01v"   # values[0]=Value{string_value="v"}
+        + b"\x28\x80\x20"        # extent=4096
+    )
+    want = b"\x1a" + bytes([len(layer)]) + layer
+    assert got == want
+
+
+def test_multiple_layers():
+    l1 = mvt.encode_layer("a", [{"id": 1, "type": mvt.GEOM_POINT,
+                                 "parts": [[(1, 2)]], "properties": {}}])
+    l2 = mvt.encode_layer("b", [{"id": 2, "type": mvt.GEOM_POINT,
+                                 "parts": [[(3, 4)]], "properties": {}}])
+    tile = mvt.decode_tile(mvt.encode_tile([l1, l2]))
+    assert [ly["name"] for ly in tile["layers"]] == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# Spark encoders
+# ---------------------------------------------------------------------------
+
+def test_encode_mvt_polygons_matches_clip(spark):
+    """encode -> decode recovers exactly the clip pieces: same tiles,
+    same feature ids, and each decoded exterior ring equals the
+    quantized clip ring up to winding."""
+    import math
+
+    from pure_python_geospatial_export_spark.geo import cells as cellmod
+    from pure_python_geospatial_export_spark.geo import wkt as wktmod
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        clip_layer_to_tiles,
+        encode_mvt_polygons,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    def rect_ring(x0, y0, x1, y1):
+        return [[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]]
+
+    layer = local_df(spark, [
+        (1, "alpha", wktmod.dumps({
+            "type": "Polygon",
+            "coordinates": [rect_ring(-33.3, 11.1, 21.7, 44.9),
+                            rect_ring(-10.1, 20.2, 5.5, 30.3)],
+        })),
+        (2, "beta", wktmod.dumps({
+            "type": "Polygon",
+            "coordinates": [rect_ring(100.7, -41.3, 151.9, -3.7)],
+        })),
+    ], ["polygon_id", "name", "wkt"])
+
+    pieces = clip_layer_to_tiles(layer, res=4)
+    piece_rows = pieces.collect()
+    by_tile = {}
+    for r in piece_rows:
+        by_tile.setdefault(r["tile_id"], []).append(r)
+
+    out = encode_mvt_polygons(pieces).collect()
+    assert {r["tile_id"] for r in out} == set(by_tile)
+    ext = 4096
+    for r in out:
+        tile = mvt.decode_tile(bytes(r["mvt"]))
+        (ly,) = tile["layers"]
+        assert ly["name"] == "zones"
+        want = sorted(by_tile[r["tile_id"]],
+                      key=lambda p: p["polygon_id"])
+        assert r["n_features"] == len(ly["features"]) <= len(want)
+        x0, y0, x1, y1 = cellmod.cell_bounds(int(r["tile_id"]))
+        sx, sy = ext / (x1 - x0), ext / (y1 - y0)
+        got_by_id = {f["id"]: f for f in ly["features"]}
+        for p in want:
+            f = got_by_id[p["polygon_id"]]
+            assert f["properties"]["name"] == p["name"]
+            ring0 = wktmod.loads(p["wkt"])["coordinates"][0]
+            q = []
+            for px, py in ring0[:-1]:
+                u = min(max(int(math.floor((px - x0) * sx)), 0), ext)
+                v = min(max(int(math.floor((y1 - py) * sy)), 0), ext)
+                if not q or q[-1] != (u, v):
+                    q.append((u, v))
+            if len(q) > 1 and q[0] == q[-1]:
+                q = q[:-1]
+            got_ring = f["parts"][0]
+            assert set(got_ring) == set(q), (r["tile_id"],
+                                             p["polygon_id"])
+            assert mvt._ring_area2(got_ring) > 0
+
+
+def test_encode_mvt_points_roundtrip(spark):
+    from pure_python_geospatial_export_spark.geo import cells as cellmod
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        encode_mvt_points,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rows = [
+        (1, -100.3, 40.1, "en"),
+        (2, -100.2, 40.2, "de"),
+        (3, 10.0, -5.0, "en"),
+        (4, 10.1, -5.1, "fr"),
+    ]
+    df = local_df(spark, rows, ["doc_id", "lon", "lat", "lang"])
+    out = encode_mvt_points(
+        df, res=3, prop_cols=("lang",)
+    ).collect()
+    assert sum(r["n_features"] for r in out) == 4
+    seen = {}
+    for r in out:
+        tile = mvt.decode_tile(bytes(r["mvt"]))
+        (ly,) = tile["layers"]
+        assert ly["name"] == "points"
+        x0, y0, x1, y1 = cellmod.cell_bounds(int(r["tile_id"]))
+        for f in ly["features"]:
+            (pt,) = f["parts"][0]
+            # quantized point maps back inside the tile bbox
+            assert 0 <= pt[0] <= 4096 and 0 <= pt[1] <= 4096
+            seen[f["id"]] = (f["properties"]["lang"], r["tile_id"])
+    assert {i: p[0] for i, p in seen.items()} == {
+        1: "en", 2: "de", 3: "en", 4: "fr"
+    }
+    # near neighbors share a res-3 tile
+    assert seen[1][1] == seen[2][1]
+    assert seen[3][1] == seen[4][1]
