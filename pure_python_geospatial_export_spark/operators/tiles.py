@@ -152,7 +152,10 @@ def quadkey_col(tx, ty, zoom: int):
 
 
 def clip_layer_to_tiles(
-    layer: DataFrame, res: int, edges: str = "planar"
+    layer: DataFrame,
+    res: int,
+    edges: str = "planar",
+    max_sagitta_rad: float = 2e-5,
 ) -> DataFrame:
     """Cut each layer polygon into per-tile pieces — the vector-tile
     export primitive: (polygon_id, name, tile_id, is_full, wkt).
@@ -166,20 +169,40 @@ def clip_layer_to_tiles(
     test). Antimeridian-crossing and pole-encircling rings are
     lobe-split first, so seam polygons tile correctly too.
 
+    ``edges='geodesic'``: rings are densified along their great-circle
+    edges FIRST (chord-to-arc deviation bounded by
+    ``max_sagitta_rad``, default ~127 m), then the whole planar
+    cover+clip pipeline runs on the densified geometry — cover, clip,
+    and piece PIP therefore agree with each other EXACTLY, and with
+    the true geodesic polygon to within the sagitta bound, so tile
+    pieces are consistent with the geodesic spatial joins on long
+    high-latitude edges instead of silently clipping chords.
+
     The layer is the dimension side (driver-collected, like the cover
     build); output size is O(cover cells), distributed via the Arrow
     local-table path.
     """
     from ..geo import cells as cellmod
+    from ..geo import geodesic
     from ..geo import kernels
     from ..geo import wkt as wktmod
     from ..session import local_df
     from ..sources.polygons import load_rings
 
+    if edges not in ("planar", "geodesic"):
+        raise ValueError("edges must be 'planar' or 'geodesic', got %r"
+                         % (edges,))
     rows = []
     for pid, info in sorted(load_rings(layer).items()):
-        rings = kernels.expand_antimeridian_rings(info["rings"])
-        cover = cellmod.polygon_cover(info["rings"], res, edges=edges)
+        raw = info["rings"]
+        if edges == "geodesic":
+            raw = [
+                geodesic.densify_ring_geodesic(r, max_sagitta_rad)
+                .tolist()
+                for r in raw
+            ]
+        rings = kernels.expand_antimeridian_rings(raw)
+        cover = cellmod.polygon_cover(raw, res, edges="planar")
         for cell, full in sorted(cover):
             x0, y0, x1, y1 = cellmod.cell_bounds(int(cell))
             if full:
@@ -225,13 +248,39 @@ def vector_tile_pyramid(
     standard vector-tile build. Sub-pixel features vanish at coarse
     zooms (simplify_ring collapsing them is the intended rendering
     semantics). Same driver-side dimension-layer contract as
-    :func:`clip_layer_to_tiles`."""
+    :func:`clip_layer_to_tiles`.
+
+    ``edges='geodesic'``: rings densify along great circles ONCE, to a
+    sagitta of a quarter-pixel at the FINEST level, before any
+    simplification — Douglas-Peucker then keeps arc shape to within
+    each level's tolerance and the per-level clip runs planar on
+    already-arc-faithful geometry (same approximation contract as
+    :func:`clip_layer_to_tiles`)."""
+    import math as _math
+
+    from ..geo import geodesic
     from ..geo import kernels
     from ..geo import wkt as wktmod
     from ..session import local_df
     from ..sources.polygons import load_rings
 
+    if edges not in ("planar", "geodesic"):
+        raise ValueError("edges must be 'planar' or 'geodesic', got %r"
+                         % (edges,))
     rings_by_id = load_rings(layer)
+    if edges == "geodesic":
+        sag_deg = 360.0 / (1 << int(max_res)) / float(px) / 4.0
+        sag_rad = _math.radians(sag_deg)
+        rings_by_id = {
+            pid: {
+                "name": info["name"],
+                "rings": [
+                    geodesic.densify_ring_geodesic(r, sag_rad).tolist()
+                    for r in info["rings"]
+                ],
+            }
+            for pid, info in rings_by_id.items()
+        }
     spark = layer.sparkSession
     parts = []
     for res in range(int(min_res), int(max_res) + 1):
@@ -259,7 +308,9 @@ def vector_tile_pyramid(
             continue
         lvl_layer = local_df(spark, rows, ["polygon_id", "name", "wkt"])
         parts.append(
-            clip_layer_to_tiles(lvl_layer, res, edges=edges)
+            # geometry is already densified in geodesic mode — the
+            # per-level clip is planar on arc-faithful rings
+            clip_layer_to_tiles(lvl_layer, res, edges="planar")
             .withColumn("level", F.lit(res))
         )
     if not parts:

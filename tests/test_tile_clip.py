@@ -144,3 +144,132 @@ def test_vector_tile_pyramid_levels(spark):
         )
         perim = 2 * (40 + 34) + 2 * (6 + 5) + 2 * 26
         assert abs(total - want) <= 3 * perim * tol + 1e-9, lvl
+
+
+# ---------------------------------------------------------------------------
+# geodesic edges: densify-then-clip (round-4 verdict item 3 / advice 4)
+# ---------------------------------------------------------------------------
+
+# strongly bulging high-latitude triangle: the great-circle edge from
+# (-60, 60) to (60, 60) culminates near (0, ~69.9), ~10 degrees north
+# of its chord — the case where chord clipping silently lies
+GEO_TRIANGLE = [[-60.0, 60.0], [60.0, 60.0], [0.0, 20.0], [-60.0, 60.0]]
+
+
+def _geo_pieces(spark, rings, res):
+    layer = local_df(
+        spark,
+        [(1, "tri", wktmod.dumps(
+            {"type": "Polygon", "coordinates": rings}, 12))],
+        ["polygon_id", "name", "wkt"],
+    )
+    out = {}
+    for r in clip_layer_to_tiles(layer, res, edges="geodesic").collect():
+        out[r["tile_id"]] = (r["is_full"], wktmod.loads(r["wkt"]))
+    return out
+
+
+def test_geodesic_clip_pip_parity_vs_densified_oracle(spark):
+    """edges='geodesic' pieces must agree EXACTLY with planar even-odd
+    on the densified polygon (the pipeline runs planar on densified
+    rings), for every probe point."""
+    from pure_python_geospatial_export_spark.geo import geodesic
+
+    res = 5
+    pieces = _geo_pieces(spark, [GEO_TRIANGLE], res)
+    assert pieces
+    dense = [geodesic.densify_ring_geodesic(GEO_TRIANGLE, 2e-5).tolist()]
+    rng = np.random.default_rng(23)
+    px = rng.uniform(-70.0, 70.0, 3000)
+    py = rng.uniform(15.0, 75.0, 3000)
+    inside = kernels.points_in_polygon(px, py, dense)
+    ids = cellmod.cell_id(px, py, res)
+    for x, y, want, cell in zip(px, py, inside, ids):
+        piece = pieces.get(int(cell))
+        if piece is None:
+            assert not want, (x, y)
+            continue
+        full, geom = piece
+        got = full or bool(kernels.points_in_polygon(
+            np.array([x]), np.array([y]), geom["coordinates"]
+        )[0])
+        assert got == bool(want), (x, y, full)
+
+
+def test_geodesic_clip_matches_geodesic_join_semantics(spark):
+    """The arc bulge is REAL in the pieces: probes between the chord
+    and the arc are inside both the geodesic polygon (exact kernel)
+    and their tile piece; chord clipping would exclude them."""
+    from pure_python_geospatial_export_spark.geo import geodesic
+
+    res = 5
+    pieces = _geo_pieces(spark, [GEO_TRIANGLE], res)
+    probes = [(0.0, 65.0), (-20.0, 64.0), (20.0, 64.0)]
+    for x, y in probes:
+        exact = bool(geodesic.points_in_polygon_geodesic(
+            np.array([x]), np.array([y]), [GEO_TRIANGLE]
+        )[0])
+        assert exact, (x, y)  # fixture sanity: inside geodesically
+        # planar chord verdict differs (the bulge region)
+        assert not bool(kernels.points_in_polygon(
+            np.array([x]), np.array([y]), [GEO_TRIANGLE]
+        )[0]), (x, y)
+        cell = int(cellmod.cell_id(np.array([x]), np.array([y]), res)[0])
+        piece = pieces.get(cell)
+        assert piece is not None, (x, y)
+        full, geom = piece
+        got = full or bool(kernels.points_in_polygon(
+            np.array([x]), np.array([y]), geom["coordinates"]
+        )[0])
+        assert got, (x, y)
+
+
+def test_geodesic_clip_area_conservation(spark):
+    res = 5
+    pieces = _geo_pieces(spark, [GEO_TRIANGLE], res)
+    from pure_python_geospatial_export_spark.geo import geodesic
+
+    dense = geodesic.densify_ring_geodesic(GEO_TRIANGLE, 2e-5)
+    want = abs(kernels.signed_area(dense))
+    total = 0.0
+    for cell, (full, geom) in pieces.items():
+        if full:
+            x0, y0, x1, y1 = cellmod.cell_bounds(int(cell))
+            total += (x1 - x0) * (y1 - y0)
+        else:
+            total += _even_odd_area(geom["coordinates"])
+    assert abs(total - want) < 1e-6 * want, (total, want)
+
+
+def test_geodesic_pyramid_keeps_bulge(spark):
+    """vector_tile_pyramid in geodesic mode: at every level the piece
+    set still contains the arc-bulge probe (simplification tolerance
+    stays below the ~10-degree bulge at these levels)."""
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        vector_tile_pyramid,
+    )
+
+    layer = local_df(
+        spark,
+        [(1, "tri", wktmod.dumps(
+            {"type": "Polygon", "coordinates": [GEO_TRIANGLE]}, 12))],
+        ["polygon_id", "name", "wkt"],
+    )
+    rows = vector_tile_pyramid(layer, 4, 5, edges="geodesic").collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], {})[r["tile_id"]] = (
+            r["is_full"], wktmod.loads(r["wkt"])
+        )
+    assert set(by_level) == {4, 5}
+    x, y = 0.0, 65.0
+    for lvl, pieces in by_level.items():
+        cell = int(cellmod.cell_id(
+            np.array([x]), np.array([y]), lvl)[0])
+        piece = pieces.get(cell)
+        assert piece is not None, lvl
+        full, geom = piece
+        got = full or bool(kernels.points_in_polygon(
+            np.array([x]), np.array([y]), geom["coordinates"]
+        )[0])
+        assert got, lvl
