@@ -1184,6 +1184,82 @@ def _q_tile_mvt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.mapInPandas(_decode, out_schema)
 
 
+def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perceptual image near-dup, end to end: a 63-bit target hash h is
+    # derived from doc_id in COLUMN MATH (Fibonacci-mix of doc_id//4,
+    # xor a <=1-bit noise per doc — so each 4-doc family is a planted
+    # near-dup cluster); a kernel renders h as a 16x16 BMP of 2x2
+    # black/white blocks; the REAL pipeline (BMP decode -> ahash ->
+    # banded Hamming join) must recover exactly h per doc (ahash of a
+    # 0/255 block image is its own bit pattern, and the 16->8 nearest
+    # resize picks block corners) — the DuckDB twin recomputes h
+    # closed-form and all-pairs-filters, so pair set, distances, AND
+    # raw hash values are bit-checked through encode/decode/banding.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from pure_python_geospatial_export_spark.operators import (
+        imaging,
+        multimodal,
+    )
+    from pure_python_geospatial_export_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id").where(F.col("doc_id") < 400)
+    )
+    # (doc_id//4) * odd ~2^56 constant: with doc_id < 400 the group id
+    # g <= 99, so g * K < 2^63 and BOTH engines compute the exact
+    # product — no wrap semantics needed (Spark 4 runs ANSI mode, so a
+    # wrapping multiply would throw)
+    k_mix = 81205437596873861
+    m = F.col("doc_id") % 4
+    base = F.expr("doc_id DIV 4") * F.lit(k_mix)
+    noise = F.when(m == 3, F.lit(4)).otherwise(m).cast("long")
+    src = docs.select("doc_id", base.bitwiseXOR(noise).alias("h"))
+
+    pay_schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    pos = np.arange(64, dtype=np.uint64)
+
+    def _render(batches):
+        for pdf in batches:
+            payloads = []
+            for hval in pdf["h"]:
+                bits = (np.uint64(hval) >> pos) & np.uint64(1)
+                px8 = (bits.reshape(8, 8) * 255).astype(np.uint8)
+                px16 = px8.repeat(2, axis=0).repeat(2, axis=1)
+                px = np.stack([px16] * 3, axis=2)
+                payloads.append(imaging.encode_bmp(px))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+            })
+
+    ph = multimodal.perceptual_hash(
+        src.mapInPandas(_render, pay_schema),
+        payload_col="payload", id_col="doc_id", algo="ahash",
+    )  # note: output id column is named media_id
+    pairs = hamming_near_pairs(
+        ph, "media_id", hash_col="phash", max_hamming=3
+    )
+    return pairs.join(
+        ph.select(F.col("media_id").alias("id_a"),
+                  F.col("phash").alias("ph_a")),
+        "id_a",
+    ).select("id_a", "id_b", "hamming", "ph_a")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial join + tile assignment on sf0.001 documents."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1229,6 +1305,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "geojson_lines": _q_geojson_lines,
         "tile_mvt": _q_tile_mvt,
+        "image_phash": _q_image_phash,
         "pip_join": _q_pip_join,
         "pip_join_geodesic": _q_pip_join_geodesic,
         "pip_join_salted": _q_pip_join_salted,
@@ -2140,6 +2217,22 @@ def _all_oracle_sql() -> dict[str, str]:
             "CAST(SUM(v) AS BIGINT) AS sum_py, "
             "CAST(SUM(doc_id) AS BIGINT) AS sum_ids "
             "FROM px GROUP BY tile_id"
+        ),
+        # image_phash: closed-form recompute of the planted 63-bit
+        # hash (exact small product, no wrap on either engine) and the
+        # exact all-pairs Hamming filter
+        "image_phash": (
+            "WITH d AS (SELECT doc_id, "
+            "(doc_id // 4) * 81205437596873861 AS base, "
+            "CAST(CASE WHEN doc_id % 4 = 3 THEN 4 ELSE doc_id % 4 END "
+            "AS BIGINT) AS noise "
+            "FROM documents WHERE doc_id < 400), "
+            "h AS (SELECT doc_id, xor(base, noise) AS h FROM d) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming, "
+            "a.h AS ph_a "
+            "FROM h a, h b WHERE a.doc_id < b.doc_id "
+            "AND bit_count(xor(a.h, b.h)) <= 3"
         ),
     }
 

@@ -377,27 +377,48 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def simhash_near_pairs(
-    sim_df: DataFrame, id_col: str, max_hamming: int = 3,
+def hamming_near_pairs(
+    hash_df: DataFrame, id_col: str, hash_col: str = "simhash",
+    max_hamming: int = 3, n_chunks: int | None = None,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidates: docs sharing one of four 16-bit chunks
-    (complete for Hamming distance <= 3), then exact Hamming filter via
-    bit_count(xor). ``max_bucket`` drops oversized chunk buckets before
-    the self-join (same boilerplate-flood guard as the MinHash path;
-    costs recall only for families larger than the cap)."""
-    chunks = sim_df.select(
+    """Near pairs of 64-bit fingerprints by banded Hamming search —
+    the generalized core under :func:`simhash_near_pairs` (text) and
+    the perceptual image hashes (multimodal.perceptual_hash_pairs).
+
+    Splits the 64 bits into ``n_chunks`` contiguous chunks (default
+    ``max_hamming + 1`` — the pigeonhole guarantee: two values within
+    ``max_hamming`` bits must agree on at least one chunk, so the
+    banded equi-join is COMPLETE, not approximate), equi-joins on
+    (chunk_idx, chunk), then exact-filters with bit_count(xor).
+    ``max_bucket`` drops oversized chunk buckets before the self-join
+    (boilerplate-flood guard; costs recall only for families larger
+    than the cap). Returns (id_a, id_b, hamming)."""
+    if n_chunks is None:
+        n_chunks = max_hamming + 1
+    if n_chunks < max_hamming + 1:
+        raise ValueError(
+            "n_chunks=%d loses the pigeonhole guarantee for "
+            "max_hamming=%d (need >= %d)"
+            % (n_chunks, max_hamming, max_hamming + 1)
+        )
+    if not 2 <= n_chunks <= 64:
+        raise ValueError("n_chunks must be in [2, 64]")
+    base, rem = divmod(64, n_chunks)
+    widths = [base + (1 if c < rem else 0) for c in range(n_chunks)]
+    offs = [sum(widths[:c]) for c in range(n_chunks)]
+    chunks = hash_df.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col).alias("simhash"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk_idx"),
-                    F.shiftrightunsigned("simhash", 16 * c)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(hash_col, offs[c])
+                    .bitwiseAND(F.lit((1 << widths[c]) - 1))
                     .alias("chunk"),
                 )
-                for c in range(4)
+                for c in range(n_chunks)
             ])
         ).alias("ch"),
     ).select(id_col, "simhash", "ch.chunk_idx", "ch.chunk")
@@ -432,6 +453,24 @@ def simhash_near_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates: docs sharing one of four 16-bit chunks
+    (complete for Hamming distance <= 3), then exact Hamming filter via
+    bit_count(xor) — the text-simhash instantiation of
+    :func:`hamming_near_pairs` (chunk layout unchanged for the default
+    max_hamming <= 3: 4 x 16 bits LSB-first; larger thresholds widen
+    the chunking to keep the pigeonhole completeness the 4-chunk
+    layout only guarantees up to distance 3)."""
+    return hamming_near_pairs(
+        sim_df, id_col, hash_col="simhash", max_hamming=max_hamming,
+        n_chunks=min(64, max(4, max_hamming + 1)),
+        max_bucket=max_bucket,
     )
 
 

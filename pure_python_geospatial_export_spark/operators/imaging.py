@@ -208,6 +208,53 @@ def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return px[ys[:, None], xs[None, :]]
 
 
+def _gray(px: np.ndarray) -> np.ndarray:
+    """(h, w[, c]) -> float64 gray plane; alpha excluded (the
+    image_feature convention: 2-channel is gray+alpha, 4 is RGBA)."""
+    if px.ndim == 3:
+        nc = 1 if px.shape[2] in (1, 2) else 3
+        return px[:, :, :nc].mean(axis=2)
+    return px.astype(np.float64)
+
+
+_BIT_POS = np.arange(64, dtype=np.uint64)
+
+
+def ahash(px: np.ndarray, hash_size: int = 8) -> int:
+    """Average hash: gray -> hash_size^2 nearest-neighbor downsample,
+    bit i (= row*hash_size + col, LSB first) set iff the cell is
+    STRICTLY brighter than the mean. Near-identical images (resize,
+    mild noise, recompression) land within a few bits of Hamming
+    distance — the classic cheap perceptual fingerprint."""
+    g = _gray(px)
+    small = resize_nearest(
+        g[:, :, None], hash_size, hash_size
+    )[:, :, 0].astype(np.float64)
+    bits = (small > small.mean()).ravel()
+    n = hash_size * hash_size
+    val = np.bitwise_or.reduce(
+        bits.astype(np.uint64) << _BIT_POS[:n]
+    )
+    return int(np.int64(np.uint64(val)))
+
+
+def dhash(px: np.ndarray, hash_size: int = 8) -> int:
+    """Difference hash: gray -> (hash_size x hash_size+1) downsample,
+    bit i (= row*hash_size + col, LSB first) set iff pixel[r, c+1] >
+    pixel[r, c] — encodes horizontal gradients, more robust than ahash
+    to global brightness shifts."""
+    g = _gray(px)
+    small = resize_nearest(
+        g[:, :, None], hash_size, hash_size + 1
+    )[:, :, 0].astype(np.float64)
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    n = hash_size * hash_size
+    val = np.bitwise_or.reduce(
+        bits.astype(np.uint64) << _BIT_POS[:n]
+    )
+    return int(np.int64(np.uint64(val)))
+
+
 def image_feature(px: np.ndarray, grid: int = 4) -> np.ndarray:
     """Deterministic float32 feature: per-cell mean brightness of a
     grid x grid downsample plus global mean/std — the embedding-ish

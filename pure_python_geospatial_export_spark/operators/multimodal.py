@@ -224,6 +224,83 @@ def byte_stats(
     return src.mapInPandas(kernel, BYTE_STATS_SCHEMA)
 
 
+PHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("phash", LongType(), True),
+])
+
+
+def perceptual_hash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    algo: str = "dhash",
+    hash_size: int = 8,
+) -> DataFrame:
+    """64-bit perceptual hash per payload -> (media_id, phash).
+
+    ``algo`` is ``"dhash"`` (horizontal-gradient, brightness-shift
+    robust) or ``"ahash"`` (mean-threshold). Decode + downsample + bit
+    pack all run in one Arrow ``mapInPandas`` kernel
+    (operators/imaging.py); undecodable payloads yield NULL (the
+    extract_features convention). Pair finding is
+    :func:`perceptual_hash_pairs` — same banded Hamming shape as text
+    simhash, so image near-dup is bucketed at scale, never all-pairs."""
+    if algo not in ("ahash", "dhash"):
+        raise ValueError("algo must be 'ahash' or 'dhash', got %r"
+                         % (algo,))
+    from . import imaging
+
+    hash_fn = imaging.ahash if algo == "ahash" else imaging.dhash
+    src = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if p is None:
+                    out.append(None)
+                    continue
+                b = bytes(p) if not isinstance(p, str) else p.encode()
+                try:
+                    out.append(
+                        hash_fn(imaging.decode_image(b), hash_size)
+                    )
+                except Exception:
+                    out.append(None)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "phash": pd.array(out, dtype="Int64"),
+            })
+
+    return src.mapInPandas(kernel, PHASH_SCHEMA)
+
+
+def perceptual_hash_pairs(
+    ph_df: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate image pairs from :func:`perceptual_hash` output:
+    banded Hamming equi-join (pigeonhole-complete chunking from
+    dedup.hamming_near_pairs) + exact bit_count(xor) filter ->
+    (id_a, id_b, hamming). NULL hashes (undecodable payloads) are
+    excluded."""
+    from .dedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        ph_df.where(F.col("phash").isNotNull()),
+        id_col,
+        hash_col="phash",
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explode sample timestamps as rows
     (the decode of each frame is the stubbed step). Pure column math."""

@@ -271,3 +271,144 @@ def test_image_feature_gray_alpha_ignores_alpha():
     assert abs(float(feat[-2]) - 128.0 / 255.0) < 1e-6
     rgb = np.full((8, 8, 3), 128, dtype=np.uint8)
     np.testing.assert_allclose(feat, imaging.image_feature(rgb))
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashes (round-4 verdict item 5)
+# ---------------------------------------------------------------------------
+
+def test_ahash_dhash_known_values():
+    import numpy as np
+
+    from pure_python_geospatial_export_spark.operators import imaging
+
+    # 8x8 gray ramp: row r has value 10*r -> ahash bits set for rows
+    # brighter than the mean (rows 4..7), dhash all zero (no horizontal
+    # gradient)
+    px = (np.arange(8, dtype=np.uint8) * 10)[:, None].repeat(8, axis=1)
+    a = imaging.ahash(px)
+    want = 0
+    for r in range(4, 8):
+        for c in range(8):
+            want |= 1 << (r * 8 + c)
+    # want has bit 63 set -> compare as int64 two's complement
+    want = want - (1 << 64) if want >= 1 << 63 else want
+    assert a == want
+    assert imaging.dhash(px) == 0
+    # transpose: horizontal ramp -> every left-to-right comparison true
+    # EXCEPT column 0 (the 8->9 nearest resize duplicates the first
+    # column, so pixel[r,1] == pixel[r,0]): per-row bit pattern 0xFE
+    d = imaging.dhash(px.T)
+    want_d = 0xFEFEFEFEFEFEFEFE - (1 << 64)
+    assert d == want_d
+
+
+def test_phash_scale_invariance():
+    import numpy as np
+
+    from pure_python_geospatial_export_spark.operators import imaging
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    up2 = base.repeat(2, axis=0).repeat(2, axis=1)   # 16x16 nearest
+    up4 = base.repeat(4, axis=0).repeat(4, axis=1)
+    for fn in (imaging.ahash, imaging.dhash):
+        assert fn(base) == fn(up2) == fn(up4)
+
+
+def test_perceptual_hash_pairs_planted_pngs(spark):
+    """Planted near-identical PNGs pair up through decode -> dhash ->
+    banded Hamming join; unrelated images and undecodable payloads
+    don't."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pure_python_geospatial_export_spark.operators import (
+        imaging,
+        multimodal,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rng = np.random.default_rng(31)
+    base_a = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+    base_b = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+
+    def perturb(px, eps):
+        noise = rng.integers(-eps, eps + 1, px.shape)
+        return np.clip(px.astype(int) + noise, 0, 255).astype(np.uint8)
+
+    payloads = [
+        (0, bytearray(imaging.encode_png(base_a))),
+        (1, bytearray(imaging.encode_png(perturb(base_a, 2)))),
+        (2, bytearray(imaging.encode_png(base_b))),
+        (3, bytearray(imaging.encode_png(perturb(base_b, 2)))),
+        (4, bytearray(b"not an image at all")),
+    ]
+    df = local_df(spark, payloads, ["media_id", "payload"])
+    ph = multimodal.perceptual_hash(df)
+    rows = {r["media_id"]: r["phash"] for r in ph.collect()}
+    assert rows[4] is None
+    assert all(rows[i] is not None for i in range(4))
+    pairs = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in multimodal.perceptual_hash_pairs(
+            ph, max_hamming=10
+        ).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert not {(0, 2), (0, 3), (1, 2), (1, 3)} & pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_hamming_near_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole completeness of the banded join: output equals the
+    exact all-pairs Hamming filter on random + planted fingerprints."""
+    import numpy as np
+
+    from pure_python_geospatial_export_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(-(2**63), 2**63 - 1, 60, dtype=np.int64)
+    # plant close pairs: flip <=6 bits of some values
+    for k in range(0, 20, 2):
+        flips = rng.choice(64, size=rng.integers(1, 7), replace=False)
+        v = np.uint64(vals[k])
+        for f in flips:
+            v ^= np.uint64(1) << np.uint64(f)
+        vals[k + 1] = np.int64(v)
+
+    df = local_df(
+        spark, [(i, int(v)) for i, v in enumerate(vals)],
+        ["media_id", "phash"],
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_pairs(
+            df, "media_id", hash_col="phash", max_hamming=6
+        ).collect()
+    }
+    want = set()
+    u = vals.astype(np.uint64)
+    for i in range(len(u)):
+        for j in range(i + 1, len(u)):
+            h = bin(int(u[i] ^ u[j])).count("1")
+            if h <= 6:
+                want.add((i, j, h))
+    assert got == want and want
+
+
+def test_hamming_near_pairs_rejects_bad_chunking(spark):
+    import pytest
+
+    from pure_python_geospatial_export_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    df = local_df(spark, [(1, 0)], ["media_id", "phash"])
+    with pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_pairs(df, "media_id", hash_col="phash",
+                           max_hamming=6, n_chunks=5)

@@ -14,7 +14,8 @@ SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 def _plan(spark, name):
-    df = em.queries()[name](spark, SF)
+    registry = {**em.queries(), **em.extra_queries()}
+    df = registry[name](spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
