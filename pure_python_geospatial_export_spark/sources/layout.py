@@ -91,7 +91,7 @@ def read_cells(
         shift = r - part_res
         parents.add(int(cellmod.encode(int(x) >> shift, int(y) >> shift,
                                        part_res)))
-    df = spark.read.parquet(path)
+    df = read_snapshot(spark, path)
     return df.where(F.col("part_cell").isin(sorted(parents)))
 
 
@@ -106,7 +106,7 @@ def read_bbox(
     """Read rows intersecting a bbox: partition pruning on the coarse
     cells covering the bbox + exact bbox filter (P3) on the survivors."""
     cover = cellmod.bbox_cover(tuple(bbox), part_res)
-    df = spark.read.parquet(path).where(
+    df = read_snapshot(spark, path).where(
         F.col("part_cell").isin([int(c) for c in cover])
     )
     return df.where(
@@ -138,11 +138,27 @@ def compact_spatial_table(
     ``.__bak__`` -> new in -> drop backup): still no data-loss window on
     crash (the backup survives until the new data is in place), at the
     cost of a microsecond listing gap.
+
+    Consistency contract: the swap is atomic at the LISTING level — a
+    reader never lists a missing or half-swapped partition. A reader
+    that planned its scan against the PRE-swap listing, however, can
+    hit FILE_NOT_EXIST when its planned file is replaced mid-read and
+    must retry (Spark's standard behavior for files updated underneath
+    a scan). For all-old-or-all-new reads WITHOUT that retry — and for
+    multi-partition compactions as one transactional snapshot — use
+    :func:`compact_spatial_table_snapshot`, which keeps old files
+    alive until :func:`expire_snapshots`.
     """
     import shutil
     import os as _os
 
-    df = spark.read.parquet(path)
+    if out_path is None and read_manifest(path) is not None:
+        raise ValueError(
+            "table at %r uses manifest commits — use "
+            "compact_spatial_table_snapshot (the per-partition dir swap "
+            "would invalidate the manifest's file list)" % (path,)
+        )
+    df = read_snapshot(spark, path)
     staged = out_path or _os.path.join(path, "_compact_tmp")
     out = df.repartition("part_cell").sortWithinPartitions(
         "part_cell", "morton"
@@ -177,6 +193,169 @@ def compact_spatial_table(
                 _os.rename(src, dst)
                 shutil.rmtree(bak)
         shutil.rmtree(staged, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# snapshot manifests: one-rename multi-partition commits
+# ---------------------------------------------------------------------------
+#
+# renameat2 swaps make each PARTITION's compaction atomic, but a
+# multi-partition compaction is many swaps — a concurrent reader can see
+# partition A compacted and partition B not yet (consistent data, mixed
+# snapshot). The manifest turns the whole table state into ONE pointer:
+# `_MANIFEST` lists the exact data files of the current snapshot, new
+# snapshots stage their files under fresh names (never clobbering live
+# ones), and a single atomic `os.replace` of the manifest publishes the
+# complete new file set. Readers resolve the manifest and read exactly
+# those files (partition pruning still applies — the files keep their
+# `part_cell=` directories via basePath). Old files stay on disk until
+# `expire_snapshots` — the Iceberg snapshot-expiry contract — so a
+# reader that resolved the previous manifest keeps a complete,
+# consistent view.
+
+MANIFEST_NAME = "_MANIFEST"
+
+
+def _manifest_file(path: str) -> str:
+    import os as _os
+
+    return _os.path.join(path, MANIFEST_NAME)
+
+
+def read_manifest(path: str) -> dict | None:
+    """Current snapshot manifest ``{"snapshot": int, "files": [rel]}``,
+    or None for a manifest-less table."""
+    import json
+
+    try:
+        with open(_manifest_file(path)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _commit_manifest(path: str, snapshot: int, files: list[str]) -> None:
+    import json
+    import os as _os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="._manifest")
+    try:
+        with _os.fdopen(fd, "w") as f:
+            json.dump({"snapshot": snapshot, "files": sorted(files)}, f)
+            f.flush()
+            _os.fsync(f.fileno())
+        _os.replace(tmp, _manifest_file(path))
+    except BaseException:
+        if _os.path.exists(tmp):
+            _os.unlink(tmp)
+        raise
+
+
+def _list_data_files(path: str) -> list[str]:
+    import os as _os
+
+    out = []
+    for name in sorted(_os.listdir(path)):
+        if not name.startswith("part_cell="):
+            continue
+        pdir = _os.path.join(path, name)
+        for f in sorted(_os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                out.append(_os.path.join(name, f))
+    return out
+
+
+def init_manifest(path: str) -> dict:
+    """Adopt an existing (plain-directory) spatial table into manifest
+    commits: snapshot 0 = the files currently on disk."""
+    m = read_manifest(path)
+    if m is not None:
+        return m
+    files = _list_data_files(path)
+    _commit_manifest(path, 0, files)
+    return {"snapshot": 0, "files": sorted(files)}
+
+
+def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
+    """Read the table's current snapshot: exactly the manifest's files
+    (basePath keeps the ``part_cell`` partition column and its
+    pruning); falls back to a plain directory read when the table has
+    no manifest."""
+    import os as _os
+
+    m = read_manifest(path)
+    if m is None:
+        return spark.read.parquet(path)
+    files = [_os.path.join(path, f) for f in m["files"]]
+    return spark.read.option("basePath", path).parquet(*files)
+
+
+def compact_spatial_table_snapshot(
+    spark: SparkSession, path: str
+) -> dict:
+    """Compact ALL partitions as one transactional snapshot:
+
+    1. read the current snapshot (manifest-resolved);
+    2. write the compacted copy to a staging dir;
+    3. move each staged file into its live partition dir under a
+       snapshot-unique name (live files are never touched);
+    4. publish with ONE atomic manifest replace.
+
+    A concurrent reader resolves either the old manifest (all old
+    files, still on disk) or the new one (all new files) — never a
+    partition-mixed state. Returns the new manifest. Old-snapshot
+    files remain until :func:`expire_snapshots`."""
+    import os as _os
+    import shutil
+
+    m = init_manifest(path)
+    snap = int(m["snapshot"]) + 1
+    df = read_snapshot(spark, path)
+    staged = _os.path.join(path, "_compact_tmp")
+    (
+        df.repartition("part_cell")
+        .sortWithinPartitions("part_cell", "morton")
+        .write.mode("overwrite")
+        .partitionBy("part_cell")
+        .parquet(staged)
+    )
+    new_files = []
+    for name in sorted(_os.listdir(staged)):
+        if not name.startswith("part_cell="):
+            continue
+        live = _os.path.join(path, name)
+        _os.makedirs(live, exist_ok=True)
+        sdir = _os.path.join(staged, name)
+        for f in sorted(_os.listdir(sdir)):
+            if not f.endswith(".parquet"):
+                continue
+            newname = "snap%06d-%s" % (snap, f)
+            _os.rename(_os.path.join(sdir, f),
+                       _os.path.join(live, newname))
+            new_files.append(_os.path.join(name, newname))
+    _commit_manifest(path, snap, new_files)
+    shutil.rmtree(staged, ignore_errors=True)
+    return {"snapshot": snap, "files": sorted(new_files)}
+
+
+def expire_snapshots(path: str) -> int:
+    """Delete data files not referenced by the CURRENT manifest (the
+    previous snapshots' files kept for in-flight readers). Run once
+    older readers are done — Iceberg's snapshot-expiry contract.
+    Returns the number of files removed."""
+    import os as _os
+
+    m = read_manifest(path)
+    if m is None:
+        raise ValueError("expire_snapshots requires a manifest table")
+    keep = set(m["files"])
+    removed = 0
+    for rel in _list_data_files(path):
+        if rel not in keep:
+            _os.unlink(_os.path.join(path, rel))
+            removed += 1
+    return removed
 
 
 def _exchange_dirs(a: str, b: str) -> bool:
@@ -221,11 +400,11 @@ def read_polygon(
 
     cover = cellmod.polygon_cover(rings, part_res, edges=edges)
     if not cover:
-        df = spark.read.parquet(path)
+        df = read_snapshot(spark, path)
         return df.where(F.lit(False))
     full_cells = [c for c, f in cover if f]
     boundary_cells = [c for c, f in cover if not f]
-    df = spark.read.parquet(path)
+    df = read_snapshot(spark, path)
     full_rows = df.where(F.col("part_cell").isin(full_cells))
 
     pip = (points_in_polygon_geodesic if edges == "geodesic"
