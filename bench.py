@@ -82,6 +82,14 @@ def main() -> None:
         "similarity_topk",
         "events_window",
         "minhash_pairs",
+        # round-3/4 heavy additions — benched so regressions in these
+        # operators show in BENCH artifacts, not only in tests
+        "polygon_overlap",
+        "curate_pipeline",
+        "tfidf_terms",
+        "radius_pairs",
+        "tile_mvt",
+        "image_phash",
     ]
 
     def make_run(fn):
