@@ -80,3 +80,21 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark):
         if "BatchEvalPython" in plan:
             offenders[name] = plan
     assert not offenders, sorted(offenders)
+
+
+def test_tile_mvt_single_shuffle(spark):
+    """Point MVT packing: tile assignment is column math in the scan
+    stage; the only exchange is the groupBy(tile_id) feeding the
+    per-tile applyInPandas encoder, and the decode pass is a chained
+    mapInPandas (no second exchange)."""
+    plan = _plan(spark, "tile_mvt")
+    assert _shuffles(plan) == 1, plan
+
+
+def test_image_phash_shuffle_budget(spark):
+    """Render -> hash are chained mapInPandas in the scan stage (no
+    exchange); the banded pair join + pair dedupe + ph_a attach spend
+    at most four hash exchanges. A fifth means a stage stopped reusing
+    its child's partitioning."""
+    plan = _plan(spark, "image_phash")
+    assert _shuffles(plan) <= 4, plan
