@@ -118,16 +118,22 @@ def _dedup_consecutive(
 
 
 def encode_geometry(
-    geom_type: int, parts: Sequence[Sequence[Tuple[int, int]]]
+    geom_type: int,
+    parts: Sequence[Sequence[Tuple[int, int]]],
+    exterior: Optional[Sequence[bool]] = None,
 ) -> Optional[List[int]]:
     """Command-integer sequence for a feature.
 
     ``parts``: for POINT one sequence of points; for LINESTRING one
-    sequence per line; for POLYGON one sequence per ring, ring 0 the
-    exterior, later rings interior (winding is enforced here; pass
-    rings OPEN or closed — a closing vertex equal to the first is
-    dropped). Returns None when nothing survives degeneracy pruning
-    (the spec allows discarding such features).
+    sequence per line; for POLYGON one sequence per ring (winding is
+    enforced here; pass rings OPEN or closed — a closing vertex equal
+    to the first is dropped). ``exterior`` marks which polygon rings
+    are exterior (default: only ring 0 — the single-Polygon layout);
+    MultiPolygon features pass one True per member polygon, and the
+    spec encodes polygon boundaries as the winding flips. Holes whose
+    owning exterior collapsed are dropped with it. Returns None when
+    nothing survives degeneracy pruning (the spec allows discarding
+    such features).
     """
     cx = cy = 0
     out: List[int] = []
@@ -169,31 +175,32 @@ def encode_geometry(
         return out if wrote else None
 
     if geom_type == GEOM_POLYGON:
-        wrote = False
-        for i, ring in enumerate(parts):
+        flags = (list(exterior) if exterior is not None
+                 else [i == 0 for i in range(len(parts))])
+        if len(flags) != len(parts):
+            raise ValueError("exterior flags must match parts")
+        wrote_any = False
+        ext_alive = False  # current polygon's exterior survived pruning
+        for ring, is_ext in zip(parts, flags):
             pts = [(int(x), int(y)) for x, y in ring]
             if len(pts) > 1 and pts[0] == pts[-1]:
                 pts = pts[:-1]  # drop WKT closing vertex
             pts = _dedup_consecutive(pts)
             if len(pts) > 1 and pts[0] == pts[-1]:
                 pts = pts[:-1]
-            if len(pts) < 3:
-                continue  # degenerate ring, spec allows discard
+            degenerate = len(pts) < 3 or _ring_area2(pts) == 0
+            if is_ext:
+                ext_alive = not degenerate
+            if degenerate or (not is_ext and not ext_alive):
+                continue  # degenerate ring / orphan hole: spec-droppable
             area2 = _ring_area2(pts)
-            if area2 == 0:
-                continue
-            want_positive = i == 0
-            if (area2 > 0) != want_positive:
+            if (area2 > 0) != bool(is_ext):
                 pts = [pts[0]] + pts[:0:-1]  # reverse, keep start point
-            if i > 0 and not wrote:
-                # all-exterior-degenerate polygon: orphan holes are
-                # meaningless, drop the feature
-                return None
             _moveto(pts[:1])
             _lineto(pts[1:])
             out.append(_CMD_CLOSEPATH & 7 | (1 << 3))
-            wrote = True
-        return out if wrote else None
+            wrote_any = True
+        return out if wrote_any else None
 
     raise ValueError("unknown geometry type %r" % (geom_type,))
 
@@ -220,7 +227,8 @@ def encode_layer(
 
     feat_bufs: List[bytes] = []
     for f in features:
-        geom = encode_geometry(f["type"], f["parts"])
+        geom = encode_geometry(f["type"], f["parts"],
+                               exterior=f.get("exterior"))
         if geom is None:
             continue
         buf = bytearray()

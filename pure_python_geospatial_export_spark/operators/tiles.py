@@ -378,15 +378,21 @@ def encode_mvt_polygons(
         feats = []
         for row in pdf.sort_values(id_col).itertuples(index=False):
             geom = wktmod.loads(getattr(row, wkt_col))
-            rings = (geom["coordinates"]
-                     if geom["type"] == "Polygon"
-                     else [r for poly in geom["coordinates"]
-                           for r in poly])
+            polys = (
+                [geom["coordinates"]] if geom["type"] == "Polygon"
+                else geom["coordinates"]
+            )
+            rings, ext_flags = [], []
+            for poly in polys:
+                for j, ring in enumerate(poly):
+                    rings.append(ring)
+                    ext_flags.append(j == 0)
             feats.append({
                 "id": int(getattr(row, id_col)),
                 "type": mvt.GEOM_POLYGON,
                 "parts": [[q(px, py) for px, py in ring]
                           for ring in rings],
+                "exterior": ext_flags,
                 "properties": {
                     c: getattr(row, c) for c in props
                 },

@@ -299,3 +299,32 @@ def test_encode_mvt_points_roundtrip(spark):
     # near neighbors share a res-3 tile
     assert seen[1][1] == seen[2][1]
     assert seen[3][1] == seen[4][1]
+
+
+def test_multipolygon_winding_per_member():
+    """MultiPolygon features: EVERY member's outer ring winds positive
+    (the spec encodes polygon boundaries as winding flips), holes bind
+    to their own member, and an orphan hole (its exterior degenerate)
+    drops without killing the other members."""
+    sq1 = [(0, 0), (0, 10), (10, 10), (10, 0)]          # area2 < 0
+    hole1 = [(2, 2), (8, 2), (8, 8), (2, 8)]            # area2 > 0
+    sq2 = [(20, 20), (20, 30), (30, 30), (30, 20)]      # area2 < 0
+    cmds = mvt.encode_geometry(
+        mvt.GEOM_POLYGON, [sq1, hole1, sq2],
+        exterior=[True, False, True],
+    )
+    parts = mvt.geometry_parts(mvt.decode_geometry(cmds))
+    assert len(parts) == 3
+    assert mvt._ring_area2(parts[0]) > 0   # member 1 exterior
+    assert mvt._ring_area2(parts[1]) < 0   # its hole
+    assert mvt._ring_area2(parts[2]) > 0   # member 2 exterior (NOT a hole)
+
+    # orphan hole: member 1's exterior degenerate -> its hole drops,
+    # member 2 survives
+    cmds = mvt.encode_geometry(
+        mvt.GEOM_POLYGON, [[(0, 0), (5, 0)], hole1, sq2],
+        exterior=[True, False, True],
+    )
+    parts = mvt.geometry_parts(mvt.decode_geometry(cmds))
+    assert len(parts) == 1
+    assert set(parts[0]) == set(sq2)
