@@ -395,7 +395,7 @@ def hamming_near_pairs(
     (boilerplate-flood guard; costs recall only for families larger
     than the cap). Returns (id_a, id_b, hamming)."""
     if n_chunks is None:
-        n_chunks = max_hamming + 1
+        n_chunks = max(2, max_hamming + 1)
     if n_chunks < max_hamming + 1:
         raise ValueError(
             "n_chunks=%d loses the pigeonhole guarantee for "
