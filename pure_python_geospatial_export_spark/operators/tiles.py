@@ -492,6 +492,134 @@ def encode_mvt_points(
     )
 
 
+def encode_mvt_points_xyz(
+    df: DataFrame,
+    zoom: int,
+    layer_name: str = "points",
+    extent: int = 4096,
+    id_col: str = "doc_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    prop_cols: tuple = (),
+) -> DataFrame:
+    """Slippy-map (XYZ / web-mercator) MVT point tiles ->
+    (zoom, tx, ty, n_features, n_bytes, mvt) — the tile scheme every
+    web map client requests, alongside :func:`encode_mvt_points`'s
+    equirectangular cell grid. Quantization happens in MERCATOR space
+    (not linear latitude), matching what renderers expect; y grows
+    south per the XYZ convention. Same plan shape: tile assignment is
+    column math in the scan stage, one shuffle on (tx, ty) into the
+    per-tile Arrow encoder."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..geo import mvt
+
+    out_schema = StructType([
+        StructField("zoom", IntegerType(), False),
+        StructField("tx", LongType(), False),
+        StructField("ty", LongType(), False),
+        StructField("n_features", IntegerType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("mvt", BinaryType(), False),
+    ])
+    ext = int(extent)
+    z = int(zoom)
+    n = float(1 << z)
+    props = tuple(prop_cols)
+    max_lat = MERCATOR_MAX_LAT
+
+    def _encode_group(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        pdf = pdf.sort_values(id_col)
+        lam = pdf[lon].to_numpy(dtype=np.float64)
+        phi = np.clip(pdf[lat].to_numpy(dtype=np.float64),
+                      -max_lat, max_lat)
+        mx = (lam + 180.0) / 360.0 * n - tx
+        s = np.sin(np.radians(phi))
+        my = (0.5 - np.log((1.0 + s) / (1.0 - s))
+              / (4.0 * np.pi)) * n - ty
+        u = np.clip(np.floor(mx * ext), 0, ext).astype(np.int64)
+        v = np.clip(np.floor(my * ext), 0, ext).astype(np.int64)
+        ids = pdf[id_col].tolist()
+        prop_vals = {c: pdf[c].tolist() for c in props}
+        feats = [
+            {
+                "id": int(ids[k]),
+                "type": mvt.GEOM_POINT,
+                "parts": [[(int(u[k]), int(v[k]))]],
+                "properties": {c: prop_vals[c][k] for c in props},
+            }
+            for k in range(len(ids))
+        ]
+        buf = mvt.encode_tile([mvt.encode_layer(layer_name, feats, ext)])
+        n_feats = len(mvt.decode_tile(buf)["layers"][0]["features"])
+        return pd.DataFrame({
+            "zoom": pd.Series([z], dtype="int32"),
+            "tx": pd.Series([tx], dtype="int64"),
+            "ty": pd.Series([ty], dtype="int64"),
+            "n_features": pd.Series([n_feats], dtype="int32"),
+            "n_bytes": pd.Series([len(buf)], dtype="int64"),
+            "mvt": pd.Series([buf], dtype=object),
+        })
+
+    cx, cy = mercator_tile_cols(F.col(lon), F.col(lat), z)
+    tiled = df.select(
+        F.col(id_col), F.col(lon), F.col(lat), *props
+    ).withColumn("tx", cx).withColumn("ty", cy)
+    return tiled.groupBy("tx", "ty").applyInPandas(
+        _encode_group, out_schema
+    )
+
+
+def write_mvt_directory(
+    tiles: DataFrame,
+    out_dir: str,
+    scheme: str = "xyz",
+) -> int:
+    """Materialize encoded tiles as the ``{z}/{x}/{y}.mvt`` directory
+    tree map clients fetch. ``tiles`` is the output of
+    :func:`encode_mvt_points_xyz` (columns zoom/tx/ty/mvt) or any frame
+    with those columns; ``scheme='tms'`` flips y (2^z - 1 - ty) for TMS
+    servers. Files are written executor-side via ``foreachPartition``
+    (bytes never collect on the driver) into per-task temp names then
+    atomically renamed — rerunning a failed job cannot leave torn
+    tiles. Returns the number of tiles written."""
+    import os
+    import uuid
+
+    if scheme not in ("xyz", "tms"):
+        raise ValueError("scheme must be 'xyz' or 'tms'")
+    os.makedirs(out_dir, exist_ok=True)
+    flip = scheme == "tms"
+
+    def _write(rows):
+        for r in rows:
+            z, tx, ty = int(r["zoom"]), int(r["tx"]), int(r["ty"])
+            if flip:
+                ty = (1 << z) - 1 - ty
+            d = os.path.join(out_dir, str(z), str(tx))
+            os.makedirs(d, exist_ok=True)
+            final = os.path.join(d, "%d.mvt" % ty)
+            tmp = final + ".%s.tmp" % uuid.uuid4().hex[:8]
+            with open(tmp, "wb") as f:
+                f.write(bytes(r["mvt"]))
+            os.replace(tmp, final)
+
+    tiles.select("zoom", "tx", "ty", "mvt").foreachPartition(_write)
+    count = 0
+    for root, _dirs, files in os.walk(out_dir):
+        count += sum(1 for f in files if f.endswith(".mvt"))
+    return count
+
+
 def simplify_wkt(
     df: DataFrame,
     tolerance: float,

@@ -328,3 +328,91 @@ def test_multipolygon_winding_per_member():
     parts = mvt.geometry_parts(mvt.decode_geometry(cmds))
     assert len(parts) == 1
     assert set(parts[0]) == set(sq2)
+
+
+def test_encode_mvt_points_xyz_mercator_quantization(spark):
+    """XYZ tiles quantize in MERCATOR space: the decoded pixel of a
+    known point equals the closed-form slippy-map math, and the tile
+    ids match mercator_tile_cols."""
+    import math
+
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        MERCATOR_MAX_LAT,
+        encode_mvt_points_xyz,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    z, ext = 4, 4096
+    rows = [
+        (1, -104.786, 41.14, "a"),
+        (2, 12.5, -33.9, "b"),
+        (3, 179.99, 84.9, "c"),   # near the mercator clamp
+        (4, -104.5, 41.2, "d"),   # shares a tile with id 1
+    ]
+    df = local_df(spark, rows, ["doc_id", "lon", "lat", "tag"])
+    out = encode_mvt_points_xyz(
+        df, zoom=z, prop_cols=("tag",)
+    ).collect()
+    assert sum(r["n_features"] for r in out) == 4
+
+    def expect(lon, lat):
+        n = float(1 << z)
+        lat = min(max(lat, -MERCATOR_MAX_LAT), MERCATOR_MAX_LAT)
+        gx = (lon + 180.0) / 360.0 * n
+        s = math.sin(math.radians(lat))
+        gy = (0.5 - math.log((1.0 + s) / (1.0 - s))
+              / (4.0 * math.pi)) * n
+        tx, ty = min(int(gx), (1 << z) - 1), min(int(gy), (1 << z) - 1)
+        u = min(max(int(math.floor((gx - tx) * ext)), 0), ext)
+        v = min(max(int(math.floor((gy - ty) * ext)), 0), ext)
+        return tx, ty, u, v
+
+    got = {}
+    for r in out:
+        tile = mvt.decode_tile(bytes(r["mvt"]))
+        (ly,) = tile["layers"]
+        for f in ly["features"]:
+            ((u, v),) = f["parts"][0]
+            got[f["id"]] = (r["tx"], r["ty"], u, v,
+                            f["properties"]["tag"])
+    for pid, lon, lat, tag in rows:
+        tx, ty, u, v = expect(lon, lat)
+        assert got[pid] == (tx, ty, u, v, tag), (pid, got[pid])
+    assert (got[1][0], got[1][1]) == (got[4][0], got[4][1])
+
+
+def test_write_mvt_directory_layout(spark, tmp_path):
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        encode_mvt_points_xyz,
+        write_mvt_directory,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rows = [(1, -104.786, 41.14), (2, 12.5, -33.9), (3, 12.6, -33.8)]
+    df = local_df(spark, rows, ["doc_id", "lon", "lat"])
+    tiles = encode_mvt_points_xyz(df, zoom=3)
+    meta = {(r["tx"], r["ty"]): r["n_features"]
+            for r in tiles.collect()}
+
+    out = str(tmp_path / "tiles")
+    n = write_mvt_directory(tiles, out)
+    assert n == len(meta)
+    import os
+    for (tx, ty), nf in meta.items():
+        p = os.path.join(out, "3", str(tx), "%d.mvt" % ty)
+        assert os.path.exists(p), p
+        with open(p, "rb") as f:
+            tile = mvt.decode_tile(f.read())
+        assert len(tile["layers"][0]["features"]) == nf
+
+    # tms scheme flips y
+    out2 = str(tmp_path / "tiles_tms")
+    write_mvt_directory(tiles, out2, scheme="tms")
+    for (tx, ty) in meta:
+        flipped = (1 << 3) - 1 - ty
+        assert os.path.exists(
+            os.path.join(out2, "3", str(tx), "%d.mvt" % flipped)
+        )
+
+    with pytest.raises(ValueError, match="scheme"):
+        write_mvt_directory(tiles, out, scheme="wms")
