@@ -1184,6 +1184,36 @@ def _q_tile_mvt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.mapInPandas(_decode, out_schema)
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style boilerplate-line removal. Multi-line docs are built
+    # deterministically from the documents table (footer on even ids,
+    # a unique tail per id) with the SAME concat mirrored in the
+    # oracle; output is the reassembled clean text + line stats, so
+    # explode/census/anti-join/reassembly are all bit-checked.
+    from pure_python_geospatial_export_spark.operators.curate import (
+        remove_boilerplate_lines,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\n"),
+                F.when(F.col("doc_id") % 2 == 0,
+                       F.lit("standard footer boilerplate"))
+                .otherwise(
+                    F.concat(F.lit("tail-"),
+                             F.col("doc_id").cast("string"))
+                ),
+            ).alias("text"),
+        )
+    )
+    return remove_boilerplate_lines(docs, min_docs=3)
+
+
 def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Perceptual image near-dup, end to end: a 63-bit target hash h is
     # derived from doc_id in COLUMN MATH (Fibonacci-mix of doc_id//4,
@@ -1284,6 +1314,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #   doc_sample        ⊂ weighted_sample/domain_quota (hash-threshold family)
 #   top_sources       == exact twin of hh_sketch's top-k question
 #   value_histogram   ⊂ events-family fixed-bin aggregations
+# plus OVER-CEILING entries: genuinely new operators added after the
+# driver registry reached the 50-row ceiling — same local bit-level
+# gate, just not competing for driver artifact rows:
+#   line_dedup        (round-4 boilerplate-line removal)
 _FOLDED_QUERIES = (
     "pip_join_salted",
     "knn_exact",
@@ -1292,6 +1326,7 @@ _FOLDED_QUERIES = (
     "doc_sample",
     "top_sources",
     "value_histogram",
+    "line_dedup",
 )
 
 
@@ -1356,6 +1391,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "bpe_tokens": _q_bpe_tokens,
         "wkt_roundtrip": _q_wkt_roundtrip,
+        "line_dedup": _q_line_dedup,
     }
 
 
@@ -2233,6 +2269,34 @@ def _all_oracle_sql() -> dict[str, str]:
             "a.h AS ph_a "
             "FROM h a, h b WHERE a.doc_id < b.doc_id "
             "AND bit_count(xor(a.h, b.h)) <= 3"
+        ),
+        # line_dedup: explode lines with ordinality, distinct-doc line
+        # census, NOT IN the hot set, ordered string_agg reassembly
+        "line_dedup": (
+            "WITH d AS (SELECT doc_id, text || chr(10) || "
+            "CASE WHEN doc_id % 2 = 0 "
+            "THEN 'standard footer boilerplate' "
+            "ELSE 'tail-' || CAST(doc_id AS VARCHAR) END AS text "
+            "FROM documents WHERE doc_id < 300), "
+            "l AS (SELECT doc_id, unnest(arr) AS line, "
+            "generate_subscripts(arr, 1) AS i "
+            "FROM (SELECT doc_id, string_split(text, chr(10)) AS arr "
+            "FROM d)), "
+            "hot AS (SELECT line FROM "
+            "(SELECT DISTINCT doc_id, line FROM l) "
+            "GROUP BY line HAVING COUNT(*) >= 3), "
+            "kept AS (SELECT doc_id, line, i FROM l "
+            "WHERE line NOT IN (SELECT line FROM hot)), "
+            "reb AS (SELECT doc_id, "
+            "string_agg(line, chr(10) ORDER BY i) AS clean_text, "
+            "COUNT(*) AS nk FROM kept GROUP BY doc_id) "
+            "SELECT d2.doc_id, "
+            "COALESCE(reb.clean_text, '') AS clean_text, "
+            "CAST(len(string_split(d2.text, chr(10))) AS INTEGER) "
+            "AS n_lines, "
+            "CAST(len(string_split(d2.text, chr(10))) "
+            "- COALESCE(reb.nk, 0) AS INTEGER) AS n_removed "
+            "FROM d d2 LEFT JOIN reb ON d2.doc_id = reb.doc_id"
         ),
     }
 

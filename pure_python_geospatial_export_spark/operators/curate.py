@@ -339,6 +339,71 @@ def tfidf_top_terms(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: a LINE that appears
+    (verbatim) in at least ``min_docs`` DISTINCT documents is template
+    chrome (nav bars, cookie banners, footers) and is deleted from
+    every document -> (id, out_col, n_lines, n_removed). Documents
+    whose every line is boilerplate come back as the empty string, not
+    dropped — the caller decides their fate (length filters follow in
+    the preset order).
+
+    Plan shape at 10^12 docs: one posexplode (linear), the hot-line
+    census over DISTINCT (doc, line) pairs (two hash aggregations with
+    map-side combine), a left-anti join of the exploded lines against
+    the hot set, and one groupBy reassembly per doc (array_sort of
+    (idx, line) structs — no window). Nothing quadratic; the anti
+    join's build side is the hot-line set, which is what the operator
+    is shrinking in the first place."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1))
+        .alias("_idx", "_line"),
+    )
+    hot = (
+        lines.select(id_col, "_line").distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .where(F.col("_ndocs") >= F.lit(int(min_docs)))
+        .select("_line")
+    )
+    kept = lines.join(hot, "_line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_idx", "_line"))
+                ),
+                lambda s: s["_line"],
+            ),
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("_nkept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n", -1)).alias("n_lines"),
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.col("n_lines").cast("int").alias("n_lines"),
+            (F.col("n_lines")
+             - F.coalesce(F.col("_nkept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -605,3 +605,42 @@ def test_weighted_sample_inclusion_tracks_weight():
     heavy_rate = heavy_hits / (150 * 20)
     light_rate = light_hits / (150 * 180)
     assert heavy_rate > 3 * light_rate, (heavy_rate, light_rate)
+
+
+def test_remove_boilerplate_lines(spark):
+    """Lines shared by >= min_docs docs vanish from every doc; unique
+    lines survive in order; an all-boilerplate doc becomes '' (not
+    dropped); stats count removed lines."""
+    from pure_python_geospatial_export_spark.operators.curate import (
+        remove_boilerplate_lines,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    footer = "(c) example.com - all rights reserved"
+    nav = "home | about | contact"
+    rows = [
+        (1, "unique body one\n%s\n%s" % (nav, footer)),
+        (2, "%s\nunique body two\nsecond line two\n%s" % (nav, footer)),
+        (3, "%s\n%s" % (nav, footer)),            # pure boilerplate
+        (4, "standalone document, no chrome"),
+        (5, "repeated inside\nrepeated inside\nunique tail"),
+    ]
+    df = local_df(spark, rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(df).collect()
+    }
+    assert got[1] == ("unique body one", 3, 2)
+    assert got[2] == ("unique body two\nsecond line two", 4, 2)
+    assert got[3] == ("", 2, 2)
+    assert got[4] == ("standalone document, no chrome", 1, 0)
+    # duplicate WITHIN one doc is not cross-doc boilerplate
+    assert got[5] == (
+        "repeated inside\nrepeated inside\nunique tail", 3, 0
+    )
+    # higher threshold keeps everything (footer appears in 3 docs)
+    loose = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_boilerplate_lines(df, min_docs=4).collect()
+    }
+    assert all(v == 0 for v in loose.values())
