@@ -271,6 +271,75 @@ def encode_tile(layers: Iterable[bytes]) -> bytes:
     return b"".join(_len_delim(3, lb) for lb in layers)
 
 
+def encode_point_layer_fast(ids, us, vs, name: str,
+                            extent: int = 4096) -> bytes:
+    """Vectorized fast path for the common fact-scale case — a layer of
+    property-less single-POINT features (one per id) — producing bytes
+    IDENTICAL to :func:`encode_layer` (asserted by tests). The per-row
+    Python cost of the generic writer (feature dicts + one call per
+    varint) dominates tile packing at millions of points; here the
+    varints for ids and zigzag deltas are emitted by a numpy LEB128
+    kernel and the per-feature framing is assembled from byte slices.
+    """
+    import numpy as np
+
+    ids = np.asarray(ids, dtype=np.int64)
+    u = np.asarray(us, dtype=np.int64)
+    v = np.asarray(vs, dtype=np.int64)
+    n = len(ids)
+    if not (len(u) == len(v) == n):
+        raise ValueError("ids/us/vs must align")
+
+    def _leb128(vals: np.ndarray):
+        """uint64 array -> (bytes_matrix, lengths): LEB128 per value."""
+        vals = vals.astype(np.uint64)
+        out = np.zeros((len(vals), 10), dtype=np.uint8)
+        lens = np.zeros(len(vals), dtype=np.int64)
+        rem = vals.copy()
+        alive = np.ones(len(vals), dtype=bool)
+        for byte_i in range(10):
+            cur = (rem & np.uint64(0x7F)).astype(np.uint8)
+            rem = rem >> np.uint64(7)
+            more = (rem != 0) & alive
+            col = cur | (more.astype(np.uint8) << 7)
+            out[alive, byte_i] = col[alive]
+            lens[alive] = byte_i + 1
+            alive = more
+            if not alive.any():
+                break
+        return out, lens
+
+    # geometry of a single-point feature: [9, zz(u), zz(v)] (cursor
+    # starts at the tile origin for every feature)
+    zz_u = (u << 1) ^ (u >> 63)
+    zz_v = (v << 1) ^ (v >> 63)
+    id_b, id_l = _leb128(ids)
+    u_b, u_l = _leb128(zz_u)
+    v_b, v_l = _leb128(zz_v)
+    geom_len = 1 + u_l + v_l          # the 0x09 command + two params
+    # feature body: 0x08 id | 0x18 0x01 | 0x22 len geom  (tags absent)
+    body_len = 1 + id_l + 2 + 1 + 1 + geom_len
+    fl_b, fl_l = _leb128(body_len.astype(np.uint64))
+
+    parts = [
+        _field_varint(15, 2),
+        _len_delim(1, name.encode("utf-8")),
+    ]
+    for k in range(n):
+        parts.append(b"\x12")                         # Layer.features
+        parts.append(fl_b[k, :fl_l[k]].tobytes())
+        parts.append(b"\x08")                         # Feature.id
+        parts.append(id_b[k, :id_l[k]].tobytes())
+        parts.append(b"\x18\x01")                     # type=POINT
+        parts.append(b"\x22")                         # geometry
+        parts.append(bytes([geom_len[k]]))            # < 128 always
+        parts.append(b"\x09")                         # MoveTo count=1
+        parts.append(u_b[k, :u_l[k]].tobytes())
+        parts.append(v_b[k, :v_l[k]].tobytes())
+    parts.append(_field_varint(5, int(extent)))
+    return b"".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # decoder (independent wire-format parser, for verification)
 # ---------------------------------------------------------------------------

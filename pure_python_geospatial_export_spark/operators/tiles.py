@@ -464,19 +464,29 @@ def encode_mvt_points(
             (y1 - pdf[lat].to_numpy(dtype=np.float64))
             / (y1 - y0) * ext
         ), 0, ext).astype(np.int64)
-        ids = pdf[id_col].tolist()
-        prop_vals = {c: pdf[c].tolist() for c in props}
-        feats = [
-            {
-                "id": int(ids[k]),
-                "type": mvt.GEOM_POINT,
-                "parts": [[(int(u[k]), int(v[k]))]],
-                "properties": {c: prop_vals[c][k] for c in props},
-            }
-            for k in range(len(ids))
-        ]
-        buf = mvt.encode_tile([mvt.encode_layer(layer_name, feats, ext)])
-        n_feats = len(mvt.decode_tile(buf)["layers"][0]["features"])
+        if props:
+            ids = pdf[id_col].tolist()
+            prop_vals = {c: pdf[c].tolist() for c in props}
+            feats = [
+                {
+                    "id": int(ids[k]),
+                    "type": mvt.GEOM_POINT,
+                    "parts": [[(int(u[k]), int(v[k]))]],
+                    "properties": {c: prop_vals[c][k] for c in props},
+                }
+                for k in range(len(ids))
+            ]
+            layer = mvt.encode_layer(layer_name, feats, ext)
+            n_feats = len(feats)
+        else:
+            # property-less point layers: vectorized LEB128 writer,
+            # byte-identical to encode_layer (pinned by tests)
+            layer = mvt.encode_point_layer_fast(
+                pdf[id_col].to_numpy(dtype=np.int64), u, v,
+                layer_name, ext,
+            )
+            n_feats = len(u)
+        buf = mvt.encode_tile([layer])
         return pd.DataFrame({
             "tile_id": pd.Series([tile], dtype="int64"),
             "n_features": pd.Series([n_feats], dtype="int32"),
@@ -548,19 +558,27 @@ def encode_mvt_points_xyz(
               / (4.0 * np.pi)) * n - ty
         u = np.clip(np.floor(mx * ext), 0, ext).astype(np.int64)
         v = np.clip(np.floor(my * ext), 0, ext).astype(np.int64)
-        ids = pdf[id_col].tolist()
-        prop_vals = {c: pdf[c].tolist() for c in props}
-        feats = [
-            {
-                "id": int(ids[k]),
-                "type": mvt.GEOM_POINT,
-                "parts": [[(int(u[k]), int(v[k]))]],
-                "properties": {c: prop_vals[c][k] for c in props},
-            }
-            for k in range(len(ids))
-        ]
-        buf = mvt.encode_tile([mvt.encode_layer(layer_name, feats, ext)])
-        n_feats = len(mvt.decode_tile(buf)["layers"][0]["features"])
+        if props:
+            ids = pdf[id_col].tolist()
+            prop_vals = {c: pdf[c].tolist() for c in props}
+            feats = [
+                {
+                    "id": int(ids[k]),
+                    "type": mvt.GEOM_POINT,
+                    "parts": [[(int(u[k]), int(v[k]))]],
+                    "properties": {c: prop_vals[c][k] for c in props},
+                }
+                for k in range(len(ids))
+            ]
+            layer = mvt.encode_layer(layer_name, feats, ext)
+            n_feats = len(feats)
+        else:
+            layer = mvt.encode_point_layer_fast(
+                pdf[id_col].to_numpy(dtype=np.int64), u, v,
+                layer_name, ext,
+            )
+            n_feats = len(u)
+        buf = mvt.encode_tile([layer])
         return pd.DataFrame({
             "zoom": pd.Series([z], dtype="int32"),
             "tx": pd.Series([tx], dtype="int64"),

@@ -416,3 +416,32 @@ def test_write_mvt_directory_layout(spark, tmp_path):
 
     with pytest.raises(ValueError, match="scheme"):
         write_mvt_directory(tiles, out, scheme="wms")
+
+
+def test_fast_point_layer_bytes_identical():
+    """encode_point_layer_fast must produce the EXACT bytes of the
+    generic writer for property-less point layers — including varint
+    boundary ids/coords (0, 127, 128, multi-byte, max extent)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    ids = np.concatenate([
+        np.array([0, 1, 127, 128, 300, 2**31, 2**40], dtype=np.int64),
+        rng.integers(0, 2**62, 500).astype(np.int64),
+    ])
+    us = np.concatenate([
+        np.array([0, 63, 64, 4095, 4096, 2048, 1], dtype=np.int64),
+        rng.integers(0, 4097, 500).astype(np.int64),
+    ])
+    vs = np.concatenate([
+        np.array([4096, 0, 127, 128, 1, 2, 3], dtype=np.int64),
+        rng.integers(0, 4097, 500).astype(np.int64),
+    ])
+    feats = [
+        {"id": int(i), "type": mvt.GEOM_POINT,
+         "parts": [[(int(u), int(v))]], "properties": {}}
+        for i, u, v in zip(ids, us, vs)
+    ]
+    want = mvt.encode_layer("pts", feats, extent=4096)
+    got = mvt.encode_point_layer_fast(ids, us, vs, "pts", extent=4096)
+    assert got == want
