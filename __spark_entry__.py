@@ -1214,6 +1214,26 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(docs, min_docs=3)
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style char-trigram LM quality scoring: train on docs with
+    # id >= 300, score docs with id < 200. Costs are integer
+    # milli-nats (round(-ln(p)*1e6) per DISTINCT gram x integer
+    # occurrence count) so the BIGINT sums compare bit-level — a float
+    # log-prob sum would be addition-order sensitive.
+    from pure_python_geospatial_export_spark.operators.curate import (
+        char_lm_counts,
+        perplexity_score,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    model = char_lm_counts(docs.where(F.col("doc_id") >= 300))
+    return perplexity_score(
+        docs.where(F.col("doc_id") < 200), model
+    )
+
+
 def _q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Perceptual image near-dup, end to end: a 63-bit target hash h is
     # derived from doc_id in COLUMN MATH (Fibonacci-mix of doc_id//4,
@@ -1318,6 +1338,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver registry reached the 50-row ceiling — same local bit-level
 # gate, just not competing for driver artifact rows:
 #   line_dedup        (round-4 boilerplate-line removal)
+#   lm_perplexity     (round-4 char-trigram LM quality scoring)
 _FOLDED_QUERIES = (
     "pip_join_salted",
     "knn_exact",
@@ -1327,6 +1348,7 @@ _FOLDED_QUERIES = (
     "top_sources",
     "value_histogram",
     "line_dedup",
+    "lm_perplexity",
 )
 
 
@@ -1392,6 +1414,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "wkt_roundtrip": _q_wkt_roundtrip,
         "line_dedup": _q_line_dedup,
+        "lm_perplexity": _q_lm_perplexity,
     }
 
 
@@ -2297,6 +2320,42 @@ def _all_oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(d2.text, chr(10))) "
             "- COALESCE(reb.nk, 0) AS INTEGER) AS n_removed "
             "FROM d d2 LEFT JOIN reb ON d2.doc_id = reb.doc_id"
+        ),
+        # lm_perplexity: trigram counts over the reference split,
+        # Laplace costs in integer milli-nats, BIGINT sums
+        "lm_perplexity": (
+            "WITH normed AS (SELECT doc_id, '##' || regexp_replace("
+            "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), "
+            "' +', ' ', 'g') AS p FROM documents), "
+            "refg AS (SELECT unnest([substring(p, CAST(i AS INT), 3) "
+            "for i in range(1, len(p) - 1)]) AS gram "
+            "FROM normed WHERE doc_id >= 300), "
+            "c3 AS (SELECT gram, COUNT(*) AS c_gram FROM refg "
+            "GROUP BY gram), "
+            "c2 AS (SELECT substring(gram, 1, 2) AS ctx, "
+            "SUM(c_gram) AS c_ctx FROM c3 GROUP BY 1), "
+            "model AS (SELECT gram, c_gram, c_ctx FROM c3 "
+            "JOIN c2 ON substring(c3.gram, 1, 2) = c2.ctx), "
+            "dg AS (SELECT doc_id, gram, COUNT(*) AS occ FROM "
+            "(SELECT doc_id, unnest([substring(p, CAST(i AS INT), 3) "
+            "for i in range(1, len(p) - 1)]) AS gram "
+            "FROM normed WHERE doc_id < 200) GROUP BY doc_id, gram), "
+            "scored AS (SELECT doc_id, "
+            "CAST(SUM(occ) AS INTEGER) AS n_grams, "
+            "CAST(SUM(CAST(round(-ln("
+            "(CAST(COALESCE(c_gram, 0) AS DOUBLE) + 1.0) / "
+            "(CAST(COALESCE(c_ctx, 0) AS DOUBLE) + 38.0)"
+            ") * 1000000.0) AS BIGINT) * occ) AS BIGINT) "
+            "AS cost_milli, "
+            "CAST(SUM(CASE WHEN c_gram IS NULL THEN occ ELSE 0 END) "
+            "AS INTEGER) AS n_oov "
+            "FROM dg LEFT JOIN model USING (gram) GROUP BY doc_id) "
+            "SELECT d.doc_id, "
+            "CAST(COALESCE(s.n_grams, 0) AS INTEGER) AS n_grams, "
+            "CAST(COALESCE(s.cost_milli, 0) AS BIGINT) AS cost_milli, "
+            "CAST(COALESCE(s.n_oov, 0) AS INTEGER) AS n_oov "
+            "FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d "
+            "LEFT JOIN scored s ON d.doc_id = s.doc_id"
         ),
     }
 

@@ -404,6 +404,120 @@ def remove_boilerplate_lines(
     )
 
 
+LM_ALPHABET_V = 38  # smoothing denominator: a-z, 0-9, space, pad
+
+
+def _lm_normalize(col):
+    """Shared text normalization for the char-LM: lowercase, non
+    [a-z0-9 ] -> space, collapse runs — mirrored verbatim in the SQL
+    oracle (both engines' regex classes agree on this pattern)."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
+    return F.regexp_replace(x, " +", " ")
+
+
+def _lm_grams(col, order: int = 3):
+    """Padded character n-grams as an array column ('##' start pad, so
+    the first real char is scored against a boundary context)."""
+    padded = F.concat(F.lit("#" * (order - 1)), _lm_normalize(col))
+    n = F.length(padded) - (order - 1)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.substring(padded, i, order),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_lm_counts(
+    ref: DataFrame, text_col: str = "text", order: int = 3
+) -> DataFrame:
+    """Train the CCNet-style character n-gram LM: (gram, c_gram,
+    c_ctx) integer counts over a reference corpus. c_ctx(ctx) =
+    sum of c_gram over the context's continuations (every in-text
+    occurrence of a context is followed by exactly one char, so this
+    IS the conditional normalizer). One explode + two hash
+    aggregations; the model is integer-exact, hence bit-mirrorable in
+    SQL and mergeable across corpus shards."""
+    grams = ref.select(
+        F.explode(_lm_grams(F.col(text_col), order)).alias("gram")
+    )
+    c3 = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c_gram"))
+    ctx = c3.withColumn(
+        "_ctx", F.substring(F.col("gram"), 1, order - 1)
+    )
+    c2 = ctx.groupBy("_ctx").agg(F.sum("c_gram").alias("c_ctx"))
+    return (
+        ctx.join(c2, "_ctx")
+        .select("gram", "c_gram", F.col("c_ctx").cast("long"))
+    )
+
+
+def perplexity_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order: int = 3,
+) -> DataFrame:
+    """Score documents against a :func:`char_lm_counts` model ->
+    (id, n_grams, cost_milli, n_oov): the KenLM-perplexity quality
+    filter of the CCNet pipeline, in integer milli-nats so the result
+    is bit-exact cross-engine (a float log-prob SUM is addition-order
+    sensitive; an integer per-DISTINCT-gram cost times an integer
+    occurrence count, summed as BIGINT, is not).
+
+    cost per gram occurrence = round(-ln((c_gram + 1) /
+    (c_ctx + V)) * 1e6) with Laplace smoothing over the fixed
+    ``LM_ALPHABET_V``-char alphabet; unseen grams/contexts fall back
+    to the smoothed floor and are counted in ``n_oov``. Perplexity =
+    exp(cost_milli / n_grams / 1e6).
+
+    Plan shape: per-doc DISTINCT-gram counts (map-side combine), ONE
+    join against the model (broadcast when the model is small — a
+    38^3-bounded trigram table always is), one groupBy back to docs.
+    The gram extraction runs as a higher-order column expression
+    (interpreted) — correctness/SQL-parity first; at 100-TB scoring
+    scale the extraction would move into an Arrow kernel exactly like
+    simhash did (BENCH/BASELINE.md), with the same join shape."""
+    gcount = (
+        docs.select(
+            F.col(id_col),
+            F.explode(_lm_grams(F.col(text_col), order)).alias("gram"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    v = F.lit(float(LM_ALPHABET_V))
+    joined = gcount.join(F.broadcast(model), "gram", "left")
+    cost = F.round(
+        -F.log(
+            (F.coalesce(F.col("c_gram"), F.lit(0)).cast("double")
+             + F.lit(1.0))
+            / (F.coalesce(F.col("c_ctx"), F.lit(0)).cast("double") + v)
+        ) * F.lit(1e6)
+    ).cast("long")
+    scored = joined.groupBy(id_col).agg(
+        F.sum("_occ").cast("int").alias("n_grams"),
+        F.sum(cost * F.col("_occ")).cast("long").alias("cost_milli"),
+        F.sum(
+            F.when(F.col("c_gram").isNull(), F.col("_occ"))
+            .otherwise(F.lit(0))
+        ).cast("int").alias("n_oov"),
+    )
+    return (
+        docs.select(id_col).join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("cost_milli"), F.lit(0))
+            .alias("cost_milli"),
+            F.coalesce(F.col("n_oov"), F.lit(0)).alias("n_oov"),
+        )
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

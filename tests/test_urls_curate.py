@@ -644,3 +644,61 @@ def test_remove_boilerplate_lines(spark):
         for r in remove_boilerplate_lines(df, min_docs=4).collect()
     }
     assert all(v == 0 for v in loose.values())
+
+
+def test_char_lm_counts_known_values(spark):
+    from pure_python_geospatial_export_spark.operators.curate import (
+        char_lm_counts,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    # 'ab ab' normalizes to itself; padded '##ab ab' ->
+    # grams ##a #ab ab_ b_a _ab (with _ = space)
+    ref = local_df(spark, [(1, "ab AB")], ["doc_id", "text"])
+    got = {
+        r["gram"]: (r["c_gram"], r["c_ctx"])
+        for r in char_lm_counts(ref).collect()
+    }
+    assert got["##a"] == (1, 1)
+    assert got["#ab"] == (1, 1)
+    # trailing 'ab' has no following char, so ctx 'ab' continues once
+    assert got["ab "] == (1, 1)
+    assert got["b a"] == (1, 1)
+    assert got[" ab"] == (1, 1)
+
+
+def test_perplexity_orders_reflike_before_gibberish(spark):
+    import math
+
+    from pure_python_geospatial_export_spark.operators.curate import (
+        char_lm_counts,
+        perplexity_score,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    ref_rows = [
+        (i, "the quick brown fox jumps over the lazy dog again and "
+            "again with more of the same words the fox the dog")
+        for i in range(5)
+    ]
+    model = char_lm_counts(
+        local_df(spark, ref_rows, ["doc_id", "text"])
+    )
+    docs = local_df(spark, [
+        (1, "the quick brown fox"),
+        (2, "zxqj vvkp wqxz jjzz"),
+        (3, ""),
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           perplexity_score(docs, model).collect()}
+    # bits per char: ref-like text far cheaper than gibberish
+    ppl = {
+        i: math.exp(got[i]["cost_milli"] / got[i]["n_grams"] / 1e6)
+        for i in (1, 2)
+    }
+    assert ppl[1] < ppl[2] / 3, ppl
+    assert got[2]["n_oov"] > 0
+    assert got[1]["n_oov"] == 0
+    # empty doc scores zero grams, present in output
+    assert (got[3]["n_grams"], got[3]["cost_milli"],
+            got[3]["n_oov"]) == (0, 0, 0)
