@@ -28,22 +28,52 @@ def curate_corpus(
     keep_langs: Optional[list] = None,
     near_dup_threshold: Optional[float] = 0.7,
     min_tokens: int = 5,
+    boilerplate_min_docs: Optional[int] = None,
+    lm_ref: Optional[DataFrame] = None,
+    max_ppl_cost_milli: int = 5_000_000,
 ) -> DataFrame:
     """Filter ``df`` to the curated survivor set.
 
-    Steps: (1) token-count floor + quality-score floor, (2) optional
-    language allowlist (n-gram-vote language ID), (3) exact dedup
-    (min-id representative per identical text), (4) optional MinHash
-    near-dup (greedy higher-id drop; pass ``near_dup_threshold=None``
-    to skip). Returns the surviving rows of ``df`` unchanged — callers
-    keep their own columns.
+    Steps: (0) optional line-level boilerplate removal (pass
+    ``boilerplate_min_docs`` — runs FIRST so template chrome doesn't
+    poison dedup or quality signals; the text column is REWRITTEN to
+    the cleaned text for this and all later stages), (1) token-count
+    floor + quality-score floor, (2) optional language allowlist
+    (n-gram-vote language ID), (3) optional char-LM perplexity ceiling
+    (pass a reference corpus as ``lm_ref``; docs whose mean milli-nat
+    cost per gram exceeds ``max_ppl_cost_milli`` drop — the CCNet
+    quality gate), (4) exact dedup (min-id representative per
+    identical text), (5) optional MinHash near-dup (greedy higher-id
+    drop; pass ``near_dup_threshold=None`` to skip). Returns the
+    surviving rows of ``df`` (with cleaned text when step 0 ran) —
+    callers keep their own columns.
     """
-    out = df.where(
+    out = df
+    if boilerplate_min_docs is not None:
+        cleaned = remove_boilerplate_lines(
+            out, id_col, text_col, min_docs=boilerplate_min_docs
+        ).select(id_col, "clean_text")
+        out = (
+            out.drop(text_col)
+            .join(cleaned, id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+    out = out.where(
         (T.token_count(F.col(text_col)) >= min_tokens)
         & (T.quality_score(F.col(text_col)) >= min_quality)
     )
     if keep_langs:
         out = out.where(T.lang_id(F.col(text_col)).isin(list(keep_langs)))
+    if lm_ref is not None:
+        model = char_lm_counts(lm_ref, text_col)
+        scores = perplexity_score(out, model, id_col, text_col)
+        keep = scores.where(
+            (F.col("n_grams") > 0)
+            & (F.col("cost_milli")
+               <= F.col("n_grams").cast("long")
+               * F.lit(int(max_ppl_cost_milli)))
+        ).select(id_col)
+        out = out.join(keep, id_col, "left_semi")
     out = dedup.deduplicate_exact(out, id_col, text_col)
     if near_dup_threshold is not None:
         out = dedup.deduplicate_near(out, id_col, text_col,

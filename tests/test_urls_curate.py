@@ -702,3 +702,47 @@ def test_perplexity_orders_reflike_before_gibberish(spark):
     # empty doc scores zero grams, present in output
     assert (got[3]["n_grams"], got[3]["cost_milli"],
             got[3]["n_oov"]) == (0, 0, 0)
+
+
+def test_curate_corpus_boilerplate_and_lm_stages(spark):
+    """The optional round-4 stages compose into the preset: chrome is
+    stripped before quality/dedup, and the perplexity ceiling drops
+    gibberish while ref-like docs survive. Defaults-off behavior is
+    pinned by the curate_pipeline oracle."""
+    from pure_python_geospatial_export_spark.operators.curate import (
+        curate_corpus,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    footer = "all rights reserved contact us cookie notice"
+    body = ("the quick brown fox jumps over the lazy dog with many "
+            "ordinary english words appearing in a normal order")
+    rows = [
+        (1, body + "\n" + footer),
+        (2, body + " and a little extra text here\n" + footer),
+        (3, "zxqj vvkp wqxz jjzz qqpp zzxx wwqq ppll kkjj hhgg\n"
+            + footer),
+        (4, footer),  # pure chrome -> empty after strip -> dropped
+    ]
+    df = local_df(spark, rows, ["doc_id", "text"])
+    ref = local_df(
+        spark,
+        [(100 + i, body + " plus reference text %d" % i)
+         for i in range(4)],
+        ["doc_id", "text"],
+    )
+    kept = curate_corpus(
+        df,
+        min_quality=0.0,
+        near_dup_threshold=None,
+        min_tokens=3,
+        boilerplate_min_docs=3,
+        lm_ref=ref,
+        max_ppl_cost_milli=2_500_000,  # ~e^2.5 per-char ceiling
+    )
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 1 in ids and 2 in ids      # ref-like, chrome stripped
+    assert 3 not in ids               # gibberish fails the LM gate
+    assert 4 not in ids               # nothing left after stripping
+    texts = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert footer not in texts[1] and footer not in texts[2]
