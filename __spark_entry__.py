@@ -1019,12 +1019,36 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # uid + pid scoped (mirrors session.py's warehouse fix): a fixed
     # world-shared /tmp name collides across users (permission errors)
-    # and across concurrent runs of the same sf_dir (mixed results)
+    # and across concurrent runs of the same sf_dir (mixed results).
+    # pid scoping means each process leaks a scratch copy unless
+    # cleaned: register atexit removal (the query's DataFrame must be
+    # consumed before interpreter exit anyway) and purge siblings of
+    # THIS uid whose owning process is gone.
+    import atexit
+    import re as _re
+    import shutil
+
+    tmp_root = tempfile.gettempdir()
+    mine = _re.compile(
+        r"^ppge_tsroll-uid%d-pid(\d+)_" % os.getuid()
+    )
+    for name in os.listdir(tmp_root):
+        m = mine.match(name)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp_root, name),
+                          ignore_errors=True)
+        except PermissionError:
+            pass  # pid reused by another user: leave it alone
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     base = os.path.join(
-        tempfile.gettempdir(),
+        tmp_root,
         "ppge_tsroll-uid%d-pid%d_%s" % (os.getuid(), os.getpid(), tag),
     )
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     write_events_table(ev, os.path.join(base, "events"))
     write_rollup(
         spark, os.path.join(base, "events"), os.path.join(base, "rollup")

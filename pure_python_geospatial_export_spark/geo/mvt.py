@@ -77,6 +77,11 @@ def _field_varint(field: int, n: int) -> bytes:
 
 
 def _encode_value(v) -> bytes:
+    if type(v).__module__ == "numpy":
+        # pandas itertuples / to_numpy hand back np.int64 / np.bool_ /
+        # np.float32 scalars, none of which subclass the Python types
+        # below (np.float64 does, by accident) — unwrap them all
+        v = v.item()
     if isinstance(v, bool):
         return _field_varint(7, int(v))
     if isinstance(v, int):

@@ -220,12 +220,21 @@ def _gray(px: np.ndarray) -> np.ndarray:
 _BIT_POS = np.arange(64, dtype=np.uint64)
 
 
+def _check_hash_size(hash_size: int) -> None:
+    if not 1 <= hash_size * hash_size <= 64:
+        raise ValueError(
+            "hash_size^2 must fit the 64-bit fingerprint "
+            "(1 <= hash_size <= 8), got %r" % (hash_size,)
+        )
+
+
 def ahash(px: np.ndarray, hash_size: int = 8) -> int:
     """Average hash: gray -> hash_size^2 nearest-neighbor downsample,
     bit i (= row*hash_size + col, LSB first) set iff the cell is
     STRICTLY brighter than the mean. Near-identical images (resize,
     mild noise, recompression) land within a few bits of Hamming
     distance — the classic cheap perceptual fingerprint."""
+    _check_hash_size(hash_size)
     g = _gray(px)
     small = resize_nearest(
         g[:, :, None], hash_size, hash_size
@@ -243,6 +252,7 @@ def dhash(px: np.ndarray, hash_size: int = 8) -> int:
     bit i (= row*hash_size + col, LSB first) set iff pixel[r, c+1] >
     pixel[r, c] — encodes horizontal gradients, more robust than ahash
     to global brightness shifts."""
+    _check_hash_size(hash_size)
     g = _gray(px)
     small = resize_nearest(
         g[:, :, None], hash_size, hash_size + 1

@@ -251,6 +251,10 @@ def perceptual_hash(
                          % (algo,))
     from . import imaging
 
+    # fail fast on the driver: inside the kernel a bad hash_size would
+    # be swallowed by the undecodable-payload guard into all-NULLs
+    imaging._check_hash_size(hash_size)
+
     hash_fn = imaging.ahash if algo == "ahash" else imaging.dhash
     src = df.select(
         F.col(id_col).alias("media_id"),

@@ -609,7 +609,9 @@ def write_mvt_directory(
     servers. Files are written executor-side via ``foreachPartition``
     (bytes never collect on the driver) into per-task temp names then
     atomically renamed — rerunning a failed job cannot leave torn
-    tiles. Returns the number of tiles written."""
+    tiles. Returns the number of tiles written BY THIS CALL (writing a
+    second zoom level into an existing tree does not re-count the
+    earlier level's files)."""
     import os
     import uuid
 
@@ -617,6 +619,8 @@ def write_mvt_directory(
         raise ValueError("scheme must be 'xyz' or 'tms'")
     os.makedirs(out_dir, exist_ok=True)
     flip = scheme == "tms"
+
+    acc = tiles.sparkSession.sparkContext.accumulator(0)
 
     def _write(rows):
         for r in rows:
@@ -630,12 +634,10 @@ def write_mvt_directory(
             with open(tmp, "wb") as f:
                 f.write(bytes(r["mvt"]))
             os.replace(tmp, final)
+            acc.add(1)
 
     tiles.select("zoom", "tx", "ty", "mvt").foreachPartition(_write)
-    count = 0
-    for root, _dirs, files in os.walk(out_dir):
-        count += sum(1 for f in files if f.endswith(".mvt"))
-    return count
+    return int(acc.value)
 
 
 def simplify_wkt(

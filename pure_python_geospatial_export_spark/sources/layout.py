@@ -234,22 +234,42 @@ def read_manifest(path: str) -> dict | None:
         return None
 
 
-def _commit_manifest(path: str, snapshot: int, files: list[str]) -> None:
-    import json
+def atomic_write_text(path: str, text: str) -> None:
+    """Durably publish ``text`` at ``path`` with write -> fsync ->
+    rename -> fsync(parent dir): readers see the old content or the
+    complete new content, and the rename itself survives a crash (the
+    parent-directory fsync is what makes the new name durable). The
+    shared commit primitive under the layout manifest and the
+    streaming-cluster pointer."""
     import os as _os
     import tempfile
 
-    fd, tmp = tempfile.mkstemp(dir=path, prefix="._manifest")
+    parent = _os.path.dirname(_os.path.abspath(path))
+    fd, tmp = tempfile.mkstemp(dir=parent, prefix="._commit")
     try:
         with _os.fdopen(fd, "w") as f:
-            json.dump({"snapshot": snapshot, "files": sorted(files)}, f)
+            f.write(text)
             f.flush()
             _os.fsync(f.fileno())
-        _os.replace(tmp, _manifest_file(path))
+        _os.replace(tmp, path)
+        dfd = _os.open(parent, _os.O_RDONLY)
+        try:
+            _os.fsync(dfd)
+        finally:
+            _os.close(dfd)
     except BaseException:
         if _os.path.exists(tmp):
             _os.unlink(tmp)
         raise
+
+
+def _commit_manifest(path: str, snapshot: int, files: list[str]) -> None:
+    import json
+
+    atomic_write_text(
+        _manifest_file(path),
+        json.dumps({"snapshot": snapshot, "files": sorted(files)}),
+    )
 
 
 def _list_data_files(path: str) -> list[str]:

@@ -33,7 +33,6 @@ Why the fold is correct AND cheap:
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,19 +65,11 @@ class ClusterState:
             return None
 
     def _commit_pointer(self, version_name: str) -> None:
-        # write-then-rename: readers either see the old pointer or the
-        # new one, and the pointed-to directory is always complete
-        fd, tmp = tempfile.mkstemp(dir=self.state_dir, prefix="._ptr")
-        try:
-            with os.fdopen(fd, "w") as f:
-                f.write(version_name)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._pointer_path())
-        except BaseException:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
-            raise
+        # durable single-pointer publish; the pointed-to directory is
+        # always complete before the pointer moves
+        from ..sources.layout import atomic_write_text
+
+        atomic_write_text(self._pointer_path(), version_name)
 
     # -- reads --------------------------------------------------------------
 
@@ -96,7 +87,16 @@ class ClusterState:
 
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """foreachBatch hook: fold one micro-batch of (id_a, id_b)
-        pairs into the table."""
+        pairs into the table.
+
+        The version directory is a MONOTONIC COUNTER derived from the
+        current pointer, NOT the epoch id: foreachBatch is
+        at-least-once, and a retry of an epoch whose fold already
+        committed must not name the directory it is simultaneously
+        READING (Spark refuses to overwrite a path it reads from —
+        an epoch-keyed name would wedge the stream in a crash loop).
+        With a fresh counter the retry writes a new directory whose
+        content, by fold idempotence, equals the committed one."""
         from ..operators.dedup import duplicate_clusters
 
         pairs = batch_df.select("id_a", "id_b").distinct()
@@ -173,7 +173,9 @@ class ClusterState:
                 _remapped(fresh, "cluster_id").select("id", "cluster_id")
             )
 
-        version = "v%020d" % int(epoch_id)
+        cur = self._read_pointer()
+        next_n = (int(cur[1:]) + 1) if cur else 0
+        version = "v%020d" % next_n
         out = os.path.join(self.state_dir, version)
         assign.write.mode("overwrite").parquet(out)
         self._commit_pointer(version)

@@ -113,7 +113,11 @@ def test_fold_is_idempotent(spark, tmp_path):
     state.foreach_batch(b1, 0)
     state.foreach_batch(b2, 1)
     want = _assignments(state)
-    state.foreach_batch(b2, 2)  # replay
+    state.foreach_batch(b2, 1)  # SAME-epoch retry (at-least-once
+    # foreachBatch redelivery after a crash-before-checkpoint): must
+    # not collide with the committed version dir it is reading
+    assert _assignments(state) == want
+    state.foreach_batch(b2, 2)  # replay under a new epoch id
     assert _assignments(state) == want
     state.foreach_batch(b1, 3)  # replay the first batch out of order
     assert _assignments(state) == want

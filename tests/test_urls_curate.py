@@ -447,6 +447,9 @@ def test_tfidf_df_pruning_removes_stopword_hot_key(spark):
     )
     pruned_vocab = pruned.select("term").distinct().count()
     assert pruned_vocab < full_vocab
+
+
+def test_pii_cross_engine_fuzz(spark):
     """2000 adversarial random strings, one Spark job vs one DuckDB
     query: counts and redacted text must agree on every row — evidence
     the patterns really live in the Java-regex/RE2 common subset."""
