@@ -597,6 +597,271 @@ def encode_mvt_points_xyz(
     )
 
 
+def _pip_planar(px, py, rings):
+    """Raw even-odd containment on ARBITRARY planar coords (projected
+    tile space): XOR of per-ring ray casts with a bbox prefilter. The
+    geo-aware kernels.points_in_polygon must not be used here — its
+    antimeridian lobe split keys on coordinate jumps > 180, which are
+    ordinary at zoom >= 8 in tile units."""
+    import numpy as np
+
+    from ..geo import kernels
+
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(len(px), dtype=bool)
+    for ring in rings:
+        arr = np.asarray(ring, dtype=np.float64)
+        bb = kernels.ring_bbox(arr)
+        cand = ((px >= bb[0]) & (px <= bb[2])
+                & (py >= bb[1]) & (py <= bb[3]))
+        if not cand.any():
+            continue
+        idx = np.flatnonzero(cand)
+        inside[idx] ^= kernels.points_in_ring(px[cand], py[cand], arr)
+    return inside
+
+
+def encode_mvt_polygons_xyz(
+    layer: DataFrame,
+    zoom: int,
+    layer_name: str = "zones",
+    extent: int = 4096,
+    edges: str = "planar",
+    max_sagitta_rad: float = 2e-5,
+) -> DataFrame:
+    """Clip the polygon layer to web-mercator XYZ tiles and pack each
+    tile as MVT -> (zoom, tx, ty, n_features, n_bytes, mvt): the
+    slippy-map ZONES pipeline (feed :func:`write_mvt_directory`),
+    completing what :func:`encode_mvt_points_xyz` does for points.
+
+    Geometry is projected ONCE into global tile units (gx = mercator x
+    * 2^zoom, gy likewise, y south), then each candidate tile clips
+    the projected rings against its unit square with the planar
+    Sutherland-Hodgman kernel — edges are straight lines in MERCATOR
+    space, which is exactly what renderers draw, so a piece boundary
+    matches the on-screen polygon edge at every zoom. Interior tiles
+    ride a full-tile shortcut (all four corners inside, no edge bbox
+    overlap — same conservative rule as the cell cover). Antimeridian
+    polygons are lobe-split BEFORE projection; ``edges='geodesic'``
+    densifies along great circles first (the clip_layer_to_tiles
+    contract).
+
+    Dimension-layer contract (driver-side build, like
+    clip_layer_to_tiles); output size is O(covered tiles)."""
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..geo import geodesic
+    from ..geo import kernels
+    from ..geo import mvt
+    from ..session import local_df
+    from ..sources.polygons import load_rings
+
+    if edges not in ("planar", "geodesic"):
+        raise ValueError("edges must be 'planar' or 'geodesic', got %r"
+                         % (edges,))
+    z = int(zoom)
+    n = 1 << z
+    ext = int(extent)
+    max_lat = MERCATOR_MAX_LAT
+
+    def project(arr):
+        lon = arr[:, 0]
+        lat = np.clip(arr[:, 1], -max_lat, max_lat)
+        gx = (lon + 180.0) / 360.0 * n
+        s = np.sin(np.radians(lat))
+        gy = (0.5 - np.log((1.0 + s) / (1.0 - s))
+              / (4.0 * np.pi)) * n
+        return np.stack([gx, gy], axis=1)
+
+    rows = []
+    for pid, info in sorted(load_rings(layer).items()):
+        raw = info["rings"]
+        if edges == "geodesic":
+            raw = [
+                geodesic.densify_ring_geodesic(r, max_sagitta_rad)
+                .tolist()
+                for r in raw
+            ]
+        # expand PER RING so exterior/hole labels survive the lobe
+        # split, then order each exterior lobe with the hole lobes
+        # whose center falls in its bbox (MVT interior rings follow
+        # their exterior)
+        ext_lobes = [
+            project(np.asarray(r, dtype=np.float64)[:, :2])
+            for r in kernels.expand_antimeridian_rings([raw[0]])
+        ]
+        groups = [(e, []) for e in ext_lobes]
+        for hole in raw[1:]:
+            for lobe in kernels.expand_antimeridian_rings([hole]):
+                h = project(np.asarray(lobe, dtype=np.float64)[:, :2])
+                cx = float(h[:, 0].mean())
+                cy = float(h[:, 1].mean())
+                owner = 0
+                for gi, (e, _hs) in enumerate(groups):
+                    bb = kernels.ring_bbox(e)
+                    if bb[0] <= cx <= bb[2] and bb[1] <= cy <= bb[3]:
+                        owner = gi
+                        break
+                groups[owner][1].append(h)
+        proj = []
+        is_ext = []
+        for e, hs in groups:
+            proj.append(e)
+            is_ext.append(True)
+            proj.extend(hs)
+            is_ext.extend([False] * len(hs))
+        gx_min = min(float(r[:, 0].min()) for r in proj)
+        gx_max = max(float(r[:, 0].max()) for r in proj)
+        gy_min = min(float(r[:, 1].min()) for r in proj)
+        gy_max = max(float(r[:, 1].max()) for r in proj)
+        tx_lo = max(0, int(_math.floor(gx_min)))
+        tx_hi = min(n - 1, int(_math.floor(gx_max)))
+        ty_lo = max(0, int(_math.floor(gy_min)))
+        ty_hi = min(n - 1, int(_math.floor(gy_max)))
+        edge_bbs = [kernels.ring_bbox(r) for r in proj]
+        for tx in range(tx_lo, tx_hi + 1):
+            for ty in range(ty_lo, ty_hi + 1):
+                bbox = (float(tx), float(ty),
+                        float(tx + 1), float(ty + 1))
+                # conservative full-tile test: 4 corners inside AND no
+                # ring bbox overlaps (edges can't cross the tile)
+                edge_near = any(
+                    not (bb[2] < bbox[0] or bb[0] > bbox[2]
+                         or bb[3] < bbox[1] or bb[1] > bbox[3])
+                    for bb in edge_bbs
+                )
+                corners_in = _pip_planar(
+                    np.array([bbox[0], bbox[2], bbox[2], bbox[0]]),
+                    np.array([bbox[1], bbox[1], bbox[3], bbox[3]]),
+                    proj,
+                )
+                if corners_in.all() and not any(
+                    _ring_edges_touch_box(r, bbox) for r in proj
+                ):
+                    rows.append((pid, info["name"], tx, ty, True,
+                                 [[(0, 0), (ext, 0), (ext, ext),
+                                   (0, ext)]], [True]))
+                    continue
+                pieces = []
+                flags = []
+                for r, ext_flag in zip(proj, is_ext):
+                    clipped = kernels.clip_ring_bbox(r, bbox)
+                    if clipped is None:
+                        continue
+                    q = np.empty_like(clipped)
+                    q[:, 0] = np.clip(
+                        np.floor((clipped[:, 0] - tx) * ext), 0, ext
+                    )
+                    q[:, 1] = np.clip(
+                        np.floor((clipped[:, 1] - ty) * ext), 0, ext
+                    )
+                    pieces.append(
+                        [(int(a), int(b)) for a, b in q]
+                    )
+                    flags.append(bool(ext_flag))
+                if not pieces:
+                    # no ring geometry in the tile: either fully
+                    # outside or fully inside a region the corner test
+                    # missed (corner exactly on an edge) — use center
+                    if bool(_pip_planar(
+                        np.array([tx + 0.5]), np.array([ty + 0.5]),
+                        proj,
+                    )[0]):
+                        rows.append((pid, info["name"], tx, ty, True,
+                                     [[(0, 0), (ext, 0), (ext, ext),
+                                       (0, ext)]], [True]))
+                    continue
+                rows.append((pid, info["name"], tx, ty, False,
+                             pieces, flags))
+
+    # group driver-built pieces per tile and encode distributed
+    by_tile: dict = {}
+    for pid, name, tx, ty, full, pieces, flags in rows:
+        by_tile.setdefault((tx, ty), []).append(
+            (pid, name, pieces, flags)
+        )
+    import json as _json
+
+    tile_rows = [
+        (tx, ty, _json.dumps(feats))
+        for (tx, ty), feats in sorted(by_tile.items())
+    ]
+    src = local_df(
+        layer.sparkSession, tile_rows, ["tx", "ty", "feats_json"]
+    )
+
+    out_schema = StructType([
+        StructField("zoom", IntegerType(), False),
+        StructField("tx", LongType(), False),
+        StructField("ty", LongType(), False),
+        StructField("n_features", IntegerType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("mvt", BinaryType(), False),
+    ])
+
+    def _encode_group(key, pdf):
+        tx, ty = int(key[0]), int(key[1])
+        feats = []
+        for fj in pdf.sort_values("tx")["feats_json"]:
+            for pid, name, pieces, flags in _json.loads(fj):
+                feats.append({
+                    "id": int(pid),
+                    "type": mvt.GEOM_POLYGON,
+                    "parts": [[(int(a), int(b)) for a, b in ring]
+                              for ring in pieces],
+                    "exterior": [bool(f) for f in flags],
+                    "properties": {"name": name},
+                })
+        feats.sort(key=lambda f: f["id"])
+        buf = mvt.encode_tile([mvt.encode_layer(layer_name, feats,
+                                                ext)])
+        n_feats = len(
+            mvt.decode_tile(buf)["layers"][0]["features"]
+        )
+        return pd.DataFrame({
+            "zoom": pd.Series([z], dtype="int32"),
+            "tx": pd.Series([tx], dtype="int64"),
+            "ty": pd.Series([ty], dtype="int64"),
+            "n_features": pd.Series([n_feats], dtype="int32"),
+            "n_bytes": pd.Series([len(buf)], dtype="int64"),
+            "mvt": pd.Series([buf], dtype=object),
+        })
+
+    return src.groupBy("tx", "ty").applyInPandas(
+        _encode_group, out_schema
+    )
+
+
+def _ring_edges_touch_box(ring, bbox) -> bool:
+    """Any vertex-to-vertex edge's bbox overlaps the tile box (the
+    conservative edge-proximity half of the full-tile test)."""
+    import numpy as np
+
+    r = np.asarray(ring, dtype=np.float64)
+    e0 = r[:-1]
+    e1 = r[1:]
+    ex0 = np.minimum(e0[:, 0], e1[:, 0])
+    ex1 = np.maximum(e0[:, 0], e1[:, 0])
+    ey0 = np.minimum(e0[:, 1], e1[:, 1])
+    ey1 = np.maximum(e0[:, 1], e1[:, 1])
+    return bool(np.any(
+        (ex1 >= bbox[0]) & (ex0 <= bbox[2])
+        & (ey1 >= bbox[1]) & (ey0 <= bbox[3])
+    ))
+
+
 def write_mvt_directory(
     tiles: DataFrame,
     out_dir: str,

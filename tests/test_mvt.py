@@ -445,3 +445,163 @@ def test_fast_point_layer_bytes_identical():
     want = mvt.encode_layer("pts", feats, extent=4096)
     got = mvt.encode_point_layer_fast(ids, us, vs, "pts", extent=4096)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# mercator polygon tiles (encode_mvt_polygons_xyz)
+# ---------------------------------------------------------------------------
+
+def _merc_units(lon, lat, z):
+    import math
+
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        MERCATOR_MAX_LAT,
+    )
+    n = 1 << z
+    lat = min(max(lat, -MERCATOR_MAX_LAT), MERCATOR_MAX_LAT)
+    gx = (lon + 180.0) / 360.0 * n
+    s = math.sin(math.radians(lat))
+    gy = (0.5 - math.log((1.0 + s) / (1.0 - s)) / (4.0 * math.pi)) * n
+    return gx, gy
+
+
+def test_xyz_polygon_tiles_pip_parity(spark):
+    """A probe point inside the polygon (even-odd in MERCATOR space —
+    the clip geometry's own space) must land inside its tile's decoded
+    piece, and vice versa, for probes at least one pixel from any
+    boundary (quantization blurs exactly the sub-pixel band)."""
+    import numpy as np
+
+    from pure_python_geospatial_export_spark.geo import wkt as wktmod
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        _pip_planar,
+        encode_mvt_polygons_xyz,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    z, ext = 5, 4096
+
+    def rect_ring(x0, y0, x1, y1):
+        return [[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]]
+
+    # concave-ish: big rect with a hole, spanning several z5 tiles
+    outer = rect_ring(-40.0, -25.0, 31.0, 38.0)
+    hole = rect_ring(-11.0, 2.0, 12.0, 21.0)
+    layer = local_df(spark, [
+        (1, "zone", wktmod.dumps(
+            {"type": "Polygon", "coordinates": [outer, hole]}, 12)),
+    ], ["polygon_id", "name", "wkt"])
+
+    out = encode_mvt_polygons_xyz(layer, zoom=z).collect()
+    assert out
+    tiles = {}
+    full_seen = False
+    for r in out:
+        tile = mvt.decode_tile(bytes(r["mvt"]))
+        (ly,) = tile["layers"]
+        assert ly["name"] == "zones"
+        for f in ly["features"]:
+            assert f["properties"]["name"] == "zone"
+        tiles[(r["tx"], r["ty"])] = ly["features"]
+        if any(len(f["parts"]) == 1
+               and set(f["parts"][0]) == {(0, 0), (ext, 0),
+                                          (ext, ext), (0, ext)}
+               for f in ly["features"]):
+            full_seen = True
+    assert full_seen, "interior tiles should ride the full shortcut"
+
+    proj_rings = [
+        np.array([_merc_units(x, y, z) for x, y in outer]),
+        np.array([_merc_units(x, y, z) for x, y in hole]),
+    ]
+    rng = np.random.default_rng(9)
+    lons = rng.uniform(-50.0, 40.0, 1500)
+    lats = rng.uniform(-35.0, 45.0, 1500)
+    checked = 0
+    for lon, lat in zip(lons, lats):
+        gx, gy = _merc_units(float(lon), float(lat), z)
+        want = bool(_pip_planar(
+            np.array([gx]), np.array([gy]), proj_rings)[0])
+        tx, ty = int(gx), int(gy)
+        u = (gx - tx) * ext
+        v = (gy - ty) * ext
+        feats = tiles.get((tx, ty))
+        got = False
+        near_edge = False
+        if feats:
+            for f in feats:
+                # decoded MVT rings are OPEN; the ray-cast kernel
+                # needs the closing vertex back
+                rings = [
+                    np.vstack([np.array(p, dtype=float),
+                               np.array(p[:1], dtype=float)])
+                    for p in f["parts"]
+                ]
+                got |= bool(_pip_planar(
+                    np.array([u]), np.array([v]), rings)[0])
+                # skip probes within 1.5px of any piece ring bbox edge
+                for p in rings:
+                    d = np.concatenate([
+                        np.abs(p[:, 0] - u), np.abs(p[:, 1] - v)])
+                    if d.min() < 1.5:
+                        near_edge = True
+        if near_edge:
+            continue
+        checked += 1
+        assert got == want, (lon, lat, tx, ty, got, want)
+    assert checked > 1000
+
+
+def test_xyz_polygon_tiles_to_directory(spark, tmp_path):
+    import os
+
+    from pure_python_geospatial_export_spark.geo import wkt as wktmod
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        encode_mvt_polygons_xyz,
+        write_mvt_directory,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    layer = local_df(spark, [
+        (1, "a", wktmod.dumps({"type": "Polygon", "coordinates": [
+            [[-10.0, -10.0], [-10.0, 10.0], [10.0, 10.0],
+             [10.0, -10.0], [-10.0, -10.0]]]}, 12)),
+    ], ["polygon_id", "name", "wkt"])
+    tiles = encode_mvt_polygons_xyz(layer, zoom=3)
+    n = write_mvt_directory(tiles, str(tmp_path / "zt"))
+    assert n == tiles.count() > 0
+    found = 0
+    for root, _d, files in os.walk(str(tmp_path / "zt")):
+        for f in files:
+            if f.endswith(".mvt"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    t = mvt.decode_tile(fh.read())
+                assert t["layers"][0]["features"]
+                found += 1
+    assert found == n
+
+
+def test_xyz_polygon_tiles_antimeridian(spark):
+    """A seam-crossing polygon produces pieces on BOTH sides, each
+    wound as an exterior."""
+    from pure_python_geospatial_export_spark.geo import wkt as wktmod
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        encode_mvt_polygons_xyz,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    z = 4
+    n = 1 << z
+    layer = local_df(spark, [
+        (7, "fiji", wktmod.dumps({"type": "Polygon", "coordinates": [
+            [[170.0, -25.0], [170.0, -8.0], [-170.0, -8.0],
+             [-170.0, -25.0], [170.0, -25.0]]]}, 12)),
+    ], ["polygon_id", "name", "wkt"])
+    out = encode_mvt_polygons_xyz(layer, zoom=z).collect()
+    txs = {r["tx"] for r in out}
+    assert any(tx <= 1 for tx in txs) or any(tx >= n - 2 for tx in txs)
+    assert any(tx >= n - 1 for tx in txs) and any(tx == 0 for tx in txs)
+    for r in out:
+        tile = mvt.decode_tile(bytes(r["mvt"]))
+        for f in tile["layers"][0]["features"]:
+            assert mvt._ring_area2(f["parts"][0]) > 0
