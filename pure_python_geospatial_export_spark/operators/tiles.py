@@ -629,6 +629,7 @@ def encode_mvt_polygons_xyz(
     extent: int = 4096,
     edges: str = "planar",
     max_sagitta_rad: float = 2e-5,
+    simplify_px: float = 0.0,
 ) -> DataFrame:
     """Clip the polygon layer to web-mercator XYZ tiles and pack each
     tile as MVT -> (zoom, tx, ty, n_features, n_bytes, mvt): the
@@ -646,6 +647,14 @@ def encode_mvt_polygons_xyz(
     polygons are lobe-split BEFORE projection; ``edges='geodesic'``
     densifies along great circles first (the clip_layer_to_tiles
     contract).
+
+    ``simplify_px`` > 0 runs Douglas-Peucker on the PROJECTED rings at
+    a tolerance of that many tile pixels (tolerance is isotropic in
+    mercator space, where the clip and the renderer both live — a
+    degree-space tolerance would be anisotropic at high latitude); a
+    collapsing exterior drops its polygon (hole-promotion guard), a
+    collapsing hole just drops. This is the per-zoom knob the
+    :func:`mvt_polygon_pyramid_xyz` wrapper turns.
 
     Dimension-layer contract (driver-side build, like
     clip_layer_to_tiles); output size is O(covered tiles)."""
@@ -717,11 +726,23 @@ def encode_mvt_polygons_xyz(
                 groups[owner][1].append(h)
         proj = []
         is_ext = []
+        tol = float(simplify_px) / ext if simplify_px else 0.0
         for e, hs in groups:
+            if tol > 0.0:
+                e = kernels.simplify_ring(e, tol)  # returns closed
+                if e is None:
+                    continue  # sub-pixel member polygon at this zoom
+                hs = [
+                    s for s in (kernels.simplify_ring(h, tol)
+                                for h in hs)
+                    if s is not None
+                ]
             proj.append(e)
             is_ext.append(True)
             proj.extend(hs)
             is_ext.extend([False] * len(hs))
+        if not proj:
+            continue
         gx_min = min(float(r[:, 0].min()) for r in proj)
         gx_max = max(float(r[:, 0].max()) for r in proj)
         gy_min = min(float(r[:, 1].min()) for r in proj)
@@ -842,6 +863,34 @@ def encode_mvt_polygons_xyz(
     return src.groupBy("tx", "ty").applyInPandas(
         _encode_group, out_schema
     )
+
+
+def mvt_polygon_pyramid_xyz(
+    layer: DataFrame,
+    min_zoom: int,
+    max_zoom: int,
+    layer_name: str = "zones",
+    extent: int = 4096,
+    edges: str = "planar",
+    simplify_px: float = 1.0,
+) -> DataFrame:
+    """The full slippy-map build for a polygon layer: every zoom from
+    ``min_zoom`` to ``max_zoom``, geometry simplified to ~simplify_px
+    tile pixels per level (in mercator space), encoded as MVT. Feed
+    :func:`write_mvt_directory` and a web map can load the result
+    directly. Sub-pixel polygons vanish at coarse zooms (the intended
+    rendering semantics, as in vector_tile_pyramid)."""
+    parts = [
+        encode_mvt_polygons_xyz(
+            layer, z, layer_name=layer_name, extent=extent,
+            edges=edges, simplify_px=simplify_px,
+        )
+        for z in range(int(min_zoom), int(max_zoom) + 1)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _ring_edges_touch_box(ring, bbox) -> bool:

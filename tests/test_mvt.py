@@ -605,3 +605,66 @@ def test_xyz_polygon_tiles_antimeridian(spark):
         tile = mvt.decode_tile(bytes(r["mvt"]))
         for f in tile["layers"][0]["features"]:
             assert mvt._ring_area2(f["parts"][0]) > 0
+
+
+def test_mvt_polygon_pyramid_xyz(spark, tmp_path):
+    """Multi-zoom slippy build: every level present, finer levels cut
+    more tiles, simplification keeps coarse levels lean, and the whole
+    pyramid lands as a loadable {z}/{x}/{y}.mvt tree."""
+    import os
+
+    from pure_python_geospatial_export_spark.geo import wkt as wktmod
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        mvt_polygon_pyramid_xyz,
+        write_mvt_directory,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    # jagged polygon so simplification has vertices to shed
+    import math
+    ring = []
+    for k in range(72):
+        a = 2 * math.pi * k / 72
+        # 0.15-deg jags: ~7px at zoom 2 (shed by the 16px budget),
+        # ~55px at zoom 5 (kept)
+        r = 18.0 + (0.15 if k % 2 else 0.0)
+        ring.append([r * math.cos(a), r * math.sin(a) * 0.7 + 10.0])
+    ring.append(ring[0])
+    layer = local_df(spark, [
+        (1, "blob", wktmod.dumps(
+            {"type": "Polygon", "coordinates": [ring]}, 12)),
+    ], ["polygon_id", "name", "wkt"])
+
+    pyr = mvt_polygon_pyramid_xyz(layer, 2, 5, simplify_px=16.0)
+    rows = pyr.collect()
+    by_zoom = {}
+    for r in rows:
+        by_zoom.setdefault(r["zoom"], []).append(r)
+    assert set(by_zoom) == {2, 3, 4, 5}
+    assert len(by_zoom[5]) > len(by_zoom[2])
+
+    def total_ring_pts(rs):
+        total = 0
+        for r in rs:
+            t = mvt.decode_tile(bytes(r["mvt"]))
+            for f in t["layers"][0]["features"]:
+                for p in f["parts"]:
+                    total += len(p)
+        return total
+    # at the SAME zoom, the 1px simplification sheds vertices vs the
+    # unsimplified encode (per-tile counts aren't comparable ACROSS
+    # zooms — a coarse tile holds the whole ring, a fine tile a
+    # fragment)
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        encode_mvt_polygons_xyz,
+    )
+    unsimplified = encode_mvt_polygons_xyz(
+        layer, 2, simplify_px=0.0
+    ).collect()
+    assert total_ring_pts(by_zoom[2]) < total_ring_pts(unsimplified)
+
+    out = str(tmp_path / "pyr")
+    n = write_mvt_directory(pyr, out)
+    assert n == len(rows)
+    for z in (2, 3, 4, 5):
+        assert os.path.isdir(os.path.join(out, str(z)))
