@@ -622,42 +622,120 @@ def _pip_planar(px, py, rings):
     return inside
 
 
-def encode_mvt_polygons_xyz(
-    layer: DataFrame,
+def _interior_vertex(arr):
+    """A test vertex for ring classification that is not pinned to the
+    antimeridian (a lobe's seam vertices sit exactly on another lobe's
+    boundary, where ray-cast parity is fragile)."""
+    import numpy as np
+
+    off_seam = np.abs(np.abs(arr[:, 0]) - 180.0) > 1e-9
+    k = int(np.argmax(off_seam)) if off_seam.any() else 0
+    return float(arr[k, 0]), float(arr[k, 1])
+
+
+def _group_rings_even_odd(rings):
+    """Group a FLAT ring list (load_rings flattens MultiPolygon
+    members) into [(exterior, [holes...])] by containment depth: even
+    depth = exterior, odd = hole owned by its innermost containing
+    exterior. Planar even-odd — call AFTER the antimeridian lobe
+    split so seam geometry classifies correctly."""
+    import numpy as np
+
+    from ..geo import kernels
+
+    arrs = [np.asarray(r, dtype=np.float64)[:, :2] for r in rings]
+    n = len(arrs)
+    depth = [0] * n
+    contains = [[False] * n for _ in range(n)]
+    for i in range(n):
+        x0, y0 = _interior_vertex(arrs[i])
+        for j in range(n):
+            if i == j:
+                continue
+            if bool(kernels.points_in_ring(
+                np.array([x0]), np.array([y0]), arrs[j]
+            )[0]):
+                contains[j][i] = True
+                depth[i] += 1
+    ext_ids = [i for i in range(n) if depth[i] % 2 == 0]
+    holes_of = {i: [] for i in ext_ids}
+    for i in range(n):
+        if depth[i] % 2 == 1:
+            owners = [j for j in ext_ids if contains[j][i]]
+            if owners:
+                owner = max(owners, key=lambda j: depth[j])
+            elif ext_ids:
+                owner = ext_ids[0]  # defensive: malformed nesting
+            else:
+                continue
+            holes_of[owner].append(i)
+    return [(arrs[e], [arrs[h] for h in holes_of[e]]) for e in ext_ids]
+
+
+def _prepare_polys_mercator(layer, edges, max_sagitta_rad):
+    """Driver-side one-time prep shared by single-zoom and pyramid
+    builds: load -> (geodesic densify) -> per-ring antimeridian lobe
+    split -> even-odd exterior/hole grouping -> project to NORMALIZED
+    mercator ([0, 1]^2, y south; zoom scaling is a multiply).
+    Returns {pid: {"name", "groups": [(ext, [holes])]}}."""
+    import numpy as np
+
+    from ..geo import geodesic
+    from ..geo import kernels
+    from ..sources.polygons import load_rings
+
+    if edges not in ("planar", "geodesic"):
+        raise ValueError("edges must be 'planar' or 'geodesic', got %r"
+                         % (edges,))
+    max_lat = MERCATOR_MAX_LAT
+
+    def project_norm(arr):
+        lon = arr[:, 0]
+        lat = np.clip(arr[:, 1], -max_lat, max_lat)
+        gx = (lon + 180.0) / 360.0
+        s = np.sin(np.radians(lat))
+        gy = 0.5 - np.log((1.0 + s) / (1.0 - s)) / (4.0 * np.pi)
+        return np.stack([gx, gy], axis=1)
+
+    out = {}
+    for pid, info in sorted(load_rings(layer).items()):
+        raw = info["rings"]
+        if edges == "geodesic":
+            raw = [
+                geodesic.densify_ring_geodesic(r, max_sagitta_rad)
+                .tolist()
+                for r in raw
+            ]
+        lobes = []
+        for r in raw:
+            lobes.extend(kernels.expand_antimeridian_rings([r]))
+        groups = [
+            (project_norm(e), [project_norm(h) for h in hs])
+            for e, hs in _group_rings_even_odd(lobes)
+        ]
+        out[int(pid)] = {"name": info["name"], "groups": groups}
+    return out
+
+
+# guard against accidental world-spanning bbox enumerations at high
+# zoom: the OUTPUT is O(covered tiles), so past this the build is
+# infeasible regardless of algorithm — fail loudly instead of hanging
+_MAX_CANDIDATE_TILES = 64_000_000
+
+
+def _encode_polys_xyz(
+    spark,
+    polys,
     zoom: int,
-    layer_name: str = "zones",
-    extent: int = 4096,
-    edges: str = "planar",
-    max_sagitta_rad: float = 2e-5,
-    simplify_px: float = 0.0,
-) -> DataFrame:
-    """Clip the polygon layer to web-mercator XYZ tiles and pack each
-    tile as MVT -> (zoom, tx, ty, n_features, n_bytes, mvt): the
-    slippy-map ZONES pipeline (feed :func:`write_mvt_directory`),
-    completing what :func:`encode_mvt_points_xyz` does for points.
-
-    Geometry is projected ONCE into global tile units (gx = mercator x
-    * 2^zoom, gy likewise, y south), then each candidate tile clips
-    the projected rings against its unit square with the planar
-    Sutherland-Hodgman kernel — edges are straight lines in MERCATOR
-    space, which is exactly what renderers draw, so a piece boundary
-    matches the on-screen polygon edge at every zoom. Interior tiles
-    ride a full-tile shortcut (all four corners inside, no edge bbox
-    overlap — same conservative rule as the cell cover). Antimeridian
-    polygons are lobe-split BEFORE projection; ``edges='geodesic'``
-    densifies along great circles first (the clip_layer_to_tiles
-    contract).
-
-    ``simplify_px`` > 0 runs Douglas-Peucker on the PROJECTED rings at
-    a tolerance of that many tile pixels (tolerance is isotropic in
-    mercator space, where the clip and the renderer both live — a
-    degree-space tolerance would be anisotropic at high latitude); a
-    collapsing exterior drops its polygon (hole-promotion guard), a
-    collapsing hole just drops. This is the per-zoom knob the
-    :func:`mvt_polygon_pyramid_xyz` wrapper turns.
-
-    Dimension-layer contract (driver-side build, like
-    clip_layer_to_tiles); output size is O(covered tiles)."""
+    layer_name: str,
+    extent: int,
+    simplify_px: float,
+):
+    """Core per-zoom build over prepared normalized-mercator polygons:
+    vectorized tile classification (one grid PIP for all corner
+    points + edge-bbox rasterization), exact Sutherland-Hodgman clip
+    ONLY on boundary tiles, full-tile shortcut for interiors."""
+    import json as _json
     import math as _math
 
     import numpy as np
@@ -671,63 +749,23 @@ def encode_mvt_polygons_xyz(
         StructType,
     )
 
-    from ..geo import geodesic
     from ..geo import kernels
     from ..geo import mvt
     from ..session import local_df
-    from ..sources.polygons import load_rings
 
-    if edges not in ("planar", "geodesic"):
-        raise ValueError("edges must be 'planar' or 'geodesic', got %r"
-                         % (edges,))
     z = int(zoom)
     n = 1 << z
     ext = int(extent)
-    max_lat = MERCATOR_MAX_LAT
-
-    def project(arr):
-        lon = arr[:, 0]
-        lat = np.clip(arr[:, 1], -max_lat, max_lat)
-        gx = (lon + 180.0) / 360.0 * n
-        s = np.sin(np.radians(lat))
-        gy = (0.5 - np.log((1.0 + s) / (1.0 - s))
-              / (4.0 * np.pi)) * n
-        return np.stack([gx, gy], axis=1)
+    tol = float(simplify_px) / ext if simplify_px else 0.0
 
     rows = []
-    for pid, info in sorted(load_rings(layer).items()):
-        raw = info["rings"]
-        if edges == "geodesic":
-            raw = [
-                geodesic.densify_ring_geodesic(r, max_sagitta_rad)
-                .tolist()
-                for r in raw
-            ]
-        # expand PER RING so exterior/hole labels survive the lobe
-        # split, then order each exterior lobe with the hole lobes
-        # whose center falls in its bbox (MVT interior rings follow
-        # their exterior)
-        ext_lobes = [
-            project(np.asarray(r, dtype=np.float64)[:, :2])
-            for r in kernels.expand_antimeridian_rings([raw[0]])
-        ]
-        groups = [(e, []) for e in ext_lobes]
-        for hole in raw[1:]:
-            for lobe in kernels.expand_antimeridian_rings([hole]):
-                h = project(np.asarray(lobe, dtype=np.float64)[:, :2])
-                cx = float(h[:, 0].mean())
-                cy = float(h[:, 1].mean())
-                owner = 0
-                for gi, (e, _hs) in enumerate(groups):
-                    bb = kernels.ring_bbox(e)
-                    if bb[0] <= cx <= bb[2] and bb[1] <= cy <= bb[3]:
-                        owner = gi
-                        break
-                groups[owner][1].append(h)
+    for pid in sorted(polys):
+        info = polys[pid]
         proj = []
         is_ext = []
-        tol = float(simplify_px) / ext if simplify_px else 0.0
-        for e, hs in groups:
+        for e_norm, hs_norm in info["groups"]:
+            e = e_norm * n
+            hs = [h * n for h in hs_norm]
             if tol > 0.0:
                 e = kernels.simplify_ring(e, tol)  # returns closed
                 if e is None:
@@ -751,77 +789,93 @@ def encode_mvt_polygons_xyz(
         tx_hi = min(n - 1, int(_math.floor(gx_max)))
         ty_lo = max(0, int(_math.floor(gy_min)))
         ty_hi = min(n - 1, int(_math.floor(gy_max)))
-        edge_bbs = [kernels.ring_bbox(r) for r in proj]
-        for tx in range(tx_lo, tx_hi + 1):
-            for ty in range(ty_lo, ty_hi + 1):
-                bbox = (float(tx), float(ty),
-                        float(tx + 1), float(ty + 1))
-                # conservative full-tile test: 4 corners inside AND no
-                # ring bbox overlaps (edges can't cross the tile)
-                edge_near = any(
-                    not (bb[2] < bbox[0] or bb[0] > bbox[2]
-                         or bb[3] < bbox[1] or bb[1] > bbox[3])
-                    for bb in edge_bbs
+        w = tx_hi - tx_lo + 1
+        h = ty_hi - ty_lo + 1
+        if w <= 0 or h <= 0:
+            continue
+        if w * h > _MAX_CANDIDATE_TILES:
+            raise ValueError(
+                "polygon %d covers %d x %d candidate tiles at zoom %d "
+                "— beyond the %d-tile build guard; lower the zoom or "
+                "split the layer" % (pid, w, h, z,
+                                     _MAX_CANDIDATE_TILES)
+            )
+
+        # vectorized classification: one PIP over ALL grid corners...
+        xs = np.arange(tx_lo, tx_hi + 2, dtype=np.float64)
+        ys = np.arange(ty_lo, ty_hi + 2, dtype=np.float64)
+        gxx, gyy = np.meshgrid(xs, ys, indexing="ij")
+        inside = _pip_planar(
+            gxx.ravel(), gyy.ravel(), proj
+        ).reshape(w + 1, h + 1)
+        all_in = (inside[:-1, :-1] & inside[1:, :-1]
+                  & inside[:-1, 1:] & inside[1:, 1:])
+        any_in = (inside[:-1, :-1] | inside[1:, :-1]
+                  | inside[:-1, 1:] | inside[1:, 1:])
+        # ...plus edge-bbox rasterization (which tiles any ring edge
+        # can reach)
+        edge_touch = np.zeros((w, h), dtype=bool)
+        for r in proj:
+            e0, e1 = r[:-1], r[1:]
+            ex0 = np.clip(np.floor(
+                np.minimum(e0[:, 0], e1[:, 0])).astype(np.int64)
+                - tx_lo, 0, w - 1)
+            ex1 = np.clip(np.floor(
+                np.maximum(e0[:, 0], e1[:, 0])).astype(np.int64)
+                - tx_lo, 0, w - 1)
+            ey0 = np.clip(np.floor(
+                np.minimum(e0[:, 1], e1[:, 1])).astype(np.int64)
+                - ty_lo, 0, h - 1)
+            ey1 = np.clip(np.floor(
+                np.maximum(e0[:, 1], e1[:, 1])).astype(np.int64)
+                - ty_lo, 0, h - 1)
+            for k in range(len(ex0)):
+                edge_touch[ex0[k]:ex1[k] + 1,
+                           ey0[k]:ey1[k] + 1] = True
+
+        full_box = [[(0, 0), (ext, 0), (ext, ext), (0, ext)]]
+        # full interiors: all corners in, no edge can cross
+        for ix, iy in zip(*np.nonzero(all_in & ~edge_touch)):
+            rows.append((pid, info["name"], tx_lo + int(ix),
+                         ty_lo + int(iy), True, full_box, [True]))
+        # tiles no edge reaches and no corner inside are fully outside
+        # the polygon OR fully inside a hole -> nothing to emit either
+        # way; the rest are boundary tiles: exact clip
+        for ix, iy in zip(*np.nonzero(
+            edge_touch | (any_in & ~all_in)
+        )):
+            tx = tx_lo + int(ix)
+            ty = ty_lo + int(iy)
+            if all_in[ix, iy] and not edge_touch[ix, iy]:
+                continue  # already emitted as full
+            bbox = (float(tx), float(ty),
+                    float(tx + 1), float(ty + 1))
+            pieces = []
+            flags = []
+            for r, ext_flag in zip(proj, is_ext):
+                clipped = kernels.clip_ring_bbox(r, bbox)
+                if clipped is None:
+                    continue
+                q = np.empty_like(clipped)
+                q[:, 0] = np.clip(
+                    np.floor((clipped[:, 0] - tx) * ext), 0, ext
                 )
-                corners_in = _pip_planar(
-                    np.array([bbox[0], bbox[2], bbox[2], bbox[0]]),
-                    np.array([bbox[1], bbox[1], bbox[3], bbox[3]]),
+                q[:, 1] = np.clip(
+                    np.floor((clipped[:, 1] - ty) * ext), 0, ext
+                )
+                pieces.append([(int(a), int(b)) for a, b in q])
+                flags.append(bool(ext_flag))
+            if not pieces:
+                # corner-on-edge residue: decide by tile center
+                if bool(_pip_planar(
+                    np.array([tx + 0.5]), np.array([ty + 0.5]),
                     proj,
-                )
-                if corners_in.all() and not any(
-                    _ring_edges_touch_box(r, bbox) for r in proj
-                ):
+                )[0]):
                     rows.append((pid, info["name"], tx, ty, True,
-                                 [[(0, 0), (ext, 0), (ext, ext),
-                                   (0, ext)]], [True]))
-                    continue
-                pieces = []
-                flags = []
-                for r, ext_flag in zip(proj, is_ext):
-                    clipped = kernels.clip_ring_bbox(r, bbox)
-                    if clipped is None:
-                        continue
-                    q = np.empty_like(clipped)
-                    q[:, 0] = np.clip(
-                        np.floor((clipped[:, 0] - tx) * ext), 0, ext
-                    )
-                    q[:, 1] = np.clip(
-                        np.floor((clipped[:, 1] - ty) * ext), 0, ext
-                    )
-                    pieces.append(
-                        [(int(a), int(b)) for a, b in q]
-                    )
-                    flags.append(bool(ext_flag))
-                if not pieces:
-                    # no ring geometry in the tile: either fully
-                    # outside or fully inside a region the corner test
-                    # missed (corner exactly on an edge) — use center
-                    if bool(_pip_planar(
-                        np.array([tx + 0.5]), np.array([ty + 0.5]),
-                        proj,
-                    )[0]):
-                        rows.append((pid, info["name"], tx, ty, True,
-                                     [[(0, 0), (ext, 0), (ext, ext),
-                                       (0, ext)]], [True]))
-                    continue
-                rows.append((pid, info["name"], tx, ty, False,
-                             pieces, flags))
-
-    # group driver-built pieces per tile and encode distributed
-    by_tile: dict = {}
-    for pid, name, tx, ty, full, pieces, flags in rows:
-        by_tile.setdefault((tx, ty), []).append(
-            (pid, name, pieces, flags)
-        )
-    import json as _json
-
-    tile_rows = [
-        (tx, ty, _json.dumps(feats))
-        for (tx, ty), feats in sorted(by_tile.items())
-    ]
-    src = local_df(
-        layer.sparkSession, tile_rows, ["tx", "ty", "feats_json"]
-    )
+                                 full_box, [True]))
+                continue
+            rows.append((pid, info["name"], tx, ty, False,
+                         pieces, flags))
 
     out_schema = StructType([
         StructField("zoom", IntegerType(), False),
@@ -831,11 +885,26 @@ def encode_mvt_polygons_xyz(
         StructField("n_bytes", LongType(), False),
         StructField("mvt", BinaryType(), False),
     ])
+    if not rows:
+        # empty layer / everything sub-pixel at this zoom: an empty
+        # frame, not a CANNOT_INFER_EMPTY_SCHEMA crash
+        return spark.createDataFrame([], out_schema)
+
+    by_tile: dict = {}
+    for pid, name, tx, ty, full, pieces, flags in rows:
+        by_tile.setdefault((tx, ty), []).append(
+            (pid, name, pieces, flags)
+        )
+    tile_rows = [
+        (tx, ty, _json.dumps(feats))
+        for (tx, ty), feats in sorted(by_tile.items())
+    ]
+    src = local_df(spark, tile_rows, ["tx", "ty", "feats_json"])
 
     def _encode_group(key, pdf):
         tx, ty = int(key[0]), int(key[1])
         feats = []
-        for fj in pdf.sort_values("tx")["feats_json"]:
+        for fj in pdf["feats_json"]:
             for pid, name, pieces, flags in _json.loads(fj):
                 feats.append({
                     "id": int(pid),
@@ -865,6 +934,48 @@ def encode_mvt_polygons_xyz(
     )
 
 
+def encode_mvt_polygons_xyz(
+    layer: DataFrame,
+    zoom: int,
+    layer_name: str = "zones",
+    extent: int = 4096,
+    edges: str = "planar",
+    max_sagitta_rad: float = 2e-5,
+    simplify_px: float = 0.0,
+) -> DataFrame:
+    """Clip the polygon layer to web-mercator XYZ tiles and pack each
+    tile as MVT -> (zoom, tx, ty, n_features, n_bytes, mvt): the
+    slippy-map ZONES pipeline (feed :func:`write_mvt_directory`),
+    completing what :func:`encode_mvt_points_xyz` does for points.
+
+    Geometry is projected ONCE into normalized mercator (zoom scaling
+    is a multiply), with per-ring antimeridian lobe splitting and
+    even-odd containment-depth grouping so MultiPolygon members each
+    keep exterior winding and holes bind to their innermost exterior.
+    Per zoom, tiles classify VECTORIZED — one grid PIP over all tile
+    corners plus edge-bbox rasterization — so only true boundary tiles
+    pay the exact Sutherland-Hodgman clip; interiors ride a full-tile
+    shortcut and fully-outside / inside-hole tiles emit nothing.
+    Clipping happens in mercator space: edges are straight lines
+    exactly where the renderer draws them. ``edges='geodesic'``
+    densifies along great circles first.
+
+    ``simplify_px`` > 0 runs Douglas-Peucker on the projected rings at
+    a tolerance of that many tile pixels (isotropic in mercator space
+    — a degree-space tolerance would skew at high latitude); a
+    collapsing exterior drops its polygon (hole-promotion guard), a
+    collapsing hole just drops. This is the per-zoom knob
+    :func:`mvt_polygon_pyramid_xyz` turns.
+
+    Dimension-layer contract (driver-side build, like
+    clip_layer_to_tiles); output size is O(covered tiles)."""
+    polys = _prepare_polys_mercator(layer, edges, max_sagitta_rad)
+    return _encode_polys_xyz(
+        layer.sparkSession, polys, zoom, layer_name, extent,
+        simplify_px,
+    )
+
+
 def mvt_polygon_pyramid_xyz(
     layer: DataFrame,
     min_zoom: int,
@@ -873,42 +984,27 @@ def mvt_polygon_pyramid_xyz(
     extent: int = 4096,
     edges: str = "planar",
     simplify_px: float = 1.0,
+    max_sagitta_rad: float = 2e-5,
 ) -> DataFrame:
     """The full slippy-map build for a polygon layer: every zoom from
     ``min_zoom`` to ``max_zoom``, geometry simplified to ~simplify_px
-    tile pixels per level (in mercator space), encoded as MVT. Feed
-    :func:`write_mvt_directory` and a web map can load the result
-    directly. Sub-pixel polygons vanish at coarse zooms (the intended
-    rendering semantics, as in vector_tile_pyramid)."""
+    tile pixels per level (in mercator space), encoded as MVT. Load,
+    densify, lobe-split, and projection run ONCE (normalized mercator)
+    and are reused across levels. Feed :func:`write_mvt_directory` and
+    a web map can load the result directly. Sub-pixel polygons vanish
+    at coarse zooms (the intended rendering semantics, as in
+    vector_tile_pyramid)."""
+    polys = _prepare_polys_mercator(layer, edges, max_sagitta_rad)
+    spark = layer.sparkSession
     parts = [
-        encode_mvt_polygons_xyz(
-            layer, z, layer_name=layer_name, extent=extent,
-            edges=edges, simplify_px=simplify_px,
-        )
+        _encode_polys_xyz(spark, polys, z, layer_name, extent,
+                          simplify_px)
         for z in range(int(min_zoom), int(max_zoom) + 1)
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
-
-
-def _ring_edges_touch_box(ring, bbox) -> bool:
-    """Any vertex-to-vertex edge's bbox overlaps the tile box (the
-    conservative edge-proximity half of the full-tile test)."""
-    import numpy as np
-
-    r = np.asarray(ring, dtype=np.float64)
-    e0 = r[:-1]
-    e1 = r[1:]
-    ex0 = np.minimum(e0[:, 0], e1[:, 0])
-    ex1 = np.maximum(e0[:, 0], e1[:, 0])
-    ey0 = np.minimum(e0[:, 1], e1[:, 1])
-    ey1 = np.maximum(e0[:, 1], e1[:, 1])
-    return bool(np.any(
-        (ex1 >= bbox[0]) & (ex0 <= bbox[2])
-        & (ey1 >= bbox[1]) & (ey0 <= bbox[3])
-    ))
 
 
 def write_mvt_directory(

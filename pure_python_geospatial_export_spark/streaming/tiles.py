@@ -65,10 +65,13 @@ class MvtTileMaintainer:
         return df.withColumn("tx", tx).withColumn("ty", ty)
 
     def _store_points(self) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self.store_dir)
-        except Exception:
+        # explicit existence check, NOT a broad except: a transient FS
+        # or corrupt-footer error during read must raise (and fail the
+        # batch so it retries), not silently skip the refresh while
+        # the checkpoint advances past it
+        if not os.path.isdir(self.store_dir):
             return None  # first batch: store not created yet
+        return self.spark.read.parquet(self.store_dir)
 
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         batch = self._with_tiles(
@@ -93,6 +96,9 @@ class MvtTileMaintainer:
         number of tiles written."""
         import uuid
 
+        tiles = list(tiles)
+        if not tiles:
+            return 0
         store = self._store_points()
         if store is None:
             return 0

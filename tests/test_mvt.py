@@ -668,3 +668,74 @@ def test_mvt_polygon_pyramid_xyz(spark, tmp_path):
     assert n == len(rows)
     for z in (2, 3, 4, 5):
         assert os.path.isdir(os.path.join(out, str(z)))
+
+
+def test_xyz_multipolygon_members_keep_exterior_winding(spark):
+    """Regression: load_rings flattens MultiPolygon members, and the
+    old tiler flagged every ring after the first as a hole — second
+    members rendered empty (orphan-hole drop) or inverted. Both
+    members must now emit exterior-wound pieces; a hole must bind to
+    ITS member."""
+    from pure_python_geospatial_export_spark.geo import wkt as wktmod
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        encode_mvt_polygons_xyz,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    def rect(x0, y0, x1, y1):
+        return [[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]]
+
+    layer = local_df(spark, [
+        (1, "two", wktmod.dumps({"type": "MultiPolygon",
+                                 "coordinates": [
+            [rect(-60.0, 10.0, -40.0, 25.0),
+             rect(-55.0, 14.0, -45.0, 21.0)],   # member A + its hole
+            [rect(20.0, -30.0, 40.0, -15.0)],   # member B, disjoint
+        ]}, 12)),
+    ], ["polygon_id", "name", "wkt"])
+    out = encode_mvt_polygons_xyz(layer, zoom=4).collect()
+    assert out
+    west_feats = east_feats = 0
+    hole_seen = False
+    for r in out:
+        tile = mvt.decode_tile(bytes(r["mvt"]))
+        for f in tile["layers"][0]["features"]:
+            assert f["parts"], (r["tx"], r["ty"])
+            assert mvt._ring_area2(f["parts"][0]) > 0, (
+                "member exterior wound as hole", r["tx"], r["ty"])
+            if r["tx"] < 8:
+                west_feats += 1
+                if len(f["parts"]) > 1:
+                    hole_seen = True
+                    assert mvt._ring_area2(f["parts"][1]) < 0
+            else:
+                east_feats += 1
+    assert west_feats > 0 and east_feats > 0, (
+        "a MultiPolygon member vanished")
+    assert hole_seen
+
+
+def test_xyz_empty_and_all_subpixel_layers(spark):
+    """Regression: an empty layer or an all-sub-pixel zoom crashed
+    local_df with CANNOT_INFER_EMPTY_SCHEMA; both must yield empty
+    frames with the output schema."""
+    from pure_python_geospatial_export_spark.geo import wkt as wktmod
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        encode_mvt_polygons_xyz,
+        mvt_polygon_pyramid_xyz,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    tiny = local_df(spark, [
+        (1, "speck", wktmod.dumps({"type": "Polygon", "coordinates": [
+            [[10.0, 10.0], [10.0, 10.001], [10.001, 10.001],
+             [10.001, 10.0], [10.0, 10.0]]]}, 12)),
+    ], ["polygon_id", "name", "wkt"])
+    pyr = mvt_polygon_pyramid_xyz(tiny, 0, 2, simplify_px=16.0)
+    assert pyr.count() == 0
+    assert pyr.columns == ["zoom", "tx", "ty", "n_features",
+                           "n_bytes", "mvt"]
+
+    empty = local_df(spark, [(1, "x", "POINT (0 0)")],
+                     ["polygon_id", "name", "wkt"]).where("1 = 0")
+    assert encode_mvt_polygons_xyz(empty, zoom=2).count() == 0
