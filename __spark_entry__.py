@@ -1238,6 +1238,37 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(docs, min_docs=3)
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-budget document chunking with overlap: pure column math
+    # (tokenize + slice), mirrored token-for-token in the oracle
+    from pure_python_geospatial_export_spark.operators.pack import (
+        chunk_documents,
+    )
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    return chunk_documents(docs, chunk_tokens=40, overlap=8)
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data-mixing sampler: per-language quotas from target fractions,
+    # hash-rank selection (the quota_sample family invariance)
+    from pure_python_geospatial_export_spark.operators.curate import (
+        mixture_sample,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "lang")
+    return mixture_sample(
+        docs, "lang", "doc_id",
+        {"en": 0.5, "de": 0.2}, total=200, default_frac=0.1,
+    )
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet-style char-trigram LM quality scoring: train on docs with
     # id >= 300, score docs with id < 200. Costs are integer
@@ -1363,6 +1394,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate, just not competing for driver artifact rows:
 #   line_dedup        (round-4 boilerplate-line removal)
 #   lm_perplexity     (round-4 char-trigram LM quality scoring)
+#   doc_chunks        (round-4 fixed-budget chunking with overlap)
+#   mixture_sample    (round-4 data-mixing sampler)
 _FOLDED_QUERIES = (
     "pip_join_salted",
     "knn_exact",
@@ -1373,6 +1406,8 @@ _FOLDED_QUERIES = (
     "value_histogram",
     "line_dedup",
     "lm_perplexity",
+    "doc_chunks",
+    "mixture_sample",
 )
 
 
@@ -1439,6 +1474,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wkt_roundtrip": _q_wkt_roundtrip,
         "line_dedup": _q_line_dedup,
         "lm_perplexity": _q_lm_perplexity,
+        "doc_chunks": _q_doc_chunks,
+        "mixture_sample": _q_mixture_sample,
     }
 
 
@@ -2380,6 +2417,34 @@ def _all_oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(s.n_oov, 0) AS INTEGER) AS n_oov "
             "FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d "
             "LEFT JOIN scored s ON d.doc_id = s.doc_id"
+        ),
+        # doc_chunks: tokenize, chunk-count arithmetic (stride 32 =
+        # 40 - 8 overlap), list_slice per chunk index
+        "doc_chunks": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks "
+            "FROM documents WHERE doc_id < 300), "
+            "c AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 40 "
+            "THEN 1 ELSE CAST(ceil((len(toks) - 40) / 32.0) AS INT) "
+            "+ 1 END AS nc FROM t), "
+            "e AS (SELECT doc_id, toks, unnest(range(0, nc)) "
+            "AS chunk_idx FROM c) "
+            "SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, "
+            "array_to_string(list_slice(toks, chunk_idx * 32 + 1, "
+            "chunk_idx * 32 + 40), ' ') AS chunk_text, "
+            "CAST(len(list_slice(toks, chunk_idx * 32 + 1, "
+            "chunk_idx * 32 + 40)) AS INTEGER) AS n_tokens FROM e"
+        ),
+        # mixture_sample: per-language quotas (0.5/0.2/default 0.1 of
+        # 200) by the shared hash rank
+        "mixture_sample": (
+            "WITH r AS (SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang ORDER BY %s ASC, doc_id ASC) AS rn "
+            "FROM documents) "
+            "SELECT doc_id, lang FROM r WHERE rn <= "
+            "CASE lang WHEN 'de' THEN 40 WHEN 'en' THEN 100 "
+            "ELSE 20 END"
+            % kmv_hash_sql("CAST(doc_id AS VARCHAR)")
         ),
     }
 

@@ -434,6 +434,52 @@ def remove_boilerplate_lines(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_fracs: dict,
+    total: int,
+    seed: str = "",
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Sample to a TARGET MIXTURE: group ``g`` contributes
+    ``round(total * target_fracs[g])`` rows (groups absent from the
+    dict use ``default_frac``), chosen deterministically by hash rank
+    — the data-mixing step of training-set assembly ("60% en, 20% de,
+    ...") with the same partitioning/retry/oracle invariance as
+    :func:`quota_sample` (it IS quota_sample with per-group quotas
+    from the mixture spec). Under-populated groups contribute what
+    they have; the caller rebalances or accepts the shortfall."""
+    from pyspark.sql import Window
+
+    from .sketch import kmv_hash_col
+
+    if not 0 <= float(default_frac) <= 1:
+        raise ValueError("default_frac must be in [0, 1]")
+    quota = None
+    for g, frac in sorted(target_fracs.items()):
+        n = int(round(float(total) * float(frac)))
+        cond = F.when(F.col(group_col) == g, F.lit(n))
+        quota = cond if quota is None else quota.when(
+            F.col(group_col) == g, F.lit(n)
+        )
+    default_n = int(round(float(total) * float(default_frac)))
+    quota = (F.lit(default_n) if quota is None
+             else quota.otherwise(F.lit(default_n)))
+    h = kmv_hash_col(
+        F.concat(F.col(key_col).cast("string"), F.lit(seed))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_mx_rn", F.row_number().over(w))
+        .where(F.col("_mx_rn") <= quota)
+        .drop("_mx_rn")
+    )
+
+
 LM_ALPHABET_V = 38  # smoothing denominator: a-z, 0-9, space, pad
 
 

@@ -111,3 +111,66 @@ def packing_efficiency(packed: DataFrame, max_tokens: int,
          / (F.count(F.lit(1)) * F.lit(int(max_tokens))).cast("double")
          ).alias("fill_fraction"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split LONG documents into fixed-token-budget chunks with
+    optional overlap -> (id, chunk_idx, chunk_text, n_tokens) — the
+    complement of :func:`pack_sequences` (which bins SHORT documents):
+    together they shape any corpus into context windows.
+
+    Chunk ``k`` covers tokens ``[k*stride, k*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; the last chunk may be
+    shorter, a doc at or under the budget yields exactly one chunk.
+    Pure column math end to end (whitespace tokenization + slice), so
+    it runs in codegen at scan speed and mirrors into SQL exactly.
+    Scalars project BELOW the explode (the ExtractGenerator pitfall —
+    docs/PLANS.md) so nothing re-evaluates per chunk row."""
+    from ..functions import text as T
+
+    chunk_tokens = int(chunk_tokens)
+    overlap = int(overlap)
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+
+    base = df.select(
+        F.col(id_col),
+        T.tokens_col(F.col(text_col)).alias("_toks"),
+    ).select(
+        id_col,
+        "_toks",
+        F.when(F.size("_toks") <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.ceil(
+                (F.size("_toks") - F.lit(chunk_tokens))
+                / F.lit(float(stride))
+            ).cast("int") + F.lit(1)
+        ).alias("_n_chunks"),
+    )
+    exploded = base.select(
+        id_col,
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("_n_chunks") - 1)
+        ).alias("chunk_idx"),
+    )
+    sliced = F.slice(
+        F.col("_toks"),
+        F.col("chunk_idx") * F.lit(stride) + F.lit(1),
+        F.lit(chunk_tokens),
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", sliced).alias("chunk_text"),
+        F.size(sliced).cast("int").alias("n_tokens"),
+    )

@@ -749,3 +749,74 @@ def test_curate_corpus_boilerplate_and_lm_stages(spark):
     assert 4 not in ids               # nothing left after stripping
     texts = {r["doc_id"]: r["text"] for r in kept.collect()}
     assert footer not in texts[1] and footer not in texts[2]
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from pure_python_geospatial_export_spark.operators.pack import (
+        chunk_documents,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    toks = ["t%d" % i for i in range(10)]
+    df = local_df(spark, [
+        (1, " ".join(toks)),
+        (2, "short doc"),
+    ], ["doc_id", "text"])
+
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4).collect()
+    }
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t4 t5 t6 t7", 4)
+    assert got[(1, 2)] == ("t8 t9", 2)
+    assert got[(2, 0)] == ("short doc", 2)
+    assert len([k for k in got if k[0] == 1]) == 3
+
+    # overlap: stride 3, windows [0:4), [3:7), [6:10)
+    ov = {
+        r["chunk_idx"]: r["chunk_text"]
+        for r in chunk_documents(
+            df.where("doc_id = 1"), chunk_tokens=4, overlap=1
+        ).collect()
+    }
+    assert ov == {0: "t0 t1 t2 t3", 1: "t3 t4 t5 t6", 2: "t6 t7 t8 t9"}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4).collect()
+
+
+def test_mixture_sample_hits_targets(spark):
+    from pure_python_geospatial_export_spark.operators.curate import (
+        mixture_sample,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rows = [(i, ("a", "b", "c")[i % 3]) for i in range(300)]
+    df = local_df(spark, rows, ["doc_id", "grp"])
+    kept = mixture_sample(
+        df, "grp", "doc_id", {"a": 0.5, "b": 0.3}, total=100,
+        default_frac=0.1,
+    )
+    by_grp = {}
+    for r in kept.collect():
+        by_grp.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert {g: len(s) for g, s in by_grp.items()} == {
+        "a": 50, "b": 30, "c": 10,
+    }
+    # partitioning invariance
+    again = mixture_sample(
+        df.repartition(17), "grp", "doc_id", {"a": 0.5, "b": 0.3},
+        total=100, default_frac=0.1,
+    )
+    assert {
+        (r["grp"], r["doc_id"]) for r in again.collect()
+    } == {(g, d) for g, s in by_grp.items() for d in s}
+    # under-populated group contributes what it has
+    small = mixture_sample(
+        df.where("grp = 'c'"), "grp", "doc_id", {"c": 1.0},
+        total=1000,
+    )
+    assert small.count() == 100
