@@ -183,3 +183,29 @@ def fingerprint_sql(col: str = "text") -> str:
         "i -> md5(concat_ws(' ', %(t)s[i], %(t)s[i+1], %(t)s[i+2])))) "
         "ELSE md5(%(c)s) END" % {"t": toks, "c": col}
     )
+
+
+def nfc_normalize(text: Column) -> Column:
+    """Unicode NFC normalization — the canonical first step of web-text
+    cleaning (combining sequences -> precomposed forms, so 'e'+U+0301
+    and U+00E9 dedup/hash/tokenize identically). Spark has no built-in
+    normalizer, so this is an Arrow-batched pandas UDF over stdlib
+    ``unicodedata`` — the same Unicode algorithm DuckDB's
+    ``nfc_normalize`` implements, so the SQL twin is bit-exact
+    (pinned by a cross-engine fuzz test). NULL passes through."""
+    def _nfc_batch(s):
+        import unicodedata
+
+        return s.map(
+            lambda v: None if v is None
+            else unicodedata.normalize("NFC", v)
+        )
+
+    # no type hints: this module uses postponed annotations, which
+    # pandas_udf's signature inspection cannot resolve
+    _nfc = F.pandas_udf(_nfc_batch, "string")
+    return _nfc(text)
+
+
+def nfc_normalize_sql(col: str = "text") -> str:
+    return "nfc_normalize(%s)" % col

@@ -820,3 +820,60 @@ def test_mixture_sample_hits_targets(spark):
         total=1000,
     )
     assert small.count() == 100
+
+
+def test_nfc_normalize_cross_engine_fuzz(spark):
+    """unicodedata.normalize('NFC') (the Spark kernel) must agree with
+    DuckDB's nfc_normalize byte-for-byte on adversarial combining
+    sequences, Hangul jamo, and random BMP soup."""
+    import random
+    import unicodedata
+
+    import duckdb
+
+    from pure_python_geospatial_export_spark.functions.text import (
+        nfc_normalize,
+        nfc_normalize_sql,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    rnd = random.Random(99)
+    pool = (
+        "é à ö ñ éè Å "
+        "각 각 ṩ ṩ "
+        "plain ascii 123 ß Å Å"
+    ).split(" ")
+    rows = []
+    for i in range(500):
+        n = rnd.randrange(0, 8)
+        rows.append((i, " ".join(rnd.choice(pool) for _ in range(n))))
+    # hand-picked adversaries: NFC is NOT the identity on these
+    rows += [
+        (1000, "é"),           # e + combining acute -> é
+        (1001, "Å"),            # ANGSTROM SIGN -> Å
+        (1002, "각"),  # jamo -> precomposed syllable
+        (1003, "ṩ"),     # combining reorder
+        (1004, ""),
+    ]
+    assert any(
+        unicodedata.normalize("NFC", t) != t for _, t in rows
+    ), "fixture must exercise non-identity normalization"
+
+    df = local_df(spark, rows, ["id", "text"])
+    got = {
+        r["id"]: r["norm"]
+        for r in df.select(
+            "id", nfc_normalize(F.col("text")).alias("norm")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(id INT, text VARCHAR)")
+    con.executemany("INSERT INTO tt VALUES (?, ?)", rows)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT id, %s FROM tt" % nfc_normalize_sql("text")
+        ).fetchall()
+    }
+    assert got == want
+    assert got[1000] == "é"
