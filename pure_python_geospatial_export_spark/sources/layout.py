@@ -265,11 +265,58 @@ def atomic_write_text(path: str, text: str) -> None:
 
 def _commit_manifest(path: str, snapshot: int, files: list[str]) -> None:
     import json
+    import os as _os
 
+    body = json.dumps({"snapshot": snapshot, "files": sorted(files)})
+    # history manifest first (time travel), THEN the current pointer —
+    # a reader resolving snapshot N always finds manifest-v N complete
     atomic_write_text(
-        _manifest_file(path),
-        json.dumps({"snapshot": snapshot, "files": sorted(files)}),
+        _os.path.join(path, "_manifest-v%06d.json" % snapshot), body
     )
+    atomic_write_text(_manifest_file(path), body)
+
+
+def list_snapshots(path: str) -> list[int]:
+    """Snapshot ids with a retained history manifest, ascending."""
+    import os as _os
+    import re as _re
+
+    out = []
+    for name in _os.listdir(path):
+        m = _re.match(r"^_manifest-v(\d+)\.json$", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def read_manifest_at(path: str, snapshot: int) -> dict:
+    """A specific snapshot's manifest (requires its history file;
+    raises if it was never written or has been cleaned up)."""
+    import json
+    import os as _os
+
+    p = _os.path.join(path, "_manifest-v%06d.json" % int(snapshot))
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            "snapshot %d has no retained manifest at %r (available: %s)"
+            % (snapshot, path, list_snapshots(path))
+        )
+
+
+def snapshot_diff(path: str, a: int, b: int) -> dict:
+    """File-level diff between two snapshots:
+    {"added": [...], "removed": [...], "unchanged_count": n} — what a
+    compaction or ingest actually rewrote."""
+    fa = set(read_manifest_at(path, a)["files"])
+    fb = set(read_manifest_at(path, b)["files"])
+    return {
+        "added": sorted(fb - fa),
+        "removed": sorted(fa - fb),
+        "unchanged_count": len(fa & fb),
+    }
 
 
 def _list_data_files(path: str) -> list[str]:
@@ -297,16 +344,25 @@ def init_manifest(path: str) -> dict:
     return {"snapshot": 0, "files": sorted(files)}
 
 
-def read_snapshot(spark: SparkSession, path: str) -> DataFrame:
-    """Read the table's current snapshot: exactly the manifest's files
-    (basePath keeps the ``part_cell`` partition column and its
-    pruning); falls back to a plain directory read when the table has
-    no manifest."""
+def read_snapshot(
+    spark: SparkSession, path: str, snapshot: int | None = None
+) -> DataFrame:
+    """Read the table's current snapshot — or, with ``snapshot=N``,
+    TIME-TRAVEL to a historical one (valid until
+    :func:`expire_snapshots` removes its files; the manifest history
+    outlives the data so attempts past expiry fail with a clear
+    missing-file error rather than silently reading the wrong data).
+    Reads exactly the manifest's files (basePath keeps the
+    ``part_cell`` partition column and its pruning); falls back to a
+    plain directory read when the table has no manifest."""
     import os as _os
 
-    m = read_manifest(path)
-    if m is None:
-        return spark.read.parquet(path)
+    if snapshot is not None:
+        m = read_manifest_at(path, snapshot)
+    else:
+        m = read_manifest(path)
+        if m is None:
+            return spark.read.parquet(path)
     files = [_os.path.join(path, f) for f in m["files"]]
     return spark.read.option("basePath", path).parquet(*files)
 

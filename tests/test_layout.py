@@ -384,3 +384,62 @@ def test_dir_swap_compaction_refuses_manifest_tables(spark, tmp_path):
     init_manifest(path)
     with pytest.raises(ValueError, match="manifest"):
         compact_spatial_table(spark, path)
+
+
+def test_snapshot_time_travel_and_diff(spark, tmp_path):
+    """Manifest history gives time travel (until expiry) and file-level
+    snapshot diffs — the Iceberg read contract."""
+    import pytest
+
+    from pure_python_geospatial_export_spark.sources.layout import (
+        compact_spatial_table_snapshot,
+        expire_snapshots,
+        init_manifest,
+        list_snapshots,
+        read_manifest_at,
+        read_snapshot,
+        snapshot_diff,
+    )
+
+    path, pages = _table(spark, tmp_path, n=1500)
+    init_manifest(path)
+    compact_spatial_table_snapshot(spark, path)
+    compact_spatial_table_snapshot(spark, path)
+    assert list_snapshots(path) == [0, 1, 2]
+
+    want = {
+        r["page_id"] for r in
+        read_snapshot(spark, path).select("page_id").collect()
+    }
+    # every retained snapshot reads the same rows (compaction only
+    # re-files them)
+    for s in (0, 1, 2):
+        got = {
+            r["page_id"] for r in
+            read_snapshot(spark, path, snapshot=s)
+            .select("page_id").collect()
+        }
+        assert got == want, s
+
+    d01 = snapshot_diff(path, 0, 1)
+    assert d01["added"] and d01["removed"]
+    assert d01["unchanged_count"] == 0  # full-table compaction
+    assert all("snap000001-" in f for f in d01["added"])
+    assert snapshot_diff(path, 1, 1) == {
+        "added": [], "removed": [],
+        "unchanged_count": len(read_manifest_at(path, 1)["files"]),
+    }
+
+    with pytest.raises(ValueError, match="no retained manifest"):
+        read_manifest_at(path, 99)
+
+    # expiry keeps the history manifests but removes old files: time
+    # travel to an expired snapshot fails LOUDLY, current still reads
+    expire_snapshots(path)
+    assert list_snapshots(path) == [0, 1, 2]
+    assert {
+        r["page_id"] for r in
+        read_snapshot(spark, path).select("page_id").collect()
+    } == want
+    with pytest.raises(Exception):
+        read_snapshot(spark, path, snapshot=0).count()
