@@ -107,3 +107,40 @@ def test_wkb_bytes_parse_with_plain_parquet_readers(spark, tmp_path):
 
 
 ROWS_BY_ID = [(r[0], r[2]) for r in ROWS]
+
+
+def test_sql_registered_functions(spark):
+    """register_sql_functions exposes the codec kernels to plain SQL;
+    results equal the column-API twins and plans stay Arrow-batched."""
+    from pure_python_geospatial_export_spark.functions.sql_registry import (
+        register_sql_functions,
+    )
+
+    names = register_sql_functions(spark)
+    assert set(names) == {
+        "ppge_wkt_norm", "ppge_geom_type", "ppge_wkt_to_wkb",
+        "ppge_wkb_to_wkt", "ppge_nfc",
+    }
+    df = local_df(spark, ROWS, ["fid", "label", "wkt"])
+    df.createOrReplaceTempView("layer_v")
+    out = spark.sql(
+        "SELECT fid, ppge_geom_type(wkt) AS t, "
+        "ppge_wkb_to_wkt(ppge_wkt_to_wkb(wkt)) AS rt, "
+        "ppge_wkt_norm(wkt) AS norm, "
+        "ppge_nfc('e\u0301') AS nfc "  # e + combining acute
+        "FROM layer_v"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan  # Arrow only
+    rows = {r["fid"]: r for r in out.collect()}
+    for fid, _label, w in ROWS:
+        g = wktmod.loads(w)
+        assert rows[fid]["t"] == g["type"]
+        assert wktmod.loads(rows[fid]["rt"]) == g
+        assert rows[fid]["norm"] == wktmod.dumps(g, 16)
+        assert rows[fid]["nfc"] == "é"
+    # malformed input -> NULL through SQL too
+    bad = spark.sql(
+        "SELECT ppge_geom_type('POINT(nope') AS t"
+    ).collect()[0]["t"]
+    assert bad is None
