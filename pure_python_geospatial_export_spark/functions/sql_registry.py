@@ -32,22 +32,14 @@ def register_sql_functions(
     """Register the engine's Python-kernel functions for SQL use.
     Returns the registered names. Idempotent (re-registration
     replaces)."""
-    from pyspark.sql import functions as F
-
-    def _nfc_batch(s):
-        import unicodedata
-
-        return s.map(
-            lambda v: None if v is None
-            else unicodedata.normalize("NFC", v)
-        )
+    from .text import nfc_udf
 
     entries = {
         "wkt_norm": G.wkt_roundtrip,       # canonical 16-digit WKT
         "geom_type": G.geom_type_of_wkt,
         "wkt_to_wkb": G.wkt_to_wkb,
         "wkb_to_wkt": G.wkb_to_wkt,
-        "nfc": F.pandas_udf(_nfc_batch, "string"),
+        "nfc": nfc_udf(),  # the SAME udf as the column API
     }
     names = []
     for name, fn in entries.items():

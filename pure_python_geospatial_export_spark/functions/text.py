@@ -193,19 +193,31 @@ def nfc_normalize(text: Column) -> Column:
     ``unicodedata`` — the same Unicode algorithm DuckDB's
     ``nfc_normalize`` implements, so the SQL twin is bit-exact
     (pinned by a cross-engine fuzz test). NULL passes through."""
-    def _nfc_batch(s):
-        import unicodedata
-
-        return s.map(
-            lambda v: None if v is None
-            else unicodedata.normalize("NFC", v)
-        )
-
-    # no type hints: this module uses postponed annotations, which
-    # pandas_udf's signature inspection cannot resolve
-    _nfc = F.pandas_udf(_nfc_batch, "string")
-    return _nfc(text)
+    return nfc_udf()(text)
 
 
 def nfc_normalize_sql(col: str = "text") -> str:
     return "nfc_normalize(%s)" % col
+
+
+_NFC_UDF = None
+
+
+def nfc_udf():
+    """The ONE pandas UDF behind both the column API and the SQL
+    registry (ppge_nfc) — built lazily once, so the two surfaces can
+    never diverge. (No type hints: this module uses postponed
+    annotations, which pandas_udf's signature inspection cannot
+    resolve.)"""
+    global _NFC_UDF
+    if _NFC_UDF is None:
+        def _nfc_batch(s):
+            import unicodedata
+
+            return s.map(
+                lambda v: None if v is None
+                else unicodedata.normalize("NFC", v)
+            )
+
+        _NFC_UDF = F.pandas_udf(_nfc_batch, "string")
+    return _NFC_UDF

@@ -457,14 +457,25 @@ def mixture_sample(
 
     if not 0 <= float(default_frac) <= 1:
         raise ValueError("default_frac must be in [0, 1]")
+    for g, frac in target_fracs.items():
+        if not 0 <= float(frac) <= 1:
+            raise ValueError(
+                "target_fracs[%r] must be in [0, 1], got %r" % (g, frac)
+            )
+
+    def _quota_rows(frac):
+        # half-UP, not Python's half-to-even: {'a': .5, 'b': .5} with
+        # total=5 should yield 3+3, not banker's 2+2
+        return int(float(total) * float(frac) + 0.5)
+
     quota = None
     for g, frac in sorted(target_fracs.items()):
-        n = int(round(float(total) * float(frac)))
+        n = _quota_rows(frac)
         cond = F.when(F.col(group_col) == g, F.lit(n))
         quota = cond if quota is None else quota.when(
             F.col(group_col) == g, F.lit(n)
         )
-    default_n = int(round(float(total) * float(default_frac)))
+    default_n = _quota_rows(default_frac)
     quota = (F.lit(default_n) if quota is None
              else quota.otherwise(F.lit(default_n)))
     h = kmv_hash_col(

@@ -92,7 +92,16 @@ def export_geoparquet(
 
     Rows whose WKT fails to parse get a NULL geometry (the P8
     null-on-failure convention) and are excluded from bbox/type
-    metadata."""
+    metadata.
+
+    Idempotency: files are named by Spark partition id and published
+    via write-temp + atomic replace, so task retries, AQE stage
+    re-execution, and repeated actions on the returned frame OVERWRITE
+    their own file instead of duplicating rows. Memory: geometry is
+    transcoded per Arrow batch (no pandas concatenation of the whole
+    partition), but the file writes once at partition end, so a
+    partition's Arrow tables are held in memory — size partitions
+    accordingly (``df.repartition(n)`` upstream)."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -100,6 +109,12 @@ def export_geoparquet(
     from ..geo import wkb as wkbmod
     from ..geo import wkt as wktmod
 
+    if geometry_col in df.columns and geometry_col != wkt_col:
+        raise ValueError(
+            "column %r already exists in the frame; pass a different "
+            "geometry_col instead of silently overwriting it"
+            % (geometry_col,)
+        )
     os.makedirs(path, exist_ok=True)
     pass_cols = [c for c in df.columns if c != wkt_col]
 
@@ -112,44 +127,70 @@ def export_geoparquet(
     def _write(batches: Iterator[pd.DataFrame]):
         import uuid
 
-        pdfs = [p for p in batches if len(p)]
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        wkbs = []
+        from pyspark import TaskContext
+
+        tables = []
         types = set()
         bbox = [float("inf"), float("inf"),
                 float("-inf"), float("-inf")]
-        for s in pdf[wkt_col]:
-            try:
-                geom = wktmod.loads(s)
-                wkbs.append(wkbmod.dumps(geom))
+        have_bounds = False
+        n_rows = 0
+        n_geoms = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            wkbs = []
+            for s in pdf[wkt_col]:
+                # parse/encode and bounds as ONE unit: a failure
+                # anywhere means a NULL geometry and exactly one
+                # append (a split try block once double-appended and
+                # misaligned every later row)
+                try:
+                    geom = wktmod.loads(s)
+                    buf = wkbmod.dumps(geom)
+                    x0, y0, x1, y1 = _geom_bounds(geom)
+                except Exception:
+                    wkbs.append(None)
+                    continue
+                wkbs.append(buf)
                 types.add(geom["type"])
-                x0, y0, x1, y1 = _geom_bounds(geom)
+                n_geoms += 1
                 bbox[0] = min(bbox[0], x0)
                 bbox[1] = min(bbox[1], y0)
                 bbox[2] = max(bbox[2], x1)
                 bbox[3] = max(bbox[3], y1)
-            except Exception:
-                wkbs.append(None)
-        n_geoms = sum(1 for w in wkbs if w is not None)
-        if n_geoms == 0:
-            bbox = [0.0, 0.0, 0.0, 0.0]
-        cols = {c: pdf[c] for c in pass_cols}
-        cols[geometry_col] = pd.Series(wkbs, dtype=object)
-        table = pa.Table.from_pandas(
-            pd.DataFrame(cols), preserve_index=False
-        )
+                have_bounds = True
+            n_rows += len(pdf)
+            arrays = [
+                pa.Array.from_pandas(pdf[c]) for c in pass_cols
+            ]
+            # explicit binary type: an all-NULL batch must not infer
+            # a null-typed column (unreadable against binary files)
+            arrays.append(pa.array(wkbs, type=pa.binary()))
+            tables.append(pa.Table.from_arrays(
+                arrays, names=pass_cols + [geometry_col]
+            ))
+        if not tables:
+            return
+        if not have_bounds:
+            bbox = [0.0, 0.0, 0.0, 0.0]  # JSON must stay finite
+        table = pa.concat_tables(tables)
         meta = dict(table.schema.metadata or {})
         meta[b"geo"] = json.dumps(
             _geo_meta(geometry_col, types, bbox)
         ).encode("utf-8")
         table = table.replace_schema_metadata(meta)
-        fname = "part-%s.parquet" % uuid.uuid4().hex
-        pq.write_table(table, os.path.join(path, fname))
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        fname = "part-%05d.parquet" % pid
+        tmp = os.path.join(
+            path, ".%s.%s.tmp" % (fname, uuid.uuid4().hex[:8])
+        )
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(path, fname))
         yield pd.DataFrame({
             "file": [fname],
-            "n_rows": pd.Series([len(pdf)], dtype="int64"),
+            "n_rows": pd.Series([n_rows], dtype="int64"),
             "n_geoms": pd.Series([n_geoms], dtype="int64"),
         })
 
@@ -157,7 +198,8 @@ def export_geoparquet(
 
 
 def _geom_bounds(geom: dict):
-    """(xmin, ymin, xmax, ymax) of any GeoJSON-dict geometry."""
+    """(xmin, ymin, xmax, ymax) of any GeoJSON-dict geometry,
+    including GeometryCollection (recurses into members)."""
     xs = []
     ys = []
 
@@ -171,7 +213,16 @@ def _geom_bounds(geom: dict):
             for c in coords:
                 walk(c)
 
-    walk(geom["coordinates"])
+    def visit(g):
+        if g.get("type") == "GeometryCollection":
+            for m in g.get("geometries", []):
+                visit(m)
+        else:
+            walk(g["coordinates"])
+
+    visit(geom)
+    if not xs:
+        raise ValueError("geometry has no coordinates")
     return min(xs), min(ys), max(xs), max(ys)
 
 

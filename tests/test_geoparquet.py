@@ -144,3 +144,87 @@ def test_sql_registered_functions(spark):
         "SELECT ppge_geom_type('POINT(nope') AS t"
     ).collect()[0]["t"]
     assert bad is None
+
+
+def test_geometrycollection_no_misalignment(spark, tmp_path):
+    """Regression: a GeometryCollection row once double-appended its
+    WKB (bounds computed after the append), shifting every later row's
+    geometry. GC now exports with proper bounds and alignment."""
+    rows = [
+        (1, "gc", "GEOMETRYCOLLECTION (POINT (5 6))"),
+        (2, "p2", "POINT (1 2)"),
+        (3, "p3", "POINT (3 4)"),
+    ]
+    df, out, stats = _export(spark, tmp_path, rows)
+    assert sum(r["n_rows"] for r in stats) == 3
+    assert sum(r["n_geoms"] for r in stats) == 3
+    back = {r["fid"]: r["wkt"]
+            for r in read_geoparquet(spark, out).collect()}
+    assert set(back) == {1, 2, 3}
+    assert wktmod.loads(back[2]) == wktmod.loads("POINT (1 2)")
+    assert wktmod.loads(back[3]) == wktmod.loads("POINT (3 4)")
+    assert wktmod.loads(back[1])["type"] == "GeometryCollection"
+    # bbox includes the GC member; footer JSON stays finite
+    for meta in read_geo_metadata(out).values():
+        bb = meta["columns"]["geometry"]["bbox"]
+        assert all(abs(v) < 1e6 for v in bb)
+        assert json.dumps(meta)  # strictly serializable
+
+
+def test_all_malformed_partition_stays_readable(spark, tmp_path):
+    """Regression: an all-NULL geometry partition once wrote a
+    null-typed column, crashing reads against binary-typed files."""
+    rows = [(i, "bad%d" % i, "POLYGON ((oops") for i in range(6)]
+    rows += [(100, "ok", "POINT (1 1)")]
+    df = local_df(spark, rows, ["fid", "label", "wkt"]).repartition(4)
+    out = str(tmp_path / "gpq_nulls")
+    stats = export_geoparquet(df, out).collect()
+    assert sum(r["n_geoms"] for r in stats) == 1
+    back = {r["fid"]: r["wkt"]
+            for r in read_geoparquet(spark, out).collect()}
+    assert len(back) == 7
+    assert back[100] is not None
+    assert all(back[i] is None for i in range(6))
+
+
+def test_export_rerun_is_idempotent(spark, tmp_path):
+    """Regression: uuid filenames duplicated rows on re-execution;
+    partition-id names + atomic replace overwrite instead."""
+    df = local_df(spark, ROWS, ["fid", "label", "wkt"])
+    out = str(tmp_path / "gpq_rerun")
+    writer = export_geoparquet(df, out)
+    writer.collect()
+    writer.collect()  # second action re-runs the write
+    export_geoparquet(df, out).collect()  # fresh plan, same output
+    back = [r["fid"] for r in read_geoparquet(spark, out).collect()]
+    assert sorted(back) == [1, 2, 3, 4]
+
+
+def test_geometry_column_collision_raises(spark):
+    import pytest
+
+    df = local_df(spark, [(1, b"x", "POINT (0 0)")],
+                  ["fid", "geometry", "wkt"])
+    with pytest.raises(ValueError, match="already exists"):
+        export_geoparquet(df, "/tmp/never")
+
+
+def test_mixture_sample_validation_and_half_up(spark):
+    import pytest
+
+    from pure_python_geospatial_export_spark.operators.curate import (
+        mixture_sample,
+    )
+
+    df = local_df(spark, [(i, ("a", "b")[i % 2]) for i in range(40)],
+                  ["doc_id", "grp"])
+    with pytest.raises(ValueError, match="target_fracs"):
+        mixture_sample(df, "grp", "doc_id", {"a": -0.3}, total=10)
+    # half-up: .5/.5 of 5 -> 3+3, not banker's 2+2
+    kept = mixture_sample(
+        df, "grp", "doc_id", {"a": 0.5, "b": 0.5}, total=5
+    )
+    counts = {}
+    for r in kept.collect():
+        counts[r["grp"]] = counts.get(r["grp"], 0) + 1
+    assert counts == {"a": 3, "b": 3}
