@@ -2368,7 +2368,8 @@ def _all_oracle_sql() -> dict[str, str]:
             "FROM d)), "
             "hot AS (SELECT line FROM "
             "(SELECT DISTINCT doc_id, line FROM l) "
-            "GROUP BY line HAVING COUNT(*) >= 3), "
+            "GROUP BY line HAVING COUNT(*) >= 3 "
+            "AND trim(line) <> ''), "  # blank lines are structure
             "kept AS (SELECT doc_id, line, i FROM l "
             "WHERE line NOT IN (SELECT line FROM hot)), "
             "reb AS (SELECT doc_id, "

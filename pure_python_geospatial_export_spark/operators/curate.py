@@ -401,6 +401,13 @@ def remove_boilerplate_lines(
         .groupBy("_line")
         .agg(F.count(F.lit(1)).alias("_ndocs"))
         .where(F.col("_ndocs") >= F.lit(int(min_docs)))
+        # blank/whitespace-only lines are STRUCTURE, not boilerplate:
+        # nearly every multi-paragraph corpus has >= min_docs docs with
+        # a blank line, and treating it as hot would strip every
+        # paragraph separator from every document before the
+        # dedup/quality stages (round-5 advice). They stay in
+        # reassembly untouched.
+        .where(F.trim(F.col("_line")) != "")
         .select("_line")
     )
     kept = lines.join(hot, "_line", "left_anti")

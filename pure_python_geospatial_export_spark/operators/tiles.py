@@ -367,12 +367,16 @@ def encode_mvt_polygons(
     def _encode_group(key, pdf):
         tile = int(key[0])
         x0, y0, x1, y1 = cellmod.cell_bounds(tile)
-        sx = ext / (x1 - x0)
-        sy = ext / (y1 - y0)
+        dx = x1 - x0
+        dy = y1 - y0
 
         def q(lon, lat):
-            u = int(math.floor((lon - x0) * sx))
-            v = int(math.floor((y1 - lat) * sy))  # y down
+            # EXACTLY the points encoder's arithmetic order
+            # ((value-origin)/span*ext): a precomputed ext/span scale
+            # differs by 1 ulp and can flip floor() at cell-boundary
+            # coordinates, breaking mixed point/polygon pixel agreement
+            u = int(math.floor((lon - x0) / dx * ext))
+            v = int(math.floor((y1 - lat) / dy * ext))  # y down
             return (min(max(u, 0), ext), min(max(v, 0), ext))
 
         feats = []

@@ -117,6 +117,17 @@ def export_geoparquet(
         )
     os.makedirs(path, exist_ok=True)
     pass_cols = [c for c in df.columns if c != wkt_col]
+    # Spark types of the pass-through columns, captured on the driver.
+    # Arrow arrays are built with EXPLICIT types derived from these:
+    # per-batch inference would type an all-NULL string batch as
+    # 'null' (pa.concat_tables then raises on mixed batches) and would
+    # export a nullable long column — which pandas widens to float64 —
+    # as parquet DOUBLE (silent schema drift vs the source table).
+    pass_spark_types = {
+        f.name: f.dataType
+        for f in df.schema.fields
+        if f.name != wkt_col
+    }
 
     out_schema = StructType([
         StructField("file", StringType(), False),
@@ -128,7 +139,11 @@ def export_geoparquet(
         import uuid
 
         from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_type
 
+        pass_arrow_types = {
+            c: to_arrow_type(t) for c, t in pass_spark_types.items()
+        }
         tables = []
         types = set()
         bbox = [float("inf"), float("inf"),
@@ -162,7 +177,10 @@ def export_geoparquet(
                 have_bounds = True
             n_rows += len(pdf)
             arrays = [
-                pa.Array.from_pandas(pdf[c]) for c in pass_cols
+                pa.Array.from_pandas(
+                    pdf[c], type=pass_arrow_types[c]
+                )
+                for c in pass_cols
             ]
             # explicit binary type: an all-NULL batch must not infer
             # a null-typed column (unreadable against binary files)

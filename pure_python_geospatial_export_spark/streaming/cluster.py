@@ -46,9 +46,16 @@ class ClusterState:
     pair stream (columns id_a, id_b), :meth:`current` to read the
     latest committed assignments."""
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 keep_versions: int = 2):
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
         self.spark = spark
         self.state_dir = state_dir
+        # retained version dirs INCLUDING the current one; >= 2 keeps
+        # one superseded table for readers that resolved the pointer
+        # just before a commit (mirrors layout.expire_snapshots)
+        self.keep_versions = keep_versions
         os.makedirs(state_dir, exist_ok=True)
 
     # -- pointer management -------------------------------------------------
@@ -179,6 +186,58 @@ class ClusterState:
         out = os.path.join(self.state_dir, version)
         assign.write.mode("overwrite").parquet(out)
         self._commit_pointer(version)
+        self._prune_versions(version)
+
+    def _prune_versions(self, current: str) -> None:
+        """Delete superseded version directories beyond the newest
+        ``keep_versions`` (current included). Without this a
+        long-running pair stream grows ``state_dir`` without bound —
+        every micro-batch writes a full new table. At least one prior
+        version survives (when keep_versions >= 2) for readers that
+        resolved the pointer just before the commit."""
+        import shutil
+
+        versions = sorted(
+            n for n in os.listdir(self.state_dir)
+            if n.startswith("v") and n[1:].isdigit()
+        )
+        doomed = [n for n in versions[:-self.keep_versions]
+                  if n != current]
+        for name in doomed:
+            shutil.rmtree(
+                os.path.join(self.state_dir, name), ignore_errors=True
+            )
+
+
+def near_duplicate_clusters_stream(
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    **neardup_kwargs,
+):
+    """The SAFE default composition of streaming near-dup detection and
+    clustering: ``near_duplicates_stream`` in ``all_bands`` mode feeding
+    the idempotent :class:`ClusterState` fold.
+
+    ``min_band`` (exactly-once) has a documented recall gap — a pair is
+    lost when the OWNING band's bucket FIFO-evicted a member while
+    another colliding bucket still holds both (space eviction is
+    per-bucket, time eviction is consistent; see streaming/neardup.py).
+    Because the union-find fold is idempotent, at-least-once
+    ``all_bands`` emission costs nothing here and closes that gap:
+    a pair is missed only if evicted from ALL its colliding buckets.
+    Callers may still override ``emit_mode`` explicitly.
+
+    Returns (state, streaming_query)."""
+    from .neardup import near_duplicates_stream
+
+    neardup_kwargs.setdefault("emit_mode", "all_bands")
+    pair_stream = near_duplicates_stream(docs, **neardup_kwargs)
+    return clustered_pairs_sink(
+        pair_stream, state_dir, checkpoint_dir,
+        trigger_available_now=trigger_available_now,
+    )
 
 
 def clustered_pairs_sink(

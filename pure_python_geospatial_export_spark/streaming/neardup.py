@@ -360,5 +360,13 @@ def _parse_interval_seconds(interval: str) -> int:
                 "cannot parse interval %r: %r is not an integer quantity"
                 % (interval, qty)
             )
+        if n < 0:
+            # Spark's watermark-delay grammar rejects negative delays;
+            # accepting one here would yield a negative eviction
+            # horizon (evict-everything-immediately) silently
+            raise ValueError(
+                "cannot parse interval %r: negative quantity %r "
+                "(watermark delays must be non-negative)" % (interval, qty)
+            )
         total += n * _INTERVAL_UNIT_SECONDS[u]
     return int(total)

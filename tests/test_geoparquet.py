@@ -187,6 +187,52 @@ def test_all_malformed_partition_stays_readable(spark, tmp_path):
     assert all(back[i] is None for i in range(6))
 
 
+def test_passthrough_columns_keep_declared_types(spark, tmp_path):
+    """Regression (round-5 advice): pass-through Arrow arrays were
+    built with per-batch type inference, so (a) a batch whose string
+    column was all-NULL inferred type 'null' and pa.concat_tables
+    raised on mixed batches, and (b) a nullable long column — which
+    pandas widens to float64 — silently exported as parquet DOUBLE.
+    Arrays now carry explicit types derived from df.schema."""
+    from pyspark.sql.types import LongType as _Long
+    from pyspark.sql.types import StringType as _Str
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    schema = _ST([
+        _SF("fid", _Long(), False),
+        _SF("label", _Str(), True),
+        _SF("score", _Long(), True),
+        _SF("wkt", _Str(), True),
+    ])
+    # small maxRecordsPerBatch would also surface the mixed-batch
+    # concat crash; one partition with NULL-only label rows plus one
+    # with values exercises it across files regardless
+    rows = [
+        (1, None, None, "POINT (0 0)"),
+        (2, None, 7, "POINT (1 1)"),
+        (3, "tag", None, "POINT (2 2)"),
+        (4, "tag", 9, "POINT (3 3)"),
+    ]
+    df = spark.createDataFrame(rows, schema).repartition(2)
+    out = str(tmp_path / "gpq_types")
+    export_geoparquet(df, out).collect()
+
+    import os
+    for name in os.listdir(out):
+        if not name.endswith(".parquet"):
+            continue
+        sch = pq.read_schema(os.path.join(out, name))
+        assert str(sch.field("fid").type) == "int64", name
+        assert str(sch.field("label").type) in ("string", "large_string")
+        # the NULL-bearing long column must NOT drift to double
+        assert str(sch.field("score").type) == "int64", name
+    back = {r["fid"]: (r["label"], r["score"])
+            for r in read_geoparquet(spark, out).collect()}
+    assert back == {1: (None, None), 2: (None, 7),
+                    3: ("tag", None), 4: ("tag", 9)}
+
+
 def test_export_rerun_is_idempotent(spark, tmp_path):
     """Regression: uuid filenames duplicated rows on re-execution;
     partition-id names + atomic replace overwrite instead."""

@@ -188,3 +188,90 @@ def test_stream_clusters_match_batch_dedup(spark, tmp_path):
     }
     assert want  # fixture sanity: families produced pairs
     assert _assignments(state) == want
+
+
+def test_superseded_versions_are_pruned(spark, tmp_path):
+    """Round-5 advice: ClusterState wrote a new versioned directory per
+    micro-batch and never deleted old ones — unbounded growth on a
+    long-running stream. Now pruned to keep_versions (current + one
+    prior for in-flight readers by default)."""
+    state = ClusterState(spark, str(tmp_path / "state"))
+    for i in range(5):
+        state.foreach_batch(
+            local_df(spark, [(i * 10, i * 10 + 1)], ["id_a", "id_b"]), i
+        )
+    dirs = sorted(
+        n for n in os.listdir(state.state_dir)
+        if n.startswith("v") and n[1:].isdigit()
+    )
+    assert len(dirs) == 2  # newest + one superseded
+    assert dirs[-1] == state._read_pointer()
+    got = _assignments(state)
+    assert got == {i * 10: i * 10 for i in range(5)} | {
+        i * 10 + 1: i * 10 for i in range(5)
+    }
+
+    import pytest
+    with pytest.raises(ValueError, match="keep_versions"):
+        ClusterState(spark, str(tmp_path / "state2"), keep_versions=0)
+
+
+def test_default_composition_end_to_end(spark, tmp_path):
+    """near_duplicate_clusters_stream (the safe default: all_bands ->
+    idempotent fold) matches batch clustering on the same docs."""
+    import datetime
+
+    from pure_python_geospatial_export_spark.streaming.cluster import (
+        near_duplicate_clusters_stream,
+    )
+
+    BASE = datetime.datetime(2024, 3, 1)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu nu xi omicron pi rho sigma tau").split()
+    rows = []
+    doc_id = 0
+    for fam in range(5):
+        stem = " ".join(
+            words[(fam * 3 + k) % len(words)] for k in range(26)
+        )
+        for v in range(2):
+            rows.append((doc_id, stem + " tail%d" % v,
+                         BASE + datetime.timedelta(minutes=doc_id)))
+            doc_id += 1
+    df = local_df(spark, rows, ["page_id", "text", "warc_ts"])
+    df = df.withColumn("warc_ts", df["warc_ts"].cast("timestamp"))
+    src = str(tmp_path / "docs_src")
+    df.repartition(3).write.parquet(src)
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    schema = StructType([
+        StructField("page_id", LongType(), False),
+        StructField("text", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+    ])
+    docs_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state, q = near_duplicate_clusters_stream(
+        docs_stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        watermark="365 days", threshold=0.7,
+    )
+    q.awaitTermination()
+
+    batch_pairs = near_duplicates_minhash(
+        df, "page_id", "text", threshold=0.7
+    )
+    want = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(batch_pairs).collect()
+    }
+    assert want
+    assert _assignments(state) == want

@@ -254,3 +254,86 @@ def test_interval_parser_accepts_spark_grammar():
     assert _parse_interval_seconds("interval 2 days 6 hours") == 194400
     assert _parse_interval_seconds("500 milliseconds") == 0
     assert _parse_interval_seconds("1 second") == 1
+
+
+def test_interval_parser_rejects_negative():
+    """Round-5 advice: '-2 hours' once parsed to -7200, silently
+    yielding a negative eviction horizon; Spark's watermark grammar
+    rejects negatives, so must we."""
+    from pure_python_geospatial_export_spark.streaming.neardup import (
+        _parse_interval_seconds,
+    )
+    for bad in ("-2 hours", "1 hour -30 minutes", "-1 second"):
+        with pytest.raises(ValueError, match="negative"):
+            _parse_interval_seconds(bad)
+
+
+def _eviction_scenario(emit_mode):
+    """The documented min_band recall gap, reconstructed at the matcher
+    level with hand-built signatures: docs 1 and 9 collide in bands 0
+    and 1 (identical sigs); band 0 (the owner) FIFO-evicts doc 1 under
+    a flood before doc 9 arrives, band 1's bucket holds both."""
+    import numpy as np
+
+    from pure_python_geospatial_export_spark.streaming.neardup import (
+        _InertState,
+        make_bucket_matcher,
+    )
+
+    matcher = make_bucket_matcher(
+        threshold=0.9, max_members=2, horizon_seconds=10**9,
+        use_timeout=False, num_hashes=4, bands=2, emit_mode=emit_mode,
+    )
+    sig_ab = [1, 1, 2, 2]
+    sh_ab = [10, 20, 30]
+
+    def row(doc_id, minute, sh, sig):
+        return {
+            "id": doc_id,
+            "ts": pd.Timestamp(BASE + datetime.timedelta(minutes=minute)),
+            "shingle_hashes": np.asarray(sh, dtype="int64"),
+            "sig": np.asarray(sig, dtype="int64"),
+        }
+
+    # band-0 bucket: doc 1, two flooders sharing only the band-0 slice
+    # (cap=2 evicts doc 1), then doc 9
+    band0 = pd.DataFrame([
+        row(1, 0, sh_ab, sig_ab),
+        row(100, 1, [900, 901], [1, 1, 50, 60]),
+        row(101, 2, [902, 903], [1, 1, 70, 80]),
+        row(9, 3, sh_ab, sig_ab),
+    ])
+    # band-1 bucket: only the pair's two members
+    band1 = pd.DataFrame([
+        row(1, 0, sh_ab, sig_ab),
+        row(9, 3, sh_ab, sig_ab),
+    ])
+    pairs = []
+    for band, pdf in ((0, band0), (1, band1)):
+        for out in matcher((band, 7), iter([pdf]), _InertState()):
+            pairs += list(zip(out["id_a"], out["id_b"]))
+    return pairs
+
+
+def test_min_band_eviction_loses_pair_all_bands_recovers(spark):
+    """min_band drops the pair (owning bucket evicted a member); the
+    default safe composition (all_bands -> idempotent ClusterState
+    fold) yields it."""
+    from pure_python_geospatial_export_spark.streaming.cluster import (
+        ClusterState,
+    )
+
+    assert _eviction_scenario("min_band") == []  # the documented gap
+
+    pairs = _eviction_scenario("all_bands")
+    assert (1, 9) in pairs
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        state = ClusterState(spark, d)
+        state.foreach_batch(
+            local_df(spark, pairs, ["id_a", "id_b"]), 0
+        )
+        got = {r["id"]: r["cluster_id"]
+               for r in state.current().collect()}
+    assert got[1] == got[9] == 1

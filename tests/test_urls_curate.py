@@ -648,6 +648,23 @@ def test_remove_boilerplate_lines(spark):
     }
     assert all(v == 0 for v in loose.values())
 
+    # round-5 advice: blank / whitespace-only lines are paragraph
+    # STRUCTURE, never boilerplate, even when every doc has one —
+    # stripping them would collapse all paragraph separation
+    para_rows = [
+        (1, "para one\n\npara two\n%s" % footer),
+        (2, "intro\n\nbody\n \nmore\n%s" % footer),
+        (3, "alpha\n\nomega\n%s" % footer),
+    ]
+    pdf = local_df(spark, para_rows, ["doc_id", "text"])
+    pgot = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_boilerplate_lines(pdf, min_docs=3).collect()
+    }
+    assert pgot[1] == ("para one\n\npara two", 1)
+    assert pgot[2] == ("intro\n\nbody\n \nmore", 1)
+    assert pgot[3] == ("alpha\n\nomega", 1)
+
 
 def test_char_lm_counts_known_values(spark):
     from pure_python_geospatial_export_spark.operators.curate import (
