@@ -122,24 +122,156 @@ def _dedup_consecutive(
     return out
 
 
-def encode_geometry(
+def _zigzag_arr(d):
+    """Vectorized :func:`_zigzag` over an int64 numpy array."""
+    import numpy as np
+
+    return (d.astype(np.int64) << 1) ^ (d.astype(np.int64) >> 63)
+
+
+def _ring_ints(ring):
+    """Ring coords -> deduplicated OPEN int64 (n, 2) array, applying
+    exactly the scalar path's steps: int() truncation, drop a closing
+    vertex, consecutive-dedup, drop a re-exposed closing vertex."""
+    import numpy as np
+
+    pts = np.asarray(ring, dtype=np.float64).astype(np.int64)
+    if len(pts) > 1 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]  # drop WKT closing vertex
+    if len(pts) > 1:
+        keep = np.empty(len(pts), dtype=bool)
+        keep[0] = True
+        keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+        pts = pts[keep]
+    if len(pts) > 1 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    return pts
+
+
+def _ring_area2_arr(pts) -> int:
+    """Twice the signed area of an open int ring — numpy twin of
+    :func:`_ring_area2`, exact. Tile-space coords (|v| <= 2^20) take
+    the int64 shoelace (cross terms <= 2^40, safe for rings up to 2^21
+    vertices); adversarial coords fall back to Python big ints."""
+    import numpy as np
+
+    n = len(pts)
+    if n and np.abs(pts).max() <= (1 << 20) and n <= (1 << 21):
+        x = pts[:, 0]
+        y = pts[:, 1]
+        xn = np.roll(x, -1)
+        yn = np.roll(y, -1)
+        return int((x * yn - xn * y).sum())
+    return _ring_area2([(int(a), int(b)) for a, b in pts])
+
+
+def _run_cmds(pts, cursor, closepath: bool):
+    """Command-int array for one MoveTo(1)+LineTo(n-1)[+ClosePath] run
+    starting at ``cursor``; returns (cmds int64 array, new cursor)."""
+    import numpy as np
+
+    n = len(pts)
+    d = np.empty((n, 2), dtype=np.int64)
+    d[0, 0] = pts[0, 0] - cursor[0]
+    d[0, 1] = pts[0, 1] - cursor[1]
+    d[1:] = pts[1:] - pts[:-1]
+    zz = _zigzag_arr(d)
+    ln = 3 + (1 + 2 * (n - 1) if n > 1 else 0) + (1 if closepath else 0)
+    out = np.empty(ln, dtype=np.int64)
+    out[0] = (_CMD_MOVETO & 7) | (1 << 3)
+    out[1] = zz[0, 0]
+    out[2] = zz[0, 1]
+    pos = 3
+    if n > 1:
+        out[pos] = (_CMD_LINETO & 7) | ((n - 1) << 3)
+        out[pos + 1:pos + 1 + (n - 1) * 2] = zz[1:].ravel()
+        pos += 1 + (n - 1) * 2
+    if closepath:
+        out[pos] = _CMD_CLOSEPATH & 7 | (1 << 3)
+    return out, (int(pts[-1, 0]), int(pts[-1, 1]))
+
+
+def encode_geometry_arr(
+    geom_type: int,
+    parts: Sequence[Sequence[Tuple[int, int]]],
+    exterior: Optional[Sequence[bool]] = None,
+):
+    """Vectorized :func:`encode_geometry` returning an int64 numpy
+    array of command integers (None when nothing survives pruning).
+    Per-vertex work (truncation, dedup, shoelace, zigzag deltas) runs
+    in numpy; the per-RING control flow (winding, degeneracy, orphan
+    holes) stays explicit and identical to the scalar derivation.
+    ``encode_geometry`` wraps this and is pinned equal to the original
+    scalar implementation by the fuzz tests."""
+    import numpy as np
+
+    if geom_type == GEOM_POINT:
+        pts = np.asarray(parts[0], dtype=np.float64).astype(np.int64)
+        if not len(pts):
+            return None
+        d = np.empty_like(pts)
+        d[0] = pts[0]
+        d[1:] = pts[1:] - pts[:-1]
+        zz = _zigzag_arr(d)
+        out = np.empty(1 + 2 * len(pts), dtype=np.int64)
+        out[0] = (_CMD_MOVETO & 7) | (len(pts) << 3)
+        out[1:] = zz.ravel()
+        return out
+
+    if geom_type == GEOM_LINESTRING:
+        runs = []
+        cursor = (0, 0)
+        for line in parts:
+            pts = np.asarray(line, dtype=np.float64).astype(np.int64)
+            if len(pts) > 1:
+                keep = np.empty(len(pts), dtype=bool)
+                keep[0] = True
+                keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+                pts = pts[keep]
+            if len(pts) < 2:
+                continue
+            cmds, cursor = _run_cmds(pts, cursor, closepath=False)
+            runs.append(cmds)
+        return np.concatenate(runs) if runs else None
+
+    if geom_type == GEOM_POLYGON:
+        flags = (list(exterior) if exterior is not None
+                 else [i == 0 for i in range(len(parts))])
+        if len(flags) != len(parts):
+            raise ValueError("exterior flags must match parts")
+        runs = []
+        cursor = (0, 0)
+        ext_alive = False  # current polygon's exterior survived pruning
+        for ring, is_ext in zip(parts, flags):
+            pts = _ring_ints(ring)
+            degenerate = len(pts) < 3 or _ring_area2_arr(pts) == 0
+            if is_ext:
+                ext_alive = not degenerate
+            if degenerate or (not is_ext and not ext_alive):
+                continue  # degenerate ring / orphan hole: spec-droppable
+            if (_ring_area2_arr(pts) > 0) != bool(is_ext):
+                pts = np.concatenate([pts[:1], pts[:0:-1]])  # reverse
+            cmds, cursor = _run_cmds(pts, cursor, closepath=True)
+            runs.append(cmds)
+        return np.concatenate(runs) if runs else None
+
+    raise ValueError("unknown geometry type %r" % (geom_type,))
+
+
+# numpy wins past this many vertices per feature (measured crossover
+# ~200: fixed per-call array overhead vs per-vertex Python cost);
+# below it the scalar path is up to 8x faster
+_VECTORIZE_MIN_VERTICES = 192
+
+
+def _encode_geometry_scalar(
     geom_type: int,
     parts: Sequence[Sequence[Tuple[int, int]]],
     exterior: Optional[Sequence[bool]] = None,
 ) -> Optional[List[int]]:
-    """Command-integer sequence for a feature.
-
-    ``parts``: for POINT one sequence of points; for LINESTRING one
-    sequence per line; for POLYGON one sequence per ring (winding is
-    enforced here; pass rings OPEN or closed — a closing vertex equal
-    to the first is dropped). ``exterior`` marks which polygon rings
-    are exterior (default: only ring 0 — the single-Polygon layout);
-    MultiPolygon features pass one True per member polygon, and the
-    spec encodes polygon boundaries as the winding flips. Holes whose
-    owning exterior collapsed are dropped with it. Returns None when
-    nothing survives degeneracy pruning (the spec allows discarding
-    such features).
-    """
+    """Scalar twin of :func:`encode_geometry_arr` — faster for the
+    SMALL features that dominate per-tile clipped output; pinned
+    byte-equal to the array path by the fuzz tests."""
     cx = cy = 0
     out: List[int] = []
 
@@ -210,9 +342,71 @@ def encode_geometry(
     raise ValueError("unknown geometry type %r" % (geom_type,))
 
 
+def encode_geometry(
+    geom_type: int,
+    parts: Sequence[Sequence[Tuple[int, int]]],
+    exterior: Optional[Sequence[bool]] = None,
+) -> Optional[List[int]]:
+    """Command-integer sequence for a feature.
+
+    ``parts``: for POINT one sequence of points; for LINESTRING one
+    sequence per line; for POLYGON one sequence per ring (winding is
+    enforced here; pass rings OPEN or closed — a closing vertex equal
+    to the first is dropped). ``exterior`` marks which polygon rings
+    are exterior (default: only ring 0 — the single-Polygon layout);
+    MultiPolygon features pass one True per member polygon, and the
+    spec encodes polygon boundaries as the winding flips. Holes whose
+    owning exterior collapsed are dropped with it. Returns None when
+    nothing survives degeneracy pruning (the spec allows discarding
+    such features).
+
+    Dispatches between a scalar and a vectorized implementation on
+    feature size (both byte-equal; see ``_VECTORIZE_MIN_VERTICES``).
+    """
+    if sum(len(p) for p in parts) >= _VECTORIZE_MIN_VERTICES:
+        arr = encode_geometry_arr(geom_type, parts, exterior)
+        return None if arr is None else [int(v) for v in arr]
+    return _encode_geometry_scalar(geom_type, parts, exterior)
+
+
 # ---------------------------------------------------------------------------
 # layer / tile encoding
 # ---------------------------------------------------------------------------
+
+
+def _leb128_rows(vals):
+    """uint64 numpy array -> (bytes_matrix (n, 10), lengths): LEB128
+    encoding of each value, vectorized across the array."""
+    import numpy as np
+
+    vals = np.asarray(vals).astype(np.uint64)
+    out = np.zeros((len(vals), 10), dtype=np.uint8)
+    lens = np.zeros(len(vals), dtype=np.int64)
+    rem = vals.copy()
+    alive = np.ones(len(vals), dtype=bool)
+    for byte_i in range(10):
+        cur = (rem & np.uint64(0x7F)).astype(np.uint8)
+        rem = rem >> np.uint64(7)
+        more = (rem != 0) & alive
+        col = cur | (more.astype(np.uint8) << 7)
+        out[alive, byte_i] = col[alive]
+        lens[alive] = byte_i + 1
+        alive = more
+        if not alive.any():
+            break
+    return out, lens
+
+
+def _varints_bytes(vals) -> bytes:
+    """Packed-varint payload of a non-negative int array — the
+    vectorized equivalent of ``b"".join(_varint(v) for v in vals)``."""
+    import numpy as np
+
+    if not len(vals):
+        return b""
+    b, lens = _leb128_rows(vals)
+    mask = np.arange(10)[None, :] < lens[:, None]
+    return b[mask].tobytes()
 
 
 def encode_layer(
@@ -232,10 +426,20 @@ def encode_layer(
 
     feat_bufs: List[bytes] = []
     for f in features:
-        geom = encode_geometry(f["type"], f["parts"],
-                               exterior=f.get("exterior"))
-        if geom is None:
-            continue
+        # size-dispatched like encode_geometry: numpy for big features,
+        # scalar below the crossover — bytes identical either way
+        if sum(len(p) for p in f["parts"]) >= _VECTORIZE_MIN_VERTICES:
+            arr = encode_geometry_arr(f["type"], f["parts"],
+                                      exterior=f.get("exterior"))
+            if arr is None:
+                continue
+            geom_payload = _varints_bytes(arr)
+        else:
+            geom = _encode_geometry_scalar(f["type"], f["parts"],
+                                           exterior=f.get("exterior"))
+            if geom is None:
+                continue
+            geom_payload = b"".join(_varint(g) for g in geom)
         buf = bytearray()
         if f.get("id") is not None:
             buf += _field_varint(1, int(f["id"]))
@@ -256,7 +460,7 @@ def encode_layer(
             payload = b"".join(_varint(t) for t in tags)
             buf += _len_delim(2, payload)
         buf += _field_varint(3, f["type"])
-        buf += _len_delim(4, b"".join(_varint(g) for g in geom))
+        buf += _len_delim(4, geom_payload)
         feat_bufs.append(bytes(buf))
 
     out = bytearray()
@@ -295,24 +499,7 @@ def encode_point_layer_fast(ids, us, vs, name: str,
     if not (len(u) == len(v) == n):
         raise ValueError("ids/us/vs must align")
 
-    def _leb128(vals: np.ndarray):
-        """uint64 array -> (bytes_matrix, lengths): LEB128 per value."""
-        vals = vals.astype(np.uint64)
-        out = np.zeros((len(vals), 10), dtype=np.uint8)
-        lens = np.zeros(len(vals), dtype=np.int64)
-        rem = vals.copy()
-        alive = np.ones(len(vals), dtype=bool)
-        for byte_i in range(10):
-            cur = (rem & np.uint64(0x7F)).astype(np.uint8)
-            rem = rem >> np.uint64(7)
-            more = (rem != 0) & alive
-            col = cur | (more.astype(np.uint8) << 7)
-            out[alive, byte_i] = col[alive]
-            lens[alive] = byte_i + 1
-            alive = more
-            if not alive.any():
-                break
-        return out, lens
+    _leb128 = _leb128_rows
 
     # geometry of a single-point feature: [9, zz(u), zz(v)] (cursor
     # starts at the tile origin for every feature)
