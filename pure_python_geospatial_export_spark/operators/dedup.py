@@ -184,6 +184,7 @@ def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str, bands: int = 16,
     num_hashes: int = 64,
     max_bucket: int | None = None,
+    size_threshold: float | None = None,
 ) -> DataFrame:
     """Self-join on (band_idx, band_hash) -> distinct (id_a, id_b), a<b.
 
@@ -197,8 +198,24 @@ def lsh_candidate_pairs(
     pass should handle anyway). Measured here: an adversarial corpus
     with shared filler shingles ran SLOWER than a corpus with 25x more
     true pairs purely from junk-bucket candidates. Default off — the
-    driver-gate fixtures need exact candidate generation."""
-    banded = banded_signatures(sig_df, id_col, bands, num_hashes)
+    driver-gate fixtures need exact candidate generation.
+
+    ``size_threshold`` applies the EXACT Jaccard size bound
+    J <= min(|A|,|B|)/max(|A|,|B|) inside the band join itself:
+    shingle-set sizes ride the banded relation (one long per band
+    row), so subset-shaped candidates — a truncation or excerpt of a
+    longer page, common on the web — are pruned for free before the
+    pair ``distinct`` and before any shingle array ships in the
+    verify join. Zero recall change at the given verify threshold (a
+    1e-12 slack absorbs float rounding; ``sig_df`` must carry
+    ``shingle_hashes``)."""
+    extra = ("_nsh",) if size_threshold is not None else ()
+    if size_threshold is not None:
+        sig_df = sig_df.withColumn(
+            "_nsh", F.size("shingle_hashes").cast("long")
+        )
+    banded = banded_signatures(sig_df, id_col, bands, num_hashes,
+                               extra_cols=extra)
     if max_bucket is not None:
         # one aggregation pass sizes the buckets; the anti filter is an
         # equi join on the (tiny) oversized-bucket list
@@ -213,14 +230,23 @@ def lsh_candidate_pairs(
         # n/cap-sized and must be allowed to shuffle
         banded = banded.join(big, ["band", "band_hash"], "left_anti")
     left = banded.select(
-        F.col(id_col).alias("id_a"), "band", "band_hash"
+        F.col(id_col).alias("id_a"), "band", "band_hash",
+        *[F.col(c).alias(c + "_a") for c in extra],
     )
     right = banded.select(
-        F.col(id_col).alias("id_b"), "band", "band_hash"
+        F.col(id_col).alias("id_b"), "band", "band_hash",
+        *[F.col(c).alias(c + "_b") for c in extra],
     )
+    cond = F.col("id_a") < F.col("id_b")
+    if size_threshold is not None:
+        cond = cond & (
+            F.least("_nsh_a", "_nsh_b").cast("double")
+            >= F.greatest("_nsh_a", "_nsh_b").cast("double")
+            * F.lit(size_threshold - 1e-12)
+        )
     return (
         left.join(right, ["band", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(cond)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -234,17 +260,47 @@ def jaccard_verify(
     threshold: float,
     shingle_size: int = 3,
     shingles_df: DataFrame | None = None,
+    size_prefilter: bool = True,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs -> pairs >= threshold.
 
     Pass ``shingles_df`` (id, sh) to reuse an already-materialized
-    shingle relation instead of re-deriving it from text."""
+    shingle relation instead of re-deriving it from text.
+
+    ``size_prefilter`` (default on) prunes pairs on the EXACT size
+    bound J(A,B) <= min(|A|,|B|)/max(|A|,|B|) before any shingle array
+    ships: candidates whose set sizes alone rule out the threshold are
+    dropped by two joins against a skinny (id, n) relation. This cuts
+    the verify stage's dominant shuffle — the second array join
+    re-shuffles (pair, sh_a) rows, so every pruned pair saves a full
+    shingle-array transfer — with ZERO recall change (the bound is a
+    theorem, not an estimate; a 1e-12 threshold slack absorbs float
+    rounding so borderline pairs are never dropped, merely re-verified
+    exactly)."""
     if shingles_df is None:
         shingles_df = df.select(
             F.col(id_col),
             shingles_col(F.col(text_col), shingle_size).alias("sh"),
         )
     sh = shingles_df
+    if size_prefilter:
+        sizes = sh.select(
+            F.col(id_col), F.size("sh").cast("long").alias("_n")
+        )
+        na = sizes.select(F.col(id_col).alias("id_a"),
+                          F.col("_n").alias("_na"))
+        nb = sizes.select(F.col(id_col).alias("id_b"),
+                          F.col("_n").alias("_nb"))
+        pairs = (
+            pairs.join(na, "id_a")
+            .join(nb, "id_b")
+            .where(
+                F.least("_na", "_nb").cast("double")
+                >= F.greatest("_na", "_nb").cast("double")
+                * F.lit(threshold - 1e-12)
+            )
+            .select("id_a", "id_b")
+        )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -267,6 +323,7 @@ def near_duplicates_minhash(
     bands: int = 16,
     shingle_size: int = 3,
     max_bucket: int | None = None,
+    size_prefilter: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash LSH near-dup: (id_a, id_b, jaccard).
 
@@ -278,13 +335,18 @@ def near_duplicates_minhash(
     retained RDDs across calls."""
     base = minhash_signature(df, id_col, text_col, num_hashes,
                              shingle_size).persist()
-    cands = lsh_candidate_pairs(base, id_col, bands, num_hashes,
-                                max_bucket=max_bucket)
+    # size bound applied IN the band join (free: sizes ride the banded
+    # relation) rather than via extra pair joins in the verify stage
+    cands = lsh_candidate_pairs(
+        base, id_col, bands, num_hashes, max_bucket=max_bucket,
+        size_threshold=threshold if size_prefilter else None,
+    )
     shingles_df = base.select(
         F.col(id_col), F.col("shingle_hashes").alias("sh")
     )
     out = jaccard_verify(cands, df, id_col, text_col, threshold,
-                         shingle_size, shingles_df=shingles_df)
+                         shingle_size, shingles_df=shingles_df,
+                         size_prefilter=False)
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out
@@ -296,9 +358,28 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     shingle_size: int = 3,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (no LSH) — the small-data oracle path
-    and the verify stage's standalone form; broadcast the smaller side."""
+    and the verify stage's standalone form; broadcast the smaller side.
+
+    This is an O(n^2) crossJoin BY DESIGN (it is the exact verifier the
+    banded operators are checked against), so ``max_rows`` refuses
+    inputs past the small-data regime instead of silently launching a
+    10^24-pair join on a fact table — use
+    :func:`near_duplicates_minhash` for corpus scale. Pass
+    ``max_rows=None`` to disable the guard (costs one count job)."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                "ngram_jaccard_pairs is an exact ALL-PAIRS crossJoin "
+                "(%d rows -> ~%.2g comparisons); it exists as the "
+                "small-data oracle/verify path. Use "
+                "near_duplicates_minhash for corpus-scale near-dup, or "
+                "pass max_rows=None if you really mean it."
+                % (n, n * (n - 1) / 2)
+            )
     sh = df.select(
         F.col(id_col),
         shingles_col(F.col(text_col), shingle_size).alias("sh"),

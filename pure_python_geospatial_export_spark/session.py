@@ -37,6 +37,7 @@ def get_spark(
     app_name: str = "ppge-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or "local[%d]" % cpus
@@ -89,4 +90,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # last-wins overrides, e.g. {"spark.ui.enabled": "true"} for
+    # benchmark scripts that read the UI REST API for shuffle metrics
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -710,3 +710,65 @@ def test_cosine_topk_arrow_skips_degenerate_vectors(spark):
         ).orderBy("rank").collect()
     ]
     assert got == [(1, 1), (2, 2), (5, 3)]  # 3 and 4 skipped
+
+
+def test_ngram_jaccard_guards_accidental_scale_use(spark):
+    """Round-5 verdict item 4: the exact all-pairs crossJoin must
+    refuse fact-scale inputs loudly instead of launching an O(n^2)
+    join; max_rows=None opts out."""
+    import pytest
+
+    from pure_python_geospatial_export_spark.operators import dedup
+    from pure_python_geospatial_export_spark.session import local_df
+
+    df = local_df(
+        spark, [(i, "text %d" % i) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="ALL-PAIRS"):
+        dedup.ngram_jaccard_pairs(df, "doc_id", "text", max_rows=10)
+    # under the cap (and with the guard disabled) it still runs
+    assert dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", max_rows=30
+    ).count() >= 0
+    assert dedup.ngram_jaccard_pairs(
+        df.limit(5), "doc_id", "text", max_rows=None
+    ).count() >= 0
+
+
+def test_size_prefilter_exactness(spark):
+    """Round-5 verdict item 2: the in-join Jaccard size bound must
+    never change the verified pair set — borderline ratios (exactly at
+    the threshold) included."""
+    from pure_python_geospatial_export_spark.operators import dedup
+    from pure_python_geospatial_export_spark.session import local_df
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu nu xi omicron pi rho sigma tau").split()
+    rows = []
+    doc_id = 0
+    for fam in range(20):
+        toks = [words[(fam * 5 + k) % len(words)] + str(fam * 9 + k)
+                for k in range(60)]
+        rows.append((doc_id, " ".join(toks))); doc_id += 1
+        rows.append((doc_id, " ".join(toks) + " tailX")); doc_id += 1
+        rows.append((doc_id, " ".join(toks[:42]))); doc_id += 1  # 70%
+        rows.append((doc_id, " ".join(toks[:30]))); doc_id += 1  # 50%
+    df = local_df(spark, rows, ["doc_id", "text"])
+    for thr in (0.5, 0.7, 0.9):
+        on = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in dedup.near_duplicates_minhash(
+                df, "doc_id", "text", threshold=thr,
+                size_prefilter=True,
+            ).collect()
+        }
+        off = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+            for r in dedup.near_duplicates_minhash(
+                df, "doc_id", "text", threshold=thr,
+                size_prefilter=False,
+            ).collect()
+        }
+        assert on == off, thr
+        assert on  # fixture sanity: families produce pairs
