@@ -129,9 +129,14 @@ def points_in_ring(
         # denominator y0-y1 is nonzero wherever straddle holds.
         denom = y0[None, :] - y1[None, :]
         denom = np.where(denom == 0.0, 1.0, denom)
-        crossing_x = x1[None, :] - (y1[None, :] - ty) * (
-            x0[None, :] - x1[None, :]
-        ) / denom
+        # lanes where straddle is False can overflow (tiny denom under
+        # a huge dx) — they're masked out below, so suppress only
+        # those warnings here rather than training readers to ignore
+        # numpy warnings globally
+        with np.errstate(over="ignore", invalid="ignore"):
+            crossing_x = x1[None, :] - (y1[None, :] - ty) * (
+                x0[None, :] - x1[None, :]
+            ) / denom
         computed = straddle & ~same_x_side & (crossing_x >= tx)
 
         crossings = (certain | computed).sum(axis=1)

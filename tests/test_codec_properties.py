@@ -5,6 +5,7 @@ pass; PIP is invariant under ring rotation; cell ids always decode back.
 
 import hypothesis.strategies as st
 import numpy as np
+import pytest
 from hypothesis import given, settings
 
 from pure_python_geospatial_export_spark.geo import cells, kernels, wkb, wkt
@@ -89,9 +90,13 @@ def test_wkt_dump_load_idempotent(geom):
     st.floats(-179, 179), st.floats(-89, 89),
 )
 @settings(max_examples=150, deadline=None)
+@pytest.mark.filterwarnings("error::RuntimeWarning")
 def test_pip_rotation_invariant(verts, rot, px, py):
     """Ray-cast containment is invariant under rotation of the closed
-    ring's starting vertex."""
+    ring's starting vertex. RuntimeWarnings are errors here: the
+    kernel once let masked-lane overflows in the crossing division
+    warn (round-5 verdict item 5) — real numeric warnings must stay
+    visible."""
     ring = [list(v) for v in verts] + [list(verts[0])]
     k = rot % len(verts)
     rotated = [list(v) for v in (verts[k:] + verts[:k])]
