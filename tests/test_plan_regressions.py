@@ -98,3 +98,25 @@ def test_image_phash_shuffle_budget(spark):
     its child's partitioning."""
     plan = _plan(spark, "image_phash")
     assert _shuffles(plan) <= 4, plan
+
+
+def test_similarity_topk_single_shuffle_with_group_limit(spark):
+    """Exact cosine top-k: query set broadcasts, candidates shuffle
+    ONCE on query id, and WindowGroupLimit prunes to k map-side
+    (partial) before the final window — the r3/r4 bench deltas on this
+    query were host noise, not a plan change; lock the shape."""
+    plan = _plan(spark, "similarity_topk")
+    assert _shuffles(plan) == 1, plan
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan.split("WindowGroupLimit", 2)[-1], plan
+
+
+def test_events_window_partial_agg_single_shuffle(spark):
+    """Hourly window agg: map-side partial aggregation in the scan
+    stage, one exchange on (window, type), final agg — no window
+    function, no second exchange."""
+    plan = _plan(spark, "events_window")
+    assert _shuffles(plan) == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert "partial_count" in plan, plan
