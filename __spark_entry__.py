@@ -674,6 +674,58 @@ def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(pts, _layer_df(spark), "v", res=7)
 
 
+def _q_zonal_geotiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Real-raster zonal statistics (round-5): a deterministic world
+    # raster (288x144, 1.25-degree pixels, v = (px*7 + py*13) % 1000)
+    # is encoded as an actual GeoTIFF — tiled + deflate + horizontal
+    # predictor, the full codec surface — written to scratch, read
+    # back through the binaryFile Spark source, and joined to the
+    # polygon layer. The oracle recomputes the closed form with
+    # generate_series, so the whole encode -> decode -> pixel-center
+    # georeference -> PIP join -> aggregate pipeline is bit-checked.
+    # Pixel centers land on *.625/*.375 degree offsets; every rect
+    # boundary sits on a different residue mod 1.25, so no center is
+    # ON a boundary and ray-cast vs closed-rect semantics agree.
+    import atexit
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        zonal_stats,
+    )
+    from pure_python_geospatial_export_spark.sources.geotiff import (
+        encode_geotiff,
+        read_geotiff,
+    )
+
+    w, h = 288, 144
+    px = np.arange(w, dtype=np.int64)[None, :]
+    py = np.arange(h, dtype=np.int64)[:, None]
+    band = ((px * 7 + py * 13) % 1000).astype(np.int32)
+    buf = encode_geotiff(
+        band, (-180.0, -90.0, 180.0, 90.0),
+        compression="deflate", tiled=True, tile_size=48, predictor=2,
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "ppge_geotiff-uid%d-pid%d" % (os.getuid(), os.getpid()),
+    )
+    os.makedirs(base, exist_ok=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "world.tif")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, path)
+
+    pixels = read_geotiff(spark, path).withColumn(
+        "v", F.col("value").cast("long")
+    )
+    return zonal_stats(pixels, _layer_df(spark), "v", res=7)
+
+
 def _q_top_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pure_python_geospatial_export_spark.operators.sketch import (
         top_keys_per_group,
@@ -1396,6 +1448,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   lm_perplexity     (round-4 char-trigram LM quality scoring)
 #   doc_chunks        (round-4 fixed-budget chunking with overlap)
 #   mixture_sample    (round-4 data-mixing sampler)
+#   zonal_geotiff     (round-5 real-raster GeoTIFF ingest)
 _FOLDED_QUERIES = (
     "pip_join_salted",
     "knn_exact",
@@ -1408,6 +1461,7 @@ _FOLDED_QUERIES = (
     "lm_perplexity",
     "doc_chunks",
     "mixture_sample",
+    "zonal_geotiff",
 )
 
 
@@ -1476,6 +1530,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "doc_chunks": _q_doc_chunks,
         "mixture_sample": _q_mixture_sample,
+        "zonal_geotiff": _q_zonal_geotiff,
     }
 
 
@@ -1737,6 +1792,30 @@ def _all_oracle_sql() -> dict[str, str]:
         + ", vpts AS (SELECT doc_id, lon, lat, "
         "CAST(doc_id % 100 AS BIGINT) AS v FROM pts) "
         + " UNION ALL ".join(zonal_parts)
+    )
+
+    # zonal_geotiff: the Spark side decodes pixel values and centers
+    # from REAL GeoTIFF bytes; the oracle recomputes the closed form.
+    # lon/lat mirror the reader's arithmetic order exactly —
+    # origin + (p + 0.5) * scale with scale 1.25 (exact binary), so
+    # the doubles agree bit-for-bit.
+    zonal_geotiff_parts = [
+        "SELECT CAST(%d AS BIGINT) AS polygon_id, '%s' AS name, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(v) AS BIGINT) AS sum_val, AVG(v) AS mean_val, "
+        "MIN(v) AS min_val, MAX(v) AS max_val "
+        "FROM rast WHERE %s HAVING COUNT(*) > 0"
+        % (pid, name, _rect_pred_sql(outer, hole))
+        for pid, name, outer, hole in _rects()
+    ]
+    zonal_geotiff_sql = (
+        "WITH rast AS (SELECT "
+        "-180.0 + (CAST(px AS DOUBLE) + 0.5) * 1.25 AS lon, "
+        "90.0 - (CAST(py AS DOUBLE) + 0.5) * 1.25 AS lat, "
+        "CAST((px * 7 + py * 13) % 1000 AS BIGINT) AS v "
+        "FROM generate_series(0, 287) t(px), "
+        "generate_series(0, 143) s(py)) "
+        + " UNION ALL ".join(zonal_geotiff_parts)
     )
 
     from pure_python_geospatial_export_spark.operators.sketch import (
@@ -2198,6 +2277,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "bbox_filter": bbox_sql,
         "tile_assign": tile_assign_sql,
         "zonal_stats": zonal_sql,
+        "zonal_geotiff": zonal_geotiff_sql,
         "tile_stats": tile_stats_sql,
         "tile_pyramid": tile_pyramid_sql,
         "mercator_tiles": mercator_sql,
