@@ -22,6 +22,15 @@ Bbox = Tuple[float, float, float, float]
 #: independent of Arrow batch size.
 _PIP_CHUNK = 4096
 
+#: cap on TOTAL CELLS (points x edges) per chunk: a 4096-point chunk
+#: against an 8000-vertex admin boundary is a 262MB float64 temporary
+#: (x several live at once) — memory-bandwidth-bound, and concurrent
+#: refine workers then thrash each other (measured: a salted spatial
+#: join's reduce stage did 20x the single-worker wall on 9 workers).
+#: 2M cells keeps temps ~16MB — cache-resident, compute-bound, and
+#: parallel-friendly. Chunking never changes results, only locality.
+_PIP_CELL_BUDGET = 2_000_000
+
 
 def signed_area(ring: np.ndarray, fast: bool = False) -> float:
     """Signed ring area, >= 0 for counter-clockwise orientation.
@@ -109,8 +118,10 @@ def points_in_ring(
     py = np.asarray(points_y, dtype=np.float64)
     inside = np.zeros(len(px), dtype=bool)
 
-    for lo in range(0, len(px), _PIP_CHUNK):
-        hi = min(lo + _PIP_CHUNK, len(px))
+    chunk = max(16, min(_PIP_CHUNK,
+                        _PIP_CELL_BUDGET // max(1, len(x0))))
+    for lo in range(0, len(px), chunk):
+        hi = min(lo + chunk, len(px))
         tx = px[lo:hi, None]  # (n, 1)
         ty = py[lo:hi, None]
 

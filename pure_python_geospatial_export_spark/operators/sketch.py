@@ -369,3 +369,248 @@ def top_keys_per_group(
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch (Karnin-Lang-Liberty 2016)
+# ---------------------------------------------------------------------------
+
+
+class KLLSketch:
+    """Mergeable quantile sketch with a BOUNDED rank-error guarantee
+    independent of stream size — the round-5 upgrade over the
+    hash-sample relation (``quantile_sample``), whose error is the
+    sampling ~1/sqrt(k) and whose memory is k rows per group
+    regardless of how extreme the quantile asked for is.
+
+    Classic KLL compactor chain: level ``i`` holds items of weight
+    ``2^i``; when a level overflows its capacity (k * (2/3)^depth,
+    floored at 2) its sorted buffer is halved by keeping alternating
+    items (parity from a seeded RNG — deterministic for a fixed input
+    order/partitioning) and the survivors promote one level up.
+    Rank error is O(1/k) up to log factors; the property tests pin an
+    observed bound. Merging concatenates level-wise then re-compacts,
+    so per-partition sketches roll up exactly like the KMV sketches.
+    """
+
+    _C = 2.0 / 3.0
+
+    def __init__(self, k: int = 200, seed: int = 42):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self.levels: list = [[]]
+        self.n = 0
+        self._rng = __import__("numpy").random.default_rng(seed)
+
+    # -- capacity / compaction ---------------------------------------------
+
+    def _cap(self, level: int) -> int:
+        depth = len(self.levels)
+        return max(2, int(self.k * (self._C ** (depth - 1 - level))))
+
+    def _total_cap(self) -> int:
+        return sum(self._cap(h) for h in range(len(self.levels)))
+
+    def _compress(self) -> None:
+        import numpy as np
+
+        while sum(len(lv) for lv in self.levels) > self._total_cap():
+            for h, lv in enumerate(self.levels):
+                if len(lv) > self._cap(h):
+                    arr = np.sort(np.asarray(lv, dtype=np.float64))
+                    off = int(self._rng.integers(0, 2))
+                    kept = arr[off::2]
+                    self.levels[h] = []
+                    if h + 1 == len(self.levels):
+                        self.levels.append([])
+                    self.levels[h + 1].extend(kept.tolist())
+                    break
+            else:
+                break
+
+    # -- updates ------------------------------------------------------------
+
+    def update_many(self, values) -> None:
+        import numpy as np
+
+        vals = np.asarray(values, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        if not len(vals):
+            return
+        self.n += len(vals)
+        # feed level 0 in capacity-sized chunks so memory stays bounded
+        chunk = max(self._cap(0), 64)
+        for lo in range(0, len(vals), chunk):
+            self.levels[0].extend(vals[lo:lo + chunk].tolist())
+            self._compress()
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+        for h, lv in enumerate(other.levels):
+            self.levels[h].extend(lv)
+        self.n += other.n
+        self._compress()
+        return self
+
+    # -- queries ------------------------------------------------------------
+
+    def _weighted(self):
+        import numpy as np
+
+        vs, ws = [], []
+        for h, lv in enumerate(self.levels):
+            vs.extend(lv)
+            ws.extend([1 << h] * len(lv))
+        v = np.asarray(vs, dtype=np.float64)
+        w = np.asarray(ws, dtype=np.float64)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, q: float) -> float:
+        import numpy as np
+
+        if not 0.0 <= q <= 1.0:
+            raise ValueError("q must be in [0, 1]")
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        v, w = self._weighted()
+        cum = np.cumsum(w)
+        target = q * float(cum[-1])
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(v[min(idx, len(v) - 1)])
+
+    def rank(self, value: float) -> float:
+        """Estimated fraction of items <= value."""
+        import numpy as np
+
+        v, w = self._weighted()
+        if not len(v):
+            return 0.0
+        mask = v <= value
+        return float(w[mask].sum() / w.sum())
+
+    # -- (de)serialization for Spark rows ------------------------------------
+
+    def to_row(self):
+        return ([list(map(float, lv)) for lv in self.levels],
+                int(self.n))
+
+    @classmethod
+    def from_row(cls, levels, n, k: int = 200,
+                 seed: int = 42) -> "KLLSketch":
+        s = cls(k, seed)
+        s.levels = [list(lv) for lv in levels]
+        s.n = int(n)
+        return s
+
+
+def kll_sketch(
+    df: DataFrame,
+    group_cols: List[str],
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Distributed KLL build -> one row per group:
+    (group_cols..., levels array<array<double>>, n long).
+
+    Two-stage like every mergeable sketch here: a partition-local
+    mapInPandas pass builds one bounded sketch per (partition, group),
+    then one shuffle brings each group's partial sketches (at most
+    #partitions rows of ~k doubles each) into a merge. Raw values
+    cross the wire ONCE, pre-compressed; per-group state never exceeds
+    the compactor-chain capacity regardless of group size."""
+    import pandas as pd
+
+    spark_group_fields = df.select(*group_cols).schema
+    group_t = ", ".join(
+        "%s %s" % (f.name, f.dataType.simpleString())
+        for f in spark_group_fields
+    )
+    mid_schema = (group_t
+                  + ", levels array<array<double>>, n bigint")
+
+    def partial(batches):
+        sketches = {}
+        for pdf in batches:
+            for key, grp in pdf.groupby(group_cols, sort=False,
+                                        dropna=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                sk = sketches.get(key)
+                if sk is None:
+                    sk = sketches[key] = KLLSketch(k)
+                sk.update_many(grp[value_col].to_numpy(dtype="float64"))
+        rows = []
+        for key, sk in sketches.items():
+            levels, n = sk.to_row()
+            rows.append(key + (levels, n))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=list(group_cols) + ["levels", "n"]
+            )
+
+    partials = df.select(*group_cols, value_col).mapInPandas(
+        partial, mid_schema
+    )
+    return kll_merge(partials, group_cols, k=k)
+
+
+def kll_merge(sketches: DataFrame, group_cols: List[str],
+              k: int = 200) -> DataFrame:
+    """Merge sketch rows (levels, n) down to one per group — the same
+    relation shape in and out, so merge trees of any depth compose."""
+    import pandas as pd
+
+    out_schema = sketches.schema
+
+    def merge_group(key, pdf):
+        sk = None
+        for levels, n in zip(pdf["levels"], pdf["n"]):
+            cur = KLLSketch.from_row(levels, n, k)
+            sk = cur if sk is None else sk.merge(cur)
+        levels, n = sk.to_row()
+        return pd.DataFrame(
+            [tuple(key) + (levels, n)],
+            columns=list(group_cols) + ["levels", "n"],
+        )
+
+    return sketches.groupBy(*group_cols).applyInPandas(
+        merge_group, out_schema
+    )
+
+
+def kll_quantiles(
+    sketches: DataFrame,
+    group_cols: List[str],
+    qs: List[float],
+    k: int = 200,
+) -> DataFrame:
+    """(group_cols..., q double, est double) from sketch rows."""
+    import pandas as pd
+
+    group_t = ", ".join(
+        "%s %s" % (f.name, f.dataType.simpleString())
+        for f in sketches.select(*group_cols).schema
+    )
+    out_schema = group_t + ", q double, est double"
+    q_list = [float(q) for q in qs]
+
+    def est(batches):
+        for pdf in batches:
+            rows = []
+            for tup in pdf.itertuples(index=False):
+                d = tup._asdict()
+                sk = KLLSketch.from_row(d["levels"], d["n"], k)
+                for q in q_list:
+                    rows.append(
+                        tuple(d[c] for c in group_cols)
+                        + (q, sk.quantile(q))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=list(group_cols) + ["q", "est"]
+                )
+
+    return sketches.mapInPandas(est, out_schema)

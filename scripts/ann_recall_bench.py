@@ -108,7 +108,7 @@ def main():
 
     results = [{"config": "exact_arrow", "sec": round(t_exact, 2),
                 "recall_at_%d" % K: 1.0}]
-    points = [
+    points = [] if os.environ.get("ANN_PQ_ONLY") else [
         ("lsh p=10 probe<=1", similarity.lsh_topk,
          dict(n_planes=10, probe_hamming=1, dim=DIM)),
         ("lsh p=10 probe<=2", similarity.lsh_topk,
@@ -127,6 +127,65 @@ def main():
         results.append({"config": label, "sec": round(dt, 2),
                         "recall_at_%d" % K: recall(got)})
         print(json.dumps(results[-1]), flush=True)
+
+    # IVF-PQ: build once (timed separately), serve at probe points;
+    # report the on-disk list size vs IVF-flat for the memory claim
+    import shutil
+    import tempfile
+
+    idx_root = tempfile.mkdtemp(prefix="ann_idx_")
+    try:
+        def tree_bytes(p):
+            total = 0
+            for root, _d, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files if f.endswith(".parquet"))
+            return total
+
+        t0 = time.monotonic()
+        similarity.build_ivf_index(
+            base, "vec_id", "embedding", os.path.join(idx_root, "flat"),
+            n_centroids=64, lloyd_iters=2,
+        )
+        t_flat_build = time.monotonic() - t0
+        t0 = time.monotonic()
+        similarity.build_ivfpq_index(
+            base, "vec_id", "embedding", os.path.join(idx_root, "pq"),
+            n_centroids=64, m_subspaces=8, lloyd_iters=2,
+        )
+        t_pq_build = time.monotonic() - t0
+        flat_b = tree_bytes(os.path.join(idx_root, "flat",
+                                         "lists.parquet"))
+        pq_b = tree_bytes(os.path.join(idx_root, "pq", "lists.parquet"))
+        results.append({
+            "config": "index builds",
+            "flat_build_sec": round(t_flat_build, 2),
+            "pq_build_sec": round(t_pq_build, 2),
+            "flat_list_bytes": flat_b,
+            "pq_list_bytes": pq_b,
+            "memory_reduction_x": round(flat_b / max(1, pq_b), 1),
+        })
+        print(json.dumps(results[-1]), flush=True)
+        for probe, rr in ((4, 200), (8, 200), (8, 1000)):
+            t0 = time.monotonic()
+            rows = similarity.ivfpq_topk_indexed(
+                spark, os.path.join(idx_root, "pq"), queries, base,
+                "vec_id", "embedding", "query_id", "qvec",
+                k=K, n_probe=probe, rerank=rr,
+            ).collect()
+            dt = time.monotonic() - t0
+            got = {}
+            for r in rows:
+                got.setdefault(r["query_id"], set()).add(r["vec_id"])
+            results.append({
+                "config": "ivfpq c=64 m=8 probe=%d rerank=%d"
+                          % (probe, rr),
+                "sec": round(dt, 2),
+                "recall_at_%d" % K: recall(got),
+            })
+            print(json.dumps(results[-1]), flush=True)
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
 
     print(json.dumps({
         "n": N, "dim": DIM, "nq": NQ, "k": K, "cpus": CPUS,
