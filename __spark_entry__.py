@@ -1290,6 +1290,38 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_lines(docs, min_docs=3)
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lee-et-al-style exact duplicate-SPAN removal (round 5): docs get
+    # a deterministically planted shared passage (every third doc) and
+    # a unique tail; any 8-token window shared by >= 3 docs is cut from
+    # every doc. The oracle recomputes the gram census (same md5 keys),
+    # coverage, and reassembly in SQL, so explode/census/semi/anti/
+    # rebuild are all bit-checked.
+    from pure_python_geospatial_export_spark.operators.curate import (
+        remove_duplicate_spans,
+    )
+
+    passage = ("all rights reserved this document is provided as is "
+               "without warranty of any kind either express or implied")
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(passage))
+                .otherwise(
+                    F.concat(F.lit("tail marker "),
+                             F.col("doc_id").cast("string"))
+                ),
+            ).alias("text"),
+        )
+    )
+    return remove_duplicate_spans(docs, ngram=8, min_docs=3)
+
+
 def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-budget document chunking with overlap: pure column math
     # (tokenize + slice), mirrored token-for-token in the oracle
@@ -1462,6 +1494,7 @@ _FOLDED_QUERIES = (
     "doc_chunks",
     "mixture_sample",
     "zonal_geotiff",
+    "span_dedup",
 )
 
 
@@ -1531,6 +1564,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "mixture_sample": _q_mixture_sample,
         "zonal_geotiff": _q_zonal_geotiff,
+        "span_dedup": _q_span_dedup,
     }
 
 
@@ -2462,6 +2496,44 @@ def _all_oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(d2.text, chr(10))) "
             "- COALESCE(reb.nk, 0) AS INTEGER) AS n_removed "
             "FROM d d2 LEFT JOIN reb ON d2.doc_id = reb.doc_id"
+        ),
+        # span_dedup: token-8-gram census over distinct docs (same md5
+        # keys as Spark), coverage explode, anti join, ordered rebuild
+        "span_dedup": (
+            "WITH d AS (SELECT doc_id, text || ' ' || "
+            "CASE WHEN doc_id % 3 = 0 THEN "
+            "'all rights reserved this document is provided as is "
+            "without warranty of any kind either express or implied' "
+            "ELSE 'tail marker ' || CAST(doc_id AS VARCHAR) END "
+            "AS text FROM documents WHERE doc_id < 300), "
+            "t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS toks "
+            "FROM d), "
+            "g AS (SELECT doc_id, u.j AS j, u.h AS h FROM "
+            "(SELECT doc_id, unnest([{'j': j, 'h': "
+            "md5(array_to_string(toks[j:j+7], ' '))} "
+            "for j in range(1, len(toks) - 6)]) AS u "
+            "FROM t WHERE len(toks) >= 8)), "
+            "hot AS (SELECT h FROM "
+            "(SELECT DISTINCT doc_id, h FROM g) "
+            "GROUP BY h HAVING COUNT(*) >= 3), "
+            "cov AS (SELECT DISTINCT doc_id, pos FROM "
+            "(SELECT g.doc_id, unnest([g.j + k for k in "
+            "range(0, 8)]) AS pos FROM g JOIN hot USING (h))), "
+            "tok AS (SELECT doc_id, "
+            "generate_subscripts(toks, 1) AS pos, "
+            "unnest(toks) AS tk FROM t), "
+            "kept AS (SELECT tok.doc_id, pos, tk FROM tok "
+            "ANTI JOIN cov USING (doc_id, pos)), "
+            "reb AS (SELECT doc_id, "
+            "string_agg(tk, ' ' ORDER BY pos) AS clean_text, "
+            "COUNT(*) AS nk FROM kept GROUP BY doc_id) "
+            "SELECT t.doc_id, "
+            "COALESCE(reb.clean_text, '') AS clean_text, "
+            "CAST(len(t.toks) AS INTEGER) AS n_tokens, "
+            "CAST(len(t.toks) - COALESCE(reb.nk, 0) AS INTEGER) "
+            "AS n_removed "
+            "FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id"
         ),
         # lm_perplexity: trigram counts over the reference split,
         # Laplace costs in integer milli-nats, BIGINT sums

@@ -441,6 +441,102 @@ def remove_boilerplate_lines(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 10,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """EXACT duplicate-span removal at token n-gram granularity — the
+    operator form of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", substring dedup): any token whose
+    position is covered by an ``ngram``-token window that appears
+    verbatim in at least ``min_docs`` DISTINCT documents is cut from
+    every document. Catches shared boilerplate PASSAGES (licenses,
+    disclaimers, syndicated paragraphs) that line-level dedup misses
+    when line breaks differ and document-level near-dup misses when
+    the shared span is a small part of each document.
+
+    -> (id, out_col, n_tokens, n_removed). A fully-duplicated document
+    comes back as "" (the boilerplate-removal convention). Documents
+    shorter than ``ngram`` tokens are untouched.
+
+    Plan shape at 10^12 docs: one gram explode (n_tokens rows/doc,
+    grams carried as md5 — never the text), a distinct-doc census
+    (two hash aggs, map-side combine), a semi join of grams against
+    the hot set, a bounded coverage explode (ngram positions per hot
+    hit), and one anti join + groupBy reassembly. Everything is an
+    equi join on hashes; nothing quadratic. The md5 keys make the
+    DuckDB oracle reproduce the census bit-for-bit."""
+    n = int(ngram)
+    if n < 2:
+        raise ValueError("ngram must be >= 2")
+    toks = T.tokens_col(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    nt = F.size("_toks")
+    # 1-based start positions (mirrors DuckDB generate_series); guard:
+    # sequence(1, 0) would generate DESCENDING in Spark
+    grams = base.where(nt >= n).select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), nt - F.lit(n - 1))).alias("_j"),
+        "_toks",
+    ).select(
+        id_col,
+        "_j",
+        F.md5(
+            F.concat_ws(" ", F.slice("_toks", F.col("_j"), n))
+        ).alias("_h"),
+    )
+    hot = (
+        grams.select(id_col, "_h").distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= F.lit(int(min_docs)))
+        .select("_h")
+    )
+    covered = (
+        grams.join(hot, "_h", "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("_j"), F.col("_j") + F.lit(n - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    tokens = base.select(
+        id_col,
+        F.posexplode("_toks").alias("_p0", "_tok"),
+    ).select(id_col, (F.col("_p0") + 1).alias("_pos"), "_tok")
+    kept = tokens.join(covered, [id_col, "_pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", "_tok"))
+                ),
+                lambda s: s["_tok"],
+            ),
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("_nkept"),
+    )
+    stats = base.select(id_col, nt.alias("n_tokens"))
+    return (
+        stats.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("_nkept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     group_col: str,

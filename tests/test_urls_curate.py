@@ -894,3 +894,63 @@ def test_nfc_normalize_cross_engine_fuzz(spark):
     }
     assert got == want
     assert got[1000] == "é"
+
+
+def test_remove_duplicate_spans(spark):
+    """Lee-et-al-style exact span dedup: an 8-gram window shared by >=
+    min_docs docs is cut from EVERY doc wherever it appears; unique
+    text survives in order; sub-ngram docs untouched; a fully-shared
+    doc becomes ''."""
+    import pytest
+
+    from pure_python_geospatial_export_spark.operators.curate import (
+        remove_duplicate_spans,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    passage = "one two three four five six seven eight"  # exactly 8
+    rows = [
+        (1, "intro alpha %s outro alpha" % passage),
+        (2, "start beta %s end beta" % passage),
+        (3, "%s" % passage),                       # fully shared -> ""
+        (4, "short doc only"),                     # < ngram: untouched
+        (5, "totally unrelated text with plenty of distinct tokens"),
+    ]
+    df = local_df(spark, rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in remove_duplicate_spans(
+            df, ngram=8, min_docs=3
+        ).collect()
+    }
+    assert got[1] == ("intro alpha outro alpha", 12, 8)
+    assert got[2] == ("start beta end beta", 12, 8)
+    assert got[3] == ("", 8, 8)
+    assert got[4] == ("short doc only", 3, 0)
+    assert got[5][2] == 0
+
+    # min_docs above the family size keeps everything
+    loose = {
+        r["doc_id"]: r["n_removed"]
+        for r in remove_duplicate_spans(
+            df, ngram=8, min_docs=4
+        ).collect()
+    }
+    assert all(v == 0 for v in loose.values())
+
+    # overlapping coverage: two hot windows sharing tokens remove the
+    # UNION of their positions, not double-count
+    p9 = passage + " nine"
+    rows2 = [(i, "head%d %s tail%d" % (i, p9, i)) for i in range(3)]
+    got2 = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicate_spans(
+            local_df(spark, rows2, ["doc_id", "text"]),
+            ngram=8, min_docs=3,
+        ).collect()
+    }
+    for i in range(3):
+        assert got2[i] == ("head%d tail%d" % (i, i), 9)
+
+    with pytest.raises(ValueError, match="ngram"):
+        remove_duplicate_spans(df, ngram=1)
