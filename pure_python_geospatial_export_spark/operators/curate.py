@@ -31,22 +31,28 @@ def curate_corpus(
     boilerplate_min_docs: Optional[int] = None,
     lm_ref: Optional[DataFrame] = None,
     max_ppl_cost_milli: int = 5_000_000,
+    span_ngram: Optional[int] = None,
+    span_min_docs: int = 2,
 ) -> DataFrame:
     """Filter ``df`` to the curated survivor set.
 
     Steps: (0) optional line-level boilerplate removal (pass
     ``boilerplate_min_docs`` — runs FIRST so template chrome doesn't
     poison dedup or quality signals; the text column is REWRITTEN to
-    the cleaned text for this and all later stages), (1) token-count
-    floor + quality-score floor, (2) optional language allowlist
-    (n-gram-vote language ID), (3) optional char-LM perplexity ceiling
-    (pass a reference corpus as ``lm_ref``; docs whose mean milli-nat
-    cost per gram exceeds ``max_ppl_cost_milli`` drop — the CCNet
-    quality gate), (4) exact dedup (min-id representative per
-    identical text), (5) optional MinHash near-dup (greedy higher-id
-    drop; pass ``near_dup_threshold=None`` to skip). Returns the
-    surviving rows of ``df`` (with cleaned text when step 0 ran) —
-    callers keep their own columns.
+    the cleaned text for this and all later stages), (0b) optional
+    exact duplicate-SPAN removal (pass ``span_ngram`` — cuts token
+    windows shared verbatim by >= ``span_min_docs`` docs, the Lee et
+    al. substring-dedup stage; runs after line removal so line chrome
+    doesn't inflate the gram census), (1) token-count floor +
+    quality-score floor, (2) optional language allowlist (n-gram-vote
+    language ID), (3) optional char-LM perplexity ceiling (pass a
+    reference corpus as ``lm_ref``; docs whose mean milli-nat cost per
+    gram exceeds ``max_ppl_cost_milli`` drop — the CCNet quality
+    gate), (4) exact dedup (min-id representative per identical
+    text), (5) optional MinHash near-dup (greedy higher-id drop; pass
+    ``near_dup_threshold=None`` to skip). Returns the surviving rows
+    of ``df`` (with cleaned text when step 0/0b ran) — callers keep
+    their own columns.
     """
     out = df
     if boilerplate_min_docs is not None:
@@ -56,6 +62,16 @@ def curate_corpus(
         out = (
             out.drop(text_col)
             .join(cleaned, id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+    if span_ngram is not None:
+        despanned = remove_duplicate_spans(
+            out, id_col, text_col, ngram=span_ngram,
+            min_docs=span_min_docs,
+        ).select(id_col, "clean_text")
+        out = (
+            out.drop(text_col)
+            .join(despanned, id_col)
             .withColumnRenamed("clean_text", text_col)
         )
     out = out.where(

@@ -954,3 +954,35 @@ def test_remove_duplicate_spans(spark):
 
     with pytest.raises(ValueError, match="ngram"):
         remove_duplicate_spans(df, ngram=1)
+
+
+def test_curate_corpus_span_stage(spark):
+    """span_ngram wires duplicate-span removal into the preset: the
+    shared passage is cut before quality/dedup stages, so two docs
+    identical except for the passage now collapse in exact dedup."""
+    from pure_python_geospatial_export_spark.operators.curate import (
+        curate_corpus,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    passage = "one two three four five six seven eight"
+    body = ("real content alpha beta gamma delta epsilon zeta eta "
+            "theta iota kappa")
+    rows = [
+        (1, "%s %s" % (body, passage)),
+        (2, "%s %s" % (passage, body)),   # same body, passage moved
+        (3, "%s other real content entirely different here ok fine "
+            "good yes" % passage),
+        (4, "tiny"),                      # fails the token floor
+    ]
+    df = local_df(spark, rows, ["doc_id", "text"])
+    kept = curate_corpus(
+        df, min_quality=0.0, near_dup_threshold=None, min_tokens=5,
+        span_ngram=8, span_min_docs=3,
+    )
+    got = {r["doc_id"]: r["text"] for r in kept.collect()}
+    # docs 1 and 2 both reduce to `body` -> exact dedup keeps min id
+    assert set(got) == {1, 3}
+    assert got[1] == body
+    assert passage.split()[0] not in got[3].split()[:1]  # passage gone
+    assert "other real content" in got[3]
