@@ -2529,11 +2529,14 @@ def _all_oracle_sql() -> dict[str, str]:
             "string_agg(tk, ' ' ORDER BY pos) AS clean_text, "
             "COUNT(*) AS nk FROM kept GROUP BY doc_id) "
             "SELECT t.doc_id, "
-            "COALESCE(reb.clean_text, '') AS clean_text, "
+            "CASE WHEN len(t.toks) = COALESCE(reb.nk, 0) "
+            "THEN d.text "  # nothing removed: original text untouched
+            "ELSE COALESCE(reb.clean_text, '') END AS clean_text, "
             "CAST(len(t.toks) AS INTEGER) AS n_tokens, "
             "CAST(len(t.toks) - COALESCE(reb.nk, 0) AS INTEGER) "
             "AS n_removed "
-            "FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id"
+            "FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id "
+            "JOIN d ON t.doc_id = d.doc_id"
         ),
         # lm_perplexity: trigram counts over the reference split,
         # Laplace costs in integer milli-nats, BIGINT sums

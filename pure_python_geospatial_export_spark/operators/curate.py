@@ -477,7 +477,11 @@ def remove_duplicate_spans(
 
     -> (id, out_col, n_tokens, n_removed). A fully-duplicated document
     comes back as "" (the boilerplate-removal convention). Documents
-    shorter than ``ngram`` tokens are untouched.
+    with NOTHING removed keep their ORIGINAL text byte-for-byte
+    (newlines, tabs, spacing intact — this is a token-level operator
+    and must not normalize whitespace corpus-wide); only documents a
+    span was actually cut from are reassembled as single-space-joined
+    tokens, the unavoidable cost of token-granular surgery.
 
     Plan shape at 10^12 docs: one gram explode (n_tokens rows/doc,
     grams carried as md5 — never the text), a distinct-doc census
@@ -539,16 +543,23 @@ def remove_duplicate_spans(
         ).alias(out_col),
         F.count(F.lit(1)).alias("_nkept"),
     )
-    stats = base.select(id_col, nt.alias("n_tokens"))
+    stats = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+        T.token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    removed = (
+        F.col("n_tokens") - F.coalesce(F.col("_nkept"), F.lit(0))
+    )
     return (
         stats.join(rebuilt, id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.when(removed == 0, F.col("_orig"))
+            .otherwise(F.coalesce(F.col(out_col), F.lit("")))
+            .alias(out_col),
             F.col("n_tokens").cast("int").alias("n_tokens"),
-            (F.col("n_tokens") - F.coalesce(F.col("_nkept"), F.lit(0)))
-            .cast("int")
-            .alias("n_removed"),
+            removed.cast("int").alias("n_removed"),
         )
     )
 

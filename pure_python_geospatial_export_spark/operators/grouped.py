@@ -60,13 +60,22 @@ def ordered_group_map(
         raise ValueError("key_cols must be non-empty")
     sorts = keys + [c for c in sort_cols if c not in keys]
 
+    def _neq(x, y):
+        # NULL-safe inequality: Spark NULL keys arrive as NaN in float
+        # batches, and NaN != NaN would shatter the null group into
+        # per-row calls (grouped-map treats NULL as one group)
+        ne = x != y
+        if x.dtype.kind == "f":
+            ne &= ~(np.isnan(x) & np.isnan(y))
+        return ne
+
     def _groups(pdf) -> Iterator:
         n = len(pdf)
         arrays = [pdf[c].to_numpy() for c in keys]
         if n > 1:
             change = np.zeros(n - 1, dtype=bool)
             for a in arrays:
-                change |= a[1:] != a[:-1]
+                change |= _neq(a[1:], a[:-1])
             idx = np.flatnonzero(change) + 1
         else:
             idx = np.empty(0, dtype=np.int64)
@@ -74,7 +83,9 @@ def ordered_group_map(
         ends = np.concatenate((idx, [n]))
         for s, e in zip(starts, ends):
             key = tuple(a[s] for a in arrays)
-            out = fn(key, pdf.iloc[s:e])
+            # fresh 0-based index: the applyInPandas contract every
+            # grouped-map fn may rely on (pdf.loc[0] etc.)
+            out = fn(key, pdf.iloc[s:e].reset_index(drop=True))
             if out is not None and len(out):
                 yield out
 
@@ -91,7 +102,7 @@ def ordered_group_map(
             mask = np.ones(len(pdf), dtype=bool)
             for c in keys:
                 a = pdf[c].to_numpy()
-                mask &= a == a[-1]
+                mask &= ~_neq(a, a[-1:])
             if mask.all():
                 carry = pdf  # whole batch is one (possibly open) group
                 continue

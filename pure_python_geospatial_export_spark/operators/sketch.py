@@ -544,6 +544,9 @@ def kll_sketch(
                 sk.update_many(grp[value_col].to_numpy(dtype="float64"))
         rows = []
         for key, sk in sketches.items():
+            if sk.n == 0:
+                continue  # all-NULL/NaN group: no sketch row (a zero-n
+                # row would crash quantile() downstream)
             levels, n = sk.to_row()
             rows.append(key + (levels, n))
         if rows:
@@ -602,6 +605,8 @@ def kll_quantiles(
             rows = []
             for tup in pdf.itertuples(index=False):
                 d = tup._asdict()
+                if int(d["n"]) == 0:
+                    continue  # defensive: empty sketch has no quantiles
                 sk = KLLSketch.from_row(d["levels"], d["n"], k)
                 for q in q_list:
                     rows.append(

@@ -95,3 +95,33 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ui_completed_stages(spark) -> tuple:
+    """(ui_url, app_id, completed stages) from the Spark UI REST API —
+    the shared client for benchmark scripts that read stage metrics
+    (requires the session to have been built with
+    ``extra_conf={"spark.ui.enabled": "true"}``)."""
+    import json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if ui is None:
+        raise RuntimeError(
+            "Spark UI is disabled; build the session with "
+            'extra_conf={"spark.ui.enabled": "true"}'
+        )
+    apps = json.load(
+        urllib.request.urlopen(ui + "/api/v1/applications")
+    )
+    app = apps[0]["id"]
+    stages = json.load(urllib.request.urlopen(
+        "%s/api/v1/applications/%s/stages?status=complete" % (ui, app)
+    ))
+    return ui, app, stages
+
+
+def ui_shuffle_write_bytes(spark) -> int:
+    """Cumulative shuffle-write bytes across completed stages."""
+    _ui, _app, stages = ui_completed_stages(spark)
+    return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)

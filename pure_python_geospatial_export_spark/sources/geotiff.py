@@ -501,6 +501,14 @@ def read_geotiff(
                         "raster %s is EPSG:%d; the lon/lat operators "
                         "expect EPSG:4326" % (fpath, g.epsg)
                     )
+                if band is not None and not (
+                    0 <= band < g.n_samples
+                ):
+                    raise ValueError(
+                        "band %d out of range for %s (has %d band%s)"
+                        % (band, fpath, g.n_samples,
+                           "s" if g.n_samples != 1 else "")
+                    )
                 sx, sy = g.pixel_scale
                 x0 = g.origin_x
                 y0 = g.origin_y

@@ -17,22 +17,13 @@ import json
 import os
 import sys
 import time
-import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-
-def shuffle_write_bytes(spark) -> int:
-    ui = spark.sparkContext.uiWebUrl
-    apps = json.load(
-        urllib.request.urlopen(ui + "/api/v1/applications")
-    )
-    app = apps[0]["id"]
-    stages = json.load(urllib.request.urlopen(
-        "%s/api/v1/applications/%s/stages?status=complete" % (ui, app)
-    ))
-    return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)
+from pure_python_geospatial_export_spark.session import (  # noqa: E402
+    ui_shuffle_write_bytes as shuffle_write_bytes,
+)
 
 
 def main() -> None:

@@ -54,14 +54,12 @@ def main() -> None:
 
     import urllib.request
 
+    from pure_python_geospatial_export_spark.session import (
+        ui_completed_stages,
+    )
+
     def _stages():
-        ui = spark.sparkContext.uiWebUrl
-        app = json.load(urllib.request.urlopen(
-            ui + "/api/v1/applications"))[0]["id"]
-        return ui, app, json.load(urllib.request.urlopen(
-            "%s/api/v1/applications/%s/stages?status=complete"
-            % (ui, app)
-        ))
+        return ui_completed_stages(spark)
 
     def _reduce_stage_balance(before_ids):
         """max-task / total runtime of the heaviest NEW stage — the

@@ -156,3 +156,18 @@ def test_read_geotiff_rejects_wrong_crs(spark, tmp_path):
     import pyspark.errors
     with pytest.raises(Exception, match="EPSG:3857"):
         read_geotiff(spark, str(tmp_path)).collect()
+
+
+def test_read_geotiff_rejects_bad_band(spark, tmp_path):
+    """Review fix: an out-of-range band raises a clear ValueError, not
+    a numpy IndexError from the executor."""
+    band = np.zeros((8, 8), dtype=np.uint8)
+    (tmp_path / "b.tif").write_bytes(encode_geotiff(band, BBOX))
+    with pytest.raises(Exception, match="band 3 out of range"):
+        read_geotiff(spark, str(tmp_path), band=3).collect()
+    # in-range band on a multiband file still works
+    bands = [np.full((4, 4), i, dtype=np.uint8) for i in range(2)]
+    (tmp_path / "b.tif").write_bytes(encode_geotiff(bands, BBOX))
+    vals = {r["value"] for r in
+            read_geotiff(spark, str(tmp_path), band=1).collect()}
+    assert vals == {1.0}

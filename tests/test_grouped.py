@@ -137,3 +137,81 @@ def test_single_exchange_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_null_keys_form_one_group(spark):
+    """Review fix: Spark NULL keys surface as NaN in float batches and
+    NaN != NaN; the boundary scan and carry must treat them as ONE
+    group, exactly like applyInPandas."""
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StringType as _S,
+        StructField as _F,
+        StructType as _T,
+    )
+    schema = _T([
+        _F("k1", _L(), True),
+        _F("k2", _S(), True),
+        _F("ord", _L(), False),
+        _F("v", _D(), False),
+    ])
+    rows = ([(None, "x", i, float(i)) for i in range(7)]
+            + [(1, None, i, float(10 + i)) for i in range(5)]
+            + [(1, "x", i, float(20 + i)) for i in range(4)])
+    df = spark.createDataFrame(rows, schema).repartition(3)
+    def _collect_n(frame):
+        return sorted(
+            (
+                (r["k1"] is None, r["k1"] or 0),
+                (r["k2"] is None, r["k2"] or ""),
+                r["n"], round(r["s"], 9), round(r["first_v"], 9),
+            )
+            for r in frame.collect()
+        )
+
+    want = _collect_n(
+        df.groupBy("k1", "k2")
+        .applyInPandas(
+            lambda k, p: _agg_null(
+                k, p.sort_values("ord").reset_index(drop=True)
+            ),
+            OUT_NULL,
+        )
+    )
+    got = _collect_n(
+        ordered_group_map(df, ["k1", "k2"], _agg_null, OUT_NULL,
+                          sort_cols=["ord"])
+    )
+    assert got == want
+    assert len(got) == 3  # null-keyed groups stay whole
+
+
+OUT_NULL = StructType([
+    StructField("k1", LongType(), True),
+    StructField("k2", StringType(), True),
+    StructField("n", LongType(), False),
+    StructField("s", DoubleType(), False),
+    StructField("first_v", DoubleType(), False),
+])
+
+
+def _make_null_agg():
+    def _agg(key, pdf):
+        import math
+        k1 = key[0]
+        if k1 is not None and isinstance(k1, float) and math.isnan(k1):
+            k1 = None
+        return pd.DataFrame({
+            "k1": [None if k1 is None else int(k1)],
+            "k2": [None if key[1] is None else str(key[1])],
+            "n": [len(pdf)],
+            "s": [float(pdf["v"].sum())],
+            # verifies the fresh 0-based index contract too
+            "first_v": [float(pdf["v"][0])],
+        })
+
+    return _agg
+
+
+_agg_null = _make_null_agg()

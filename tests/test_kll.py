@@ -135,3 +135,27 @@ def test_spark_kll_relation(spark):
         assert r["n"] == 20_000
         sk = KLLSketch.from_row(r["levels"], r["n"], 200)
         assert _max_rank_err(sk, data[r["grp"]]) <= ERR_BOUND
+
+
+def test_all_null_group_is_skipped(spark):
+    """Review fix: a group whose values are all NULL once emitted an
+    n=0 sketch row that crashed quantile() on the executor; it now
+    simply has no sketch row."""
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StructField as _F,
+        StructType as _T,
+    )
+    schema = _T([_F("grp", _L(), False), _F("value", _D(), True)])
+    rows = ([(1, float(i)) for i in range(50)]
+            + [(2, None)] * 10
+            + [(3, None), (3, 5.0)])
+    df = spark.createDataFrame(rows, schema).repartition(4)
+    sk = kll_sketch(df, ["grp"], "value", k=64)
+    got = {r["grp"]: r["n"] for r in sk.collect()}
+    assert got == {1: 50, 3: 1}  # group 2 absent, group 3 counts non-null
+    est = kll_quantiles(sk, ["grp"], [0.5])
+    vals = {r["grp"]: r["est"] for r in est.collect()}
+    assert vals[3] == 5.0
+    assert 0 <= vals[1] <= 49

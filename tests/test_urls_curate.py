@@ -986,3 +986,30 @@ def test_curate_corpus_span_stage(spark):
     assert got[1] == body
     assert passage.split()[0] not in got[3].split()[:1]  # passage gone
     assert "other real content" in got[3]
+
+
+def test_remove_duplicate_spans_preserves_untouched_whitespace(spark):
+    """Review fix: docs with NOTHING removed must come back
+    byte-identical (newlines/tabs intact), not single-space-joined."""
+    from pure_python_geospatial_export_spark.operators.curate import (
+        remove_duplicate_spans,
+    )
+    from pure_python_geospatial_export_spark.session import local_df
+
+    passage = "one two three four five six seven eight"
+    keepme = "para one\n\npara two\twith tab  and   runs"
+    rows = [
+        (1, "a %s b" % passage),
+        (2, "c %s d" % passage),
+        (3, keepme),
+    ]
+    df = local_df(spark, rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_duplicate_spans(
+            df, ngram=8, min_docs=2
+        ).collect()
+    }
+    assert got[3] == (keepme, 0)     # byte-identical, structure kept
+    assert got[1] == ("a b", 8)
+    assert got[2] == ("c d", 8)
