@@ -32,6 +32,7 @@ convention) upstream.
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from typing import Iterator, List, Optional
@@ -536,3 +537,87 @@ def read_geotiff(
                         })
 
     return src.mapInPandas(_emit, schema)
+
+
+def write_geotiff(
+    df,
+    path: str,
+    bbox,
+    width: int,
+    height: int,
+    value_col: str = "value",
+    lon: str = "lon",
+    lat: str = "lat",
+    agg: str = "mean",
+    dtype: str = "f8",
+    nodata: float = 0.0,
+    compression: str = "deflate",
+    tiled: bool = True,
+    tile_size: int = 256,
+) -> dict:
+    """Rasterize a point/value frame into ONE GeoTIFF — the raster
+    SINK closing the round trip that :func:`read_geotiff` opens
+    (points -> pixel aggregate -> interchange raster any GIS stack
+    reads).
+
+    Pixel assignment is pure column math (floor((lon-x0)/w*width),
+    y-down), the per-pixel ``agg`` ("mean"/"sum"/"count"/"min"/"max")
+    is a map-side-combining groupBy — the only shuffle, and its
+    cardinality is bounded by width*height, NOT by the input rows.
+    The aggregated grid (<= width*height rows by construction) then
+    collects to the driver for encoding: the OUTPUT raster size is the
+    caller's explicit contract, guarded at 64M pixels — beyond that,
+    export per-region tiles instead (one call per region bbox).
+    Pixels no point hits get ``nodata``. Returns {path, n_pixels,
+    n_rows, bytes}."""
+    from pyspark.sql import functions as F
+
+    w, h = int(width), int(height)
+    if w * h > 64_000_000:
+        raise ValueError(
+            "raster %dx%d exceeds the 64M-pixel single-file guard; "
+            "export per-region tiles instead" % (w, h)
+        )
+    aggs = {
+        "mean": F.avg, "sum": F.sum, "count": lambda c: F.count(c),
+        "min": F.min, "max": F.max,
+    }
+    if agg not in aggs:
+        raise ValueError("agg must be one of %s" % sorted(aggs))
+    x0, y0, x1, y1 = (float(v) for v in bbox)
+    px = F.floor(
+        (F.col(lon) - F.lit(x0)) / F.lit(x1 - x0) * F.lit(float(w))
+    ).cast("long")
+    py = F.floor(
+        (F.lit(y1) - F.col(lat)) / F.lit(y1 - y0) * F.lit(float(h))
+    ).cast("long")
+    grid = (
+        df.select(
+            F.least(F.greatest(px, F.lit(0)), F.lit(w - 1)).alias("_px"),
+            F.least(F.greatest(py, F.lit(0)), F.lit(h - 1)).alias("_py"),
+            F.col(value_col).alias("_v"),
+        )
+        .where(
+            (F.col(lon) >= x0) & (F.col(lon) <= x1)
+            & (F.col(lat) >= y0) & (F.col(lat) <= y1)
+        )
+        .groupBy("_px", "_py")
+        .agg(aggs[agg]("_v").cast("double").alias("_val"),
+             F.count(F.lit(1)).alias("_n"))
+    )
+    rows = grid.collect()
+    band = np.full((h, w), float(nodata), dtype=np.dtype(dtype))
+    n_rows = 0
+    for r in rows:
+        band[int(r["_py"]), int(r["_px"])] = r["_val"]
+        n_rows += int(r["_n"])
+    buf = encode_geotiff(
+        band, (x0, y0, x1, y1), compression=compression,
+        tiled=tiled, tile_size=tile_size,
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf)
+    os.replace(tmp, path)
+    return {"path": path, "n_pixels": len(rows), "n_rows": n_rows,
+            "bytes": len(buf)}

@@ -171,3 +171,52 @@ def test_read_geotiff_rejects_bad_band(spark, tmp_path):
     vals = {r["value"] for r in
             read_geotiff(spark, str(tmp_path), band=1).collect()}
     assert vals == {1.0}
+
+
+def test_write_geotiff_rasterizes_points(spark, tmp_path):
+    """The raster SINK: points -> per-pixel mean -> GeoTIFF readable
+    back through the engine's own decoder with exact georeference."""
+    from pure_python_geospatial_export_spark.session import local_df
+    from pure_python_geospatial_export_spark.sources.geotiff import (
+        write_geotiff,
+    )
+
+    # 4 points per pixel on a 4x2 grid over (0,0)-(4,2)
+    rows = []
+    for px in range(4):
+        for py in range(2):
+            for k in range(4):
+                rows.append((
+                    px + 0.2 + 0.1 * k,       # lon inside pixel px
+                    1.5 - py + 0.05 * k,      # lat inside row py (y down)
+                    float(10 * px + py + k),
+                ))
+    df = local_df(spark, rows, ["lon", "lat", "value"])
+    out = str(tmp_path / "mean.tif")
+    stats = write_geotiff(df, out, (0.0, 0.0, 4.0, 2.0), 4, 2,
+                          agg="mean", nodata=-1.0)
+    assert stats["n_pixels"] == 8 and stats["n_rows"] == 32
+
+    g = decode_geotiff(open(out, "rb").read())
+    assert g.bbox == (0.0, 0.0, 4.0, 2.0)
+    assert (g.width, g.height) == (4, 2)
+    arr = g.read()[:, :, 0]
+    for px in range(4):
+        for py in range(2):
+            want = sum(10 * px + py + k for k in range(4)) / 4.0
+            assert arr[py, px] == want, (px, py)
+
+    # count agg + nodata fill for missed pixels
+    sparse = local_df(spark, [(0.5, 1.5, 7.0)], ["lon", "lat", "value"])
+    out2 = str(tmp_path / "count.tif")
+    write_geotiff(sparse, out2, (0.0, 0.0, 4.0, 2.0), 4, 2,
+                  agg="count", nodata=-9.0)
+    arr2 = decode_geotiff(open(out2, "rb").read()).read()[:, :, 0]
+    assert arr2[0, 0] == 1.0
+    assert (arr2 == -9.0).sum() == 7
+
+    import pytest
+    with pytest.raises(ValueError, match="64M-pixel"):
+        write_geotiff(df, out, (0.0, 0.0, 4.0, 2.0), 10**5, 10**3)
+    with pytest.raises(ValueError, match="agg must be"):
+        write_geotiff(df, out, (0.0, 0.0, 4.0, 2.0), 4, 2, agg="p99")
