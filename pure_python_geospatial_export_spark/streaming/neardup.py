@@ -278,8 +278,13 @@ def near_duplicates_stream(
                                   emit_mode=emit_mode)
     if not is_streaming:
         # Spark rejects applyInPandasWithState on batch frames; run the
-        # SAME matcher per bucket through applyInPandas with an inert
-        # state (one "micro-batch" containing everything)
+        # SAME matcher per bucket through the batched grouped-map with
+        # an inert state (one "micro-batch" containing everything).
+        # LSH buckets are MANY and SMALL — exactly the shape where
+        # grouped-map's per-group Python/Arrow round-trip dominates
+        # (see operators/grouped.py).
+        from ..operators.grouped import ordered_group_map
+
         def batch_fn(key, pdf):
             out = list(matcher(key, iter([pdf]), _InertState()))
             if out:
@@ -291,8 +296,9 @@ def near_duplicates_stream(
                 "pair_ts": pd.Series([], dtype="datetime64[ns]"),
             })
 
-        return banded.groupBy("band", "band_hash").applyInPandas(
-            batch_fn, PAIR_SCHEMA
+        return ordered_group_map(
+            banded, ["band", "band_hash"], batch_fn, PAIR_SCHEMA,
+            sort_cols=["ts", "id"],
         )
     return banded.groupBy("band", "band_hash").applyInPandasWithState(
         matcher,
