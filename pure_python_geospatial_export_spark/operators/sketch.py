@@ -543,7 +543,11 @@ def kll_sketch(
                     sk = sketches[key] = KLLSketch(k)
                 sk.update_many(grp[value_col].to_numpy(dtype="float64"))
         rows = []
-        for key, sk in sketches.items():
+        # Emission order must be stable: KLL compaction consumes a
+        # seeded RNG, so merge results depend on fold order. Sort by
+        # group-key repr (repr handles None/NaN deterministically).
+        for key, sk in sorted(sketches.items(),
+                              key=lambda kv: repr(kv[0])):
             if sk.n == 0:
                 continue  # all-NULL/NaN group: no sketch row (a zero-n
                 # row would crash quantile() downstream)
@@ -569,8 +573,24 @@ def kll_merge(sketches: DataFrame, group_cols: List[str],
     out_schema = sketches.schema
 
     def merge_group(key, pdf):
+        # Fold order must be stable: compaction's seeded RNG makes KLL
+        # merge order-sensitive, and applyInPandas delivers partial
+        # rows in nondeterministic arrival order. Sort by a serialized
+        # key of the sketch content (n, then packed level bytes —
+        # byte-exact even for NaN payloads, unlike repr of numpy
+        # arrays which truncates).
+        import numpy as _np
+
+        def _key(ln):
+            levels, n = ln
+            return (int(n), tuple(
+                _np.asarray(lv, dtype="float64").tobytes()
+                for lv in levels
+            ))
+
+        partials = sorted(zip(pdf["levels"], pdf["n"]), key=_key)
         sk = None
-        for levels, n in zip(pdf["levels"], pdf["n"]):
+        for levels, n in partials:
             cur = KLLSketch.from_row(levels, n, k)
             sk = cur if sk is None else sk.merge(cur)
         levels, n = sk.to_row()

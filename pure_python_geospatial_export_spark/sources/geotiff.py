@@ -186,13 +186,17 @@ def encode_geotiff(
         for r0 in range(0, h, rows_per_strip):
             blocks.append(_pack_block(chunky[r0:r0 + rows_per_strip]))
 
-    # GeoKeyDirectory: version 1.1.0, 3 keys
+    # GeoKeyDirectory: version 1.1.0, 3 keys. The CRS code key depends
+    # on the model type: geographic CRSes live under GeographicTypeGeoKey
+    # (2048), projected ones under ProjectedCSTypeGeoKey (3072) — GDAL
+    # and friends misread a projected code stored under 2048.
     model_type = 2 if epsg == 4326 else 1  # 2 = geographic
+    crs_key = 2048 if model_type == 2 else 3072
     geo_keys = [
         1, 1, 0, 3,
         1024, 0, 1, model_type,   # GTModelTypeGeoKey
         1025, 0, 1, 1,            # GTRasterTypeGeoKey = PixelIsArea
-        2048, 0, 1, epsg,         # GeographicTypeGeoKey
+        crs_key, 0, 1, epsg,
     ]
 
     e = byteorder
@@ -360,8 +364,12 @@ class GeoTiff:
         self.epsg = None
         geo = t.get(_TAG_GEO_KEYS)
         if geo is not None:
+            # CRS code: GeographicTypeGeoKey (2048) or
+            # ProjectedCSTypeGeoKey (3072); projected wins if both set.
             for k in range(4, len(geo) - 3, 4):
-                if int(geo[k]) == 2048:
+                if int(geo[k]) == 2048 and self.epsg is None:
+                    self.epsg = int(geo[k + 3])
+                elif int(geo[k]) == 3072:
                     self.epsg = int(geo[k + 3])
 
     @property

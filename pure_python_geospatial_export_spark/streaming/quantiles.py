@@ -91,6 +91,16 @@ class QuantileState:
             return None
         return kll_quantiles(cur, self.group_cols, qs, k=self.k)
 
+    def rebind(self) -> None:
+        """Accept a NEW streaming query (fresh checkpoint dir, epoch
+        ids restarting at 0) while keeping the accumulated sketches:
+        resets the committed epoch watermark to -1. Only call this
+        when the old query is stopped — the guard in
+        :meth:`foreach_batch` exists because two queries folding one
+        state dir double-counts."""
+        cur_name, _epoch = self._read_pointer()
+        self._commit(cur_name or "-", -1)
+
     # -- the fold -----------------------------------------------------------
 
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -99,10 +109,24 @@ class QuantileState:
         from ..operators.sketch import kll_merge, kll_sketch
 
         cur_name, last_epoch = self._read_pointer()
-        if int(epoch_id) <= last_epoch:
+        if int(epoch_id) == last_epoch:
             # at-least-once redelivery of a committed epoch: KLL merge
             # is NOT idempotent, so the retry must fold nothing
             return
+        if int(epoch_id) < last_epoch:
+            # A retry always replays the SAME epoch id, so a strictly
+            # lower id means a different query lifetime — a stream
+            # restarted with a fresh checkpoint dir against this state
+            # dir. Silently skipping would serve stale quantiles
+            # forever; fail loudly instead.
+            raise RuntimeError(
+                "epoch id %d regressed below the committed watermark "
+                "%d: this state dir was folded by a different "
+                "streaming query (fresh checkpoint dir?). Reuse the "
+                "original checkpoint dir, or call rebind() to accept "
+                "the new query's epoch numbering while keeping the "
+                "accumulated sketches." % (int(epoch_id), last_epoch)
+            )
         fresh = kll_sketch(
             batch_df.select(*self.group_cols, self.value_col),
             self.group_cols, self.value_col, k=self.k,

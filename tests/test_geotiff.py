@@ -220,3 +220,35 @@ def test_write_geotiff_rasterizes_points(spark, tmp_path):
         write_geotiff(df, out, (0.0, 0.0, 4.0, 2.0), 10**5, 10**3)
     with pytest.raises(ValueError, match="agg must be"):
         write_geotiff(df, out, (0.0, 0.0, 4.0, 2.0), 4, 2, agg="p99")
+
+
+def test_projected_crs_key_is_3072():
+    """ADVICE r5: projected CRS codes belong under ProjectedCSTypeGeoKey
+    (3072), geographic ones under GeographicTypeGeoKey (2048) — GDAL
+    misreads a projected code stored under 2048."""
+    import struct as _struct
+
+    def geo_keys(buf):
+        g = decode_geotiff(buf)
+        # re-parse the raw GeoKeyDirectory (tag 34735)
+        e = g._e
+        (n,) = _struct.unpack_from(e + "H", buf, 4 if e == "<" else 4)
+        tags = g._read_ifd(_struct.unpack_from(e + "I", buf, 4)[0])
+        return [int(v) for v in tags[34735]], g
+
+    band = np.zeros((8, 8), dtype=np.uint8)
+    keys, g = geo_keys(encode_geotiff(band, (0.0, 0.0, 8.0, 8.0),
+                                      epsg=3857))
+    kv = {keys[k]: keys[k + 3] for k in range(4, len(keys) - 3, 4)}
+    assert kv[1024] == 1          # GTModelType = projected
+    assert 3072 in kv and kv[3072] == 3857
+    assert 2048 not in kv
+    assert g.epsg == 3857         # reader picks up key 3072
+
+    keys, g = geo_keys(encode_geotiff(band, (0.0, 0.0, 8.0, 8.0),
+                                      epsg=4326))
+    kv = {keys[k]: keys[k + 3] for k in range(4, len(keys) - 3, 4)}
+    assert kv[1024] == 2          # geographic
+    assert 2048 in kv and kv[2048] == 4326
+    assert 3072 not in kv
+    assert g.epsg == 4326

@@ -159,3 +159,29 @@ def test_all_null_group_is_skipped(spark):
     vals = {r["grp"]: r["est"] for r in est.collect()}
     assert vals[3] == 5.0
     assert 0 <= vals[1] <= 49
+
+
+def test_merge_is_fold_order_deterministic(spark):
+    """ADVICE r5: KLL compaction consumes a seeded RNG, so the merged
+    sketch depends on fold ORDER; kll_merge must therefore sort partial
+    rows by content before folding so run-to-run arrival-order jitter
+    cannot change the estimate."""
+    rng = np.random.default_rng(7)
+    partials = []
+    for i in range(6):
+        sk = KLLSketch(64)
+        sk.update_many(rng.uniform(0, 100, 5_000))
+        levels, n = sk.to_row()
+        partials.append((0, levels, n))
+
+    import itertools
+
+    outs = set()
+    for perm in itertools.islice(
+            itertools.permutations(partials), 8):
+        df = local_df(spark, list(perm), ["grp", "levels", "n"])
+        (row,) = kll_merge(df, ["grp"], k=64).collect()
+        sk = KLLSketch.from_row(row["levels"], row["n"], 64)
+        outs.add(tuple(sk.quantile(q)
+                       for q in (0.1, 0.25, 0.5, 0.75, 0.9)))
+    assert len(outs) == 1, outs

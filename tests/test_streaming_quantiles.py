@@ -104,13 +104,36 @@ def test_redelivered_epoch_folds_nothing(spark, tmp_path):
     state.foreach_batch(b1, 0)   # same-epoch retry: no double count
     state.foreach_batch(b2, 1)
     state.foreach_batch(b2, 1)
-    state.foreach_batch(b1, 0)   # stale redelivery after later epochs
     (row,) = state.current().collect()
     assert row["n"] == 150
     # a NEW epoch with the same data DOES fold (it is new data)
     state.foreach_batch(b2, 2)
     (row,) = state.current().collect()
     assert row["n"] == 200
+
+
+def test_epoch_regression_raises_and_rebind_recovers(spark, tmp_path):
+    """An epoch id BELOW the committed watermark can only come from a
+    different query lifetime (fresh checkpoint dir against existing
+    state): silently skipping would serve stale quantiles forever, so
+    it raises; rebind() accepts the new numbering, keeping sketches."""
+    import pytest
+
+    state = QuantileState(spark, str(tmp_path / "state"), ["grp"],
+                          "value", k=64)
+    b1 = local_df(spark, [(0, float(v)) for v in range(100)],
+                  ["grp", "value"])
+    state.foreach_batch(b1, 0)
+    state.foreach_batch(b1, 1)
+    with pytest.raises(RuntimeError, match="regressed"):
+        state.foreach_batch(b1, 0)  # restarted query, fresh checkpoint
+    # state untouched by the rejected fold
+    (row,) = state.current().collect()
+    assert row["n"] == 200
+    state.rebind()
+    state.foreach_batch(b1, 0)  # new query's epoch 0 now folds
+    (row,) = state.current().collect()
+    assert row["n"] == 300
 
 
 def test_empty_batch_advances_epoch(spark, tmp_path):
