@@ -50,8 +50,53 @@ def main() -> None:
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
     spark = get_spark(app_name="ppge-bench", master="local[%d]" % cpus,
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus,
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.retainedStages": "30000"})
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Stage-metric deltas from the UI REST API. Wall clock on this
+    # co-tenant host swings 5-25x under CPU-steal bursts (twice a
+    # burst-poisoned BENCH artifact read as a phantom regression), but
+    # total executor TASK time and shuffle bytes are properties of the
+    # plan: a burst stretches wall time while task time stays ~flat, a
+    # real regression moves both. Publishing both per run makes every
+    # wall-time delta explainable in-artifact.
+    from pure_python_geospatial_export_spark.session import (
+        ui_completed_stages,
+    )
+
+    def _stage_snapshot():
+        try:
+            _ui, _app, stages = ui_completed_stages(spark)
+        except Exception:
+            return None
+        return {(s["stageId"], s["attemptId"]): s for s in stages}
+
+    def _stage_delta(before):
+        """(task_time_s, shuffle_write_mb) of stages completed since
+        `before` — polled until the listing stops growing so the last
+        stage's async status flip is not missed."""
+        if before is None:
+            return None, None
+        after = _stage_snapshot()
+        if after is None:
+            return None, None
+        stable = 0
+        for _ in range(20):
+            time.sleep(0.05)
+            nxt = _stage_snapshot() or after
+            if len(nxt) == len(after):
+                stable += 1
+                if stable >= 2 and len(after) > len(before):
+                    break
+            else:
+                stable = 0
+            after = nxt
+        new = [s for k, s in after.items() if k not in before]
+        task_ms = sum(int(s.get("executorRunTime", 0)) for s in new)
+        shuffle_b = sum(int(s.get("shuffleWriteBytes", 0)) for s in new)
+        return round(task_ms / 1000.0, 3), round(shuffle_b / 2**20, 2)
 
     # --- flagship: pages spatial-join + tile-assign throughput ----------
     pages = with_point(synth_pages(spark, pages_n, partitions=cpus * 2))
@@ -114,13 +159,28 @@ def main() -> None:
     # poisons at most one sweep). Raw per-run timings are published so a
     # judge re-run can distinguish a real regression from a burst.
     raw_runs: dict[str, list[float]] = {name: [] for name, _ in runners}
+    raw_task: dict[str, list] = {name: [] for name, _ in runners}
+    raw_shuffle: dict[str, list] = {name: [] for name, _ in runners}
     for _ in range(repeats):
         for name, run in runners:
+            before = _stage_snapshot()
             t0 = time.time()
             run()
             raw_runs[name].append(round(time.time() - t0, 3))
+            task_s, shuf_mb = _stage_delta(before)
+            raw_task[name].append(task_s)
+            raw_shuffle[name].append(shuf_mb)
 
     timings = {name: min(ts) for name, ts in raw_runs.items()}
+    task_time = {
+        name: (min(v for v in ts if v is not None)
+               if any(v is not None for v in ts) else None)
+        for name, ts in raw_task.items()
+    }
+    shuffle_mb = {
+        name: next((v for v in vs if v is not None), None)
+        for name, vs in raw_shuffle.items()
+    }
     pages_per_sec = round(pages_n / timings["flagship_pages_join"], 1)
 
     total = round(sum(timings.values()), 3)
@@ -131,6 +191,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "raw_runs": raw_runs,
+        "task_time_s": task_time,
+        "raw_task_time_s": raw_task,
+        "shuffle_write_mb": shuffle_mb,
         "repeats": repeats,
         "sf": sf_num,
         "pages_n": pages_n,
