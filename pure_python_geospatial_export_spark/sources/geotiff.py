@@ -152,17 +152,8 @@ def encode_geotiff(
     chunky = np.stack(bands, axis=-1)
 
     def _pack_block(block) -> bytes:
-        # block: (bh, bw, s) in native dtype
-        arr = block
-        if predictor == 2:
-            d = arr.astype(dt)  # copy
-            d = d.copy()
-            d[:, 1:, :] = arr[:, 1:, :].astype(dt) - arr[:, :-1, :]
-            arr = d
-        raw = arr.astype(dt.newbyteorder(byteorder)).tobytes()
-        if comp_id == _COMP_NONE:
-            return raw
-        return zlib.compress(raw, 6)
+        return _pack_raster_block(block, dt, predictor, comp_id,
+                                  byteorder)
 
     blocks: List[bytes] = []
     if tiled:
@@ -185,6 +176,63 @@ def encode_geotiff(
                                                         * dt.itemsize)))
         for r0 in range(0, h, rows_per_strip):
             blocks.append(_pack_block(chunky[r0:r0 + rows_per_strip]))
+
+    header = _tiff_header(
+        w, h, n_samples, dt, fmt, [len(b) for b in blocks],
+        bbox=(x0, y0, x1, y1), compression=compression, tiled=tiled,
+        tile_size=tile_size,
+        rows_per_strip=(None if tiled else rows_per_strip),
+        predictor=predictor, byteorder=byteorder, epsg=epsg,
+    )
+    return header + b"".join(blocks)
+
+
+def _pack_raster_block(block, dt, predictor, comp_id,
+                       byteorder) -> bytes:
+    """Pack ONE (bh, bw, s) pixel-interleaved block to its on-disk
+    bytes (optional horizontal-difference predictor, optional
+    deflate). Shared by the in-memory encoder and the distributed
+    sink's executor-side tile encoders — both must produce identical
+    block bytes for the assembled files to be byte-equal."""
+    arr = block
+    if predictor == 2:
+        d = arr.astype(dt)  # copy
+        d = d.copy()
+        d[:, 1:, :] = arr[:, 1:, :].astype(dt) - arr[:, :-1, :]
+        arr = d
+    raw = arr.astype(dt.newbyteorder(byteorder)).tobytes()
+    if comp_id == _COMP_NONE:
+        return raw
+    return zlib.compress(raw, 6)
+
+
+def _tiff_header(
+    w: int,
+    h: int,
+    n_samples: int,
+    dt,
+    fmt: int,
+    block_lens: List[int],
+    *,
+    bbox,
+    compression: str,
+    tiled: bool,
+    tile_size: int,
+    rows_per_strip,
+    predictor: int,
+    byteorder: str,
+    epsg: int,
+) -> bytes:
+    """Everything that precedes the block data: TIFF header + IFD +
+    overflow area, with block offsets computed from ``block_lens``.
+    The full file is this header followed by the blocks concatenated
+    in index order — which is what lets the distributed sink stream
+    pre-compressed tiles to disk without materializing the raster."""
+    bits = dt.itemsize * 8
+    comp_id = _COMP_NONE if compression == "none" else _COMP_DEFLATE
+    x0, y0, x1, y1 = (float(v) for v in bbox)
+    sx = (x1 - x0) / w
+    sy = (y1 - y0) / h
 
     # GeoKeyDirectory: version 1.1.0, 3 keys. The CRS code key depends
     # on the model type: geographic CRSes live under GeographicTypeGeoKey
@@ -229,9 +277,9 @@ def encode_geotiff(
     else:
         entries.append(_entry(_TAG_ROWS_PER_STRIP, 4, [rows_per_strip]))
         off_tag, cnt_tag = _TAG_STRIP_OFFSETS, _TAG_STRIP_BYTES
-    entries.append(_entry(cnt_tag, 4, [len(b) for b in blocks]))
+    entries.append(_entry(cnt_tag, 4, list(block_lens)))
     # offsets filled after layout below (placeholder values)
-    entries.append(_entry(off_tag, 4, [0] * len(blocks)))
+    entries.append(_entry(off_tag, 4, [0] * len(block_lens)))
     entries.sort(key=lambda t: t[0])
 
     # layout: header(8) + IFD + overflow area + block data
@@ -253,9 +301,9 @@ def encode_geotiff(
 
     offsets = []
     pos = data_off
-    for b in blocks:
+    for n in block_lens:
         offsets.append(pos)
-        pos += len(b)
+        pos += n
 
     # rewrite the offsets entry now that positions are known
     off_payload = b"".join(struct.pack(e + "I", o) for o in offsets)
@@ -277,8 +325,6 @@ def encode_geotiff(
         if tag == off_tag and in_overflow:
             ov = ov[:ov_pos] + off_payload + ov[ov_pos + len(off_payload):]
     out += ov
-    for b in blocks:
-        out += b
     return bytes(out)
 
 
@@ -562,6 +608,7 @@ def write_geotiff(
     compression: str = "deflate",
     tiled: bool = True,
     tile_size: int = 256,
+    engine: str = "auto",
 ) -> dict:
     """Rasterize a point/value frame into ONE GeoTIFF — the raster
     SINK closing the round trip that :func:`read_geotiff` opens
@@ -572,19 +619,40 @@ def write_geotiff(
     y-down), the per-pixel ``agg`` ("mean"/"sum"/"count"/"min"/"max")
     is a map-side-combining groupBy — the only shuffle, and its
     cardinality is bounded by width*height, NOT by the input rows.
-    The aggregated grid (<= width*height rows by construction) then
-    collects to the driver for encoding: the OUTPUT raster size is the
-    caller's explicit contract, guarded at 64M pixels — beyond that,
-    export per-region tiles instead (one call per region bbox).
     Pixels no point hits get ``nodata``. Returns {path, n_pixels,
-    n_rows, bytes}."""
+    n_rows, bytes}.
+
+    Two assembly engines, byte-identical output (asserted in tests):
+
+    * ``"driver"`` — the aggregated grid collects to the driver and
+      encodes in memory. Simple, but driver memory is O(width*height);
+      guarded at 64M pixels.
+    * ``"distributed"`` — tiled output only. Executors encode each
+      TIFF tile to its final compressed bytes (``ordered_group_map``
+      over tile ids — one extra bounded shuffle), and the driver
+      streams pre-compressed tiles into the container in index order
+      via ``toLocalIterator``: driver memory is O(one tile) + the
+      offset table, never the raster. Tiles no pixel hits reuse one
+      shared nodata blob per distinct edge shape. This is the
+      100TB-scale shape — raster size bounded by disk, not driver
+      heap.
+    * ``"auto"`` — driver below 4M pixels (no extra shuffle),
+      distributed above (when ``tiled``).
+    """
     from pyspark.sql import functions as F
 
     w, h = int(width), int(height)
-    if w * h > 64_000_000:
+    if engine not in ("auto", "driver", "distributed"):
+        raise ValueError("engine must be auto|driver|distributed")
+    if engine == "distributed" and not tiled:
+        raise ValueError("engine='distributed' requires tiled=True")
+    if engine == "auto":
+        engine = "driver" if (w * h <= 4_000_000 or not tiled) \
+            else "distributed"
+    if engine == "driver" and w * h > 64_000_000:
         raise ValueError(
-            "raster %dx%d exceeds the 64M-pixel single-file guard; "
-            "export per-region tiles instead" % (w, h)
+            "raster %dx%d exceeds the 64M-pixel driver-assembly "
+            "guard; use engine='distributed' (tiled)" % (w, h)
         )
     aggs = {
         "mean": F.avg, "sum": F.sum, "count": lambda c: F.count(c),
@@ -613,6 +681,12 @@ def write_geotiff(
         .agg(aggs[agg]("_v").cast("double").alias("_val"),
              F.count(F.lit(1)).alias("_n"))
     )
+    if engine == "distributed":
+        return _write_geotiff_distributed(
+            grid, path, (x0, y0, x1, y1), w, h, dtype=dtype,
+            nodata=nodata, compression=compression,
+            tile_size=tile_size,
+        )
     rows = grid.collect()
     band = np.full((h, w), float(nodata), dtype=np.dtype(dtype))
     n_rows = 0
@@ -629,3 +703,153 @@ def write_geotiff(
     os.replace(tmp, path)
     return {"path": path, "n_pixels": len(rows), "n_rows": n_rows,
             "bytes": len(buf)}
+
+
+def _write_geotiff_distributed(
+    grid,
+    path: str,
+    bbox,
+    w: int,
+    h: int,
+    *,
+    dtype: str,
+    nodata: float,
+    compression: str,
+    tile_size: int,
+) -> dict:
+    """Executor-side tile encoding + driver-side streamed assembly.
+
+    ``grid`` is the aggregated (_px, _py, _val, _n) pixel frame. Each
+    TIFF tile is an independently compressed block, so executors can
+    produce FINAL on-disk bytes per tile (identical to what the
+    in-memory encoder's _pack_block would emit — padding beyond the
+    raster edge is zero, unhit in-raster pixels are nodata). The
+    driver then needs only the block-length table to lay out the
+    container and streams blobs to disk in tile order."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.grouped import ordered_group_map
+
+    if tile_size % 16:
+        raise ValueError("TIFF tile size must be a multiple of 16")
+    dt = np.dtype(dtype)
+    if dt.kind == "u":
+        fmt = _SAMPLE_FORMAT_UINT
+    elif dt.kind == "i":
+        fmt = _SAMPLE_FORMAT_INT
+    elif dt.kind == "f":
+        fmt = _SAMPLE_FORMAT_FLOAT
+    else:
+        raise ValueError("unsupported dtype %s" % dt)
+    comp_id = _COMP_NONE if compression == "none" else _COMP_DEFLATE
+    if compression not in ("none", "deflate"):
+        raise ValueError("compression must be 'none' or 'deflate'")
+    ts = int(tile_size)
+    tiles_across = (w + ts - 1) // ts
+    tiles_down = (h + ts - 1) // ts
+    n_tiles = tiles_across * tiles_down
+    nodata_f = float(nodata)
+
+    def _blank_tile(tx: int, ty: int) -> np.ndarray:
+        # in-raster region nodata, out-of-raster padding zero — the
+        # same fill order the in-memory encoder produces
+        valid_h = min(ts, h - ty * ts)
+        valid_w = min(ts, w - tx * ts)
+        arr = np.zeros((ts, ts), dtype=dt)
+        arr[:valid_h, :valid_w] = nodata_f
+        return arr
+
+    def _encode_tile(key, pdf):
+        import pandas as pd
+
+        tidx = int(key[0])
+        ty, tx = divmod(tidx, tiles_across)
+        arr = _blank_tile(tx, ty)
+        arr[
+            pdf["_py"].to_numpy() - ty * ts,
+            pdf["_px"].to_numpy() - tx * ts,
+        ] = pdf["_val"].to_numpy()
+        blob = _pack_raster_block(arr[:, :, None], dt, 1, comp_id, "<")
+        return pd.DataFrame({
+            "tidx": [tidx], "nbytes": [len(blob)],
+            "npix": [len(pdf)], "npts": [int(pdf["_n"].sum())],
+            "blob": [blob],
+        })
+
+    tile_df = grid.withColumn(
+        "_tidx",
+        (F.floor(F.col("_py") / ts) * tiles_across
+         + F.floor(F.col("_px") / ts)).cast("long"),
+    )
+    encoded = ordered_group_map(
+        tile_df, ["_tidx"], _encode_tile,
+        "tidx long, nbytes long, npix long, npts long, blob binary",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # pass 1: lengths + counts only (4 small columns, no blobs) —
+        # enough to lay out the whole container up front
+        meta = encoded.select("tidx", "nbytes", "npix",
+                              "npts").collect()
+        lens = {int(r["tidx"]): int(r["nbytes"]) for r in meta}
+        n_pixels = sum(int(r["npix"]) for r in meta)
+        n_rows = sum(int(r["npts"]) for r in meta)
+
+        # empty tiles share one blob per distinct edge shape (interior
+        # / right edge / bottom edge / corner — at most 4 encodes)
+        blank_cache: dict = {}
+
+        def _blank_blob(tidx: int) -> bytes:
+            ty, tx = divmod(tidx, tiles_across)
+            shape_key = (min(ts, w - tx * ts), min(ts, h - ty * ts))
+            blob = blank_cache.get(shape_key)
+            if blob is None:
+                blob = blank_cache[shape_key] = _pack_raster_block(
+                    _blank_tile(tx, ty)[:, :, None], dt, 1, comp_id,
+                    "<",
+                )
+            return blob
+
+        block_lens = [
+            lens.get(i, -1) for i in range(n_tiles)
+        ]
+        for i, n in enumerate(block_lens):
+            if n < 0:
+                block_lens[i] = len(_blank_blob(i))
+
+        header = _tiff_header(
+            w, h, 1, dt, fmt, block_lens, bbox=bbox,
+            compression=compression, tiled=True, tile_size=ts,
+            rows_per_strip=None, predictor=1, byteorder="<",
+            epsg=4326,
+        )
+
+        # pass 2: stream blobs to disk in tile order, filling gaps
+        # with the shared blank blobs — O(one tile) driver memory
+        tmp = path + ".tmp"
+        total = len(header)
+        with open(tmp, "wb") as f:
+            f.write(header)
+            next_tile = 0
+            it = (encoded.select("tidx", "blob").orderBy("tidx")
+                  .toLocalIterator())
+            for r in it:
+                tidx = int(r["tidx"])
+                while next_tile < tidx:
+                    blob = _blank_blob(next_tile)
+                    f.write(blob)
+                    total += len(blob)
+                    next_tile += 1
+                f.write(bytes(r["blob"]))
+                total += len(r["blob"])
+                next_tile += 1
+            while next_tile < n_tiles:
+                blob = _blank_blob(next_tile)
+                f.write(blob)
+                total += len(blob)
+                next_tile += 1
+        os.replace(tmp, path)
+    finally:
+        encoded.unpersist()
+    return {"path": path, "n_pixels": n_pixels, "n_rows": n_rows,
+            "bytes": total}

@@ -217,7 +217,12 @@ def test_write_geotiff_rasterizes_points(spark, tmp_path):
 
     import pytest
     with pytest.raises(ValueError, match="64M-pixel"):
-        write_geotiff(df, out, (0.0, 0.0, 4.0, 2.0), 10**5, 10**3)
+        write_geotiff(df, out, (0.0, 0.0, 4.0, 2.0), 10**5, 10**3,
+                      engine="driver")
+    with pytest.raises(ValueError, match="distributed.*requires|"
+                       "requires tiled"):
+        write_geotiff(df, out, (0.0, 0.0, 4.0, 2.0), 4, 2,
+                      tiled=False, engine="distributed")
     with pytest.raises(ValueError, match="agg must be"):
         write_geotiff(df, out, (0.0, 0.0, 4.0, 2.0), 4, 2, agg="p99")
 
@@ -252,3 +257,75 @@ def test_projected_crs_key_is_3072():
     assert 2048 in kv and kv[2048] == 4326
     assert 3072 not in kv
     assert g.epsg == 4326
+
+
+def test_write_geotiff_distributed_bytes_equal_driver(spark, tmp_path):
+    """The distributed sink (executor-side tile encode + streamed
+    driver assembly) must produce a byte-identical file to the driver
+    in-memory encoder — same blocks, same container layout."""
+    from pure_python_geospatial_export_spark.session import local_df
+    from pure_python_geospatial_export_spark.sources.geotiff import (
+        write_geotiff,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 5_000
+    rows = [(float(x), float(y), float(v)) for x, y, v in zip(
+        rng.uniform(0.0, 10.0, n), rng.uniform(0.0, 6.0, n),
+        rng.integers(0, 100, n))]
+    df = local_df(spark, rows, ["lon", "lat", "value"]).repartition(7)
+
+    # 600x520: multiple 256-tiles incl. partial edge/corner tiles
+    kw = dict(bbox=(0.0, 0.0, 10.0, 6.0), width=600, height=520,
+              agg="mean", nodata=-1.0, tiled=True, tile_size=256)
+    p_drv = str(tmp_path / "drv.tif")
+    p_dst = str(tmp_path / "dst.tif")
+    r1 = write_geotiff(df, p_drv, engine="driver", **kw)
+    r2 = write_geotiff(df, p_dst, engine="distributed", **kw)
+    b1 = open(p_drv, "rb").read()
+    b2 = open(p_dst, "rb").read()
+    assert b1 == b2
+    assert r1 == {**r2, "path": p_drv}
+
+    # uncompressed variant too (different block framing)
+    kw["compression"] = "none"
+    write_geotiff(df, p_drv, engine="driver", **kw)
+    write_geotiff(df, p_dst, engine="distributed", **kw)
+    assert open(p_drv, "rb").read() == open(p_dst, "rb").read()
+
+
+def test_write_geotiff_distributed_beyond_driver_guard(spark, tmp_path):
+    """>64M pixels — the regime the driver collect refused — now
+    writes with bounded driver memory; spot pixels and georeference
+    verified through the engine's own decoder."""
+    from pure_python_geospatial_export_spark.session import local_df
+    from pure_python_geospatial_export_spark.sources.geotiff import (
+        write_geotiff,
+    )
+
+    w, h = 16384, 8192  # 134M px, sparse points
+    bbox = (0.0, -90.0, 360.0, 90.0)
+    rows = [(0.011, 89.989, 7.0),       # pixel (0, 0)
+            (359.989, -89.989, 9.0),    # pixel (w-1, h-1)
+            (180.0 + 1e-3, -1e-3, 5.0)]
+    df = local_df(spark, rows, ["lon", "lat", "value"])
+
+    with pytest.raises(ValueError, match="driver-assembly"):
+        write_geotiff(df, str(tmp_path / "x.tif"), bbox, w, h,
+                      engine="driver")
+
+    out = str(tmp_path / "big.tif")
+    res = write_geotiff(df, out, bbox, w, h, agg="sum", nodata=0.0,
+                        engine="auto")  # auto -> distributed
+    assert res["n_pixels"] == 3 and res["n_rows"] == 3
+    g = decode_geotiff(open(out, "rb").read())
+    assert (g.width, g.height) == (w, h)
+    assert g.bbox == (0.0, -90.0, 360.0, 90.0)
+    # decode only the tiles containing the three points
+    hits = {}
+    for idx, (py0, px0, arr) in enumerate(g.blocks()):
+        nz = np.nonzero(arr[:, :, 0])
+        for yy, xx in zip(*nz):
+            hits[(px0 + xx, py0 + yy)] = float(arr[yy, xx, 0])
+    assert hits == {(0, 0): 7.0, (w - 1, h - 1): 9.0,
+                    (8192, 4096): 5.0}
