@@ -34,7 +34,7 @@ two ways:
   O(m^2) pairs.
 
 KNOWN RECALL GAP under min-band ownership (``emit_mode="min_band"``,
-the default): FIFO eviction is per-bucket (it depends on that bucket's
+opt-in): FIFO eviction is per-bucket (it depends on that bucket's
 occupancy), so member ``o`` can be evicted from the OWNING band's
 bucket while another colliding band's bucket still holds both members
 — the non-owning bucket skips emission (its band isn't the minimum
@@ -43,12 +43,14 @@ watermark horizon trade: time eviction is deterministic on (ts,
 watermark) and hence consistent across all of a doc's buckets, but
 space eviction is not. Buckets are independent state keys with no
 cross-bucket channel, so no ownership rule computable from one
-bucket's state can close this. When the consumer is idempotent on
-pairs (e.g. the ``foreachBatch`` union-find clustering sink in
-``streaming/cluster.py``, or any sink keyed on (id_a, id_b)), use
-``emit_mode="all_bands"``: every colliding bucket emits
-(at-least-once), and a pair is missed only if evicted from ALL its
-colliding buckets — strictly better recall, duplicate rows possible.
+bucket's state can close this. ``emit_mode="all_bands"`` is therefore
+the DEFAULT: every colliding bucket emits (at-least-once), a pair is
+missed only if evicted from ALL its colliding buckets — strictly
+better recall, duplicate rows possible, so consumers must be
+idempotent on pairs (e.g. the ``foreachBatch`` union-find clustering
+sink in ``streaming/cluster.py``, or any sink keyed on (id_a, id_b)).
+``min_band`` remains the exactly-once opt-in for consumers that
+cannot tolerate duplicates and accept the eviction gap.
 
 Verification is EXACT inside the kernel: both members' shingle sets are
 in hand, so the emitted ``jaccard`` equals the batch operator's
@@ -101,12 +103,13 @@ def make_bucket_matcher(
     use_timeout: bool,
     num_hashes: int,
     bands: int,
-    emit_mode: str = "min_band",
+    emit_mode: str = "all_bands",
 ):
     if emit_mode not in ("min_band", "all_bands"):
         raise ValueError(
-            "emit_mode must be 'min_band' (exactly-once, eviction recall "
-            "gap) or 'all_bands' (at-least-once), got %r" % (emit_mode,)
+            "emit_mode must be 'all_bands' (at-least-once, the safe "
+            "default) or 'min_band' (exactly-once, eviction recall "
+            "gap), got %r" % (emit_mode,)
         )
     rows_per_band = num_hashes // bands
 
@@ -242,15 +245,23 @@ def near_duplicates_stream(
     shingle_size: int = 3,
     watermark: str = "2 hours",
     max_members: int = 256,
-    emit_mode: str = "min_band",
+    emit_mode: str = "all_bands",
 ) -> DataFrame:
     """docs stream (or batch frame) -> (id_a, id_b, jaccard, pair_ts),
     one row per near-duplicate pair found within the watermark horizon.
 
-    ``emit_mode``: ``"min_band"`` (default) emits each pair exactly once
-    but can miss pairs whose owning bucket FIFO-evicted a member (see
-    module docstring); ``"all_bands"`` emits from every colliding bucket
-    (at-least-once) for idempotent consumers such as clustering.
+    ``emit_mode``: ``"all_bands"`` (the default — safe) emits a pair
+    from EVERY colliding bucket, so at-least-once: a pair is lost only
+    if evicted from all its colliding buckets, and downstream
+    consumers must be idempotent (dedup on (id_a, id_b), or the
+    union-find fold in streaming/cluster.py — which both are).
+    ``"min_band"`` emits each pair exactly once (lowest colliding band
+    owns it) but has a documented recall gap: per-bucket FIFO space
+    eviction can remove a member from the OWNING band's bucket while
+    another band still holds both, silently losing the pair (see
+    module docstring). Opt into ``min_band`` only when the consumer
+    cannot tolerate duplicates and the eviction risk is acceptable
+    (e.g. ``max_members`` far above any realistic bucket occupancy).
     """
     is_streaming = docs.isStreaming
     sig = minhash_signature(

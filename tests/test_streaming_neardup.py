@@ -212,7 +212,10 @@ def test_horizon_bounds_state_and_matches(spark, tmp_path):
 def test_member_cap_fifo(spark):
     """max_members caps bucket state: with a cap of 2, only the most
     recent members can pair; a batch-mode run shows the oldest member
-    stops matching once evicted."""
+    stops matching once evicted. Pinned to emit_mode='min_band' — the
+    per-bucket eviction timeline this asserts is only observable under
+    single-bucket ownership (the all_bands default can legitimately
+    recover an evicted pair from another colliding bucket)."""
     stem = " ".join("cap%d" % k for k in range(30))
     rows = [
         (i, stem + " v%d" % i, BASE + datetime.timedelta(minutes=i))
@@ -223,7 +226,7 @@ def test_member_cap_fifo(spark):
     got = {
         (r["id_a"], r["id_b"])
         for r in near_duplicates_stream(
-            df, threshold=0.5, max_members=2
+            df, threshold=0.5, max_members=2, emit_mode="min_band"
         ).collect()
     }
     # doc 4 can only see docs 2 and 3 (0 and 1 evicted by then)
@@ -280,9 +283,10 @@ def _eviction_scenario(emit_mode):
         make_bucket_matcher,
     )
 
+    kw = {} if emit_mode is None else {"emit_mode": emit_mode}
     matcher = make_bucket_matcher(
         threshold=0.9, max_members=2, horizon_seconds=10**9,
-        use_timeout=False, num_hashes=4, bands=2, emit_mode=emit_mode,
+        use_timeout=False, num_hashes=4, bands=2, **kw,
     )
     sig_ab = [1, 1, 2, 2]
     sh_ab = [10, 20, 30]
@@ -327,6 +331,10 @@ def test_min_band_eviction_loses_pair_all_bands_recovers(spark):
 
     pairs = _eviction_scenario("all_bands")
     assert (1, 9) in pairs
+
+    # VERDICT r5 #3: under DEFAULTS (emit_mode now all_bands) the
+    # documented eviction scenario yields the pair
+    assert (1, 9) in _eviction_scenario(None)
 
     import tempfile
     with tempfile.TemporaryDirectory() as d:
