@@ -261,6 +261,9 @@ def jaccard_verify(
     shingle_size: int = 3,
     shingles_df: DataFrame | None = None,
     size_prefilter: bool = True,
+    sig_df: DataFrame | None = None,
+    sig_margin: float | None = None,
+    num_hashes: int = 64,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs -> pairs >= threshold.
 
@@ -276,7 +279,24 @@ def jaccard_verify(
     shingle-array transfer — with ZERO recall change (the bound is a
     theorem, not an estimate; a 1e-12 threshold slack absorbs float
     rounding so borderline pairs are never dropped, merely re-verified
-    exactly)."""
+    exactly).
+
+    ``sig_df`` + ``sig_margin`` enable the SKETCH-FIRST prefilter: the
+    already-computed minhash signatures (``num_hashes`` longs per doc
+    — typically 10-100x smaller than a shingle array) join the
+    candidate pairs first, and a pair whose signature-agreement
+    fraction falls below ``threshold - sig_margin`` never ships its
+    shingle arrays. Agreement is an unbiased estimate of J, so unlike
+    the size bound this is APPROXIMATE: a true pair with J >= t is
+    dropped with probability <= exp(-2*num_hashes*sig_margin^2)
+    (Hoeffding) — ~3e-4 at num_hashes=64, margin=0.25; ~1e-7 at
+    margin=0.35. Exactness-gated callers (the driver oracle) leave it
+    off; corpus-scale jobs where the candidate pool is dominated by
+    far-below-threshold junk get the dominant shuffle cut for a
+    bounded, quantified recall trade (measured in
+    scripts/minhash_verify_ab.py)."""
+    if sig_margin is not None and sig_df is None:
+        raise ValueError("sig_margin requires sig_df (id, sig)")
     if shingles_df is None:
         shingles_df = df.select(
             F.col(id_col),
@@ -299,6 +319,27 @@ def jaccard_verify(
                 >= F.greatest("_na", "_nb").cast("double")
                 * F.lit(threshold - 1e-12)
             )
+            .select("id_a", "id_b")
+        )
+    if sig_margin is not None:
+        sa = sig_df.select(F.col(id_col).alias("id_a"),
+                           F.col("sig").alias("_sig_a"))
+        sb = sig_df.select(F.col(id_col).alias("id_b"),
+                           F.col("sig").alias("_sig_b"))
+        agree = F.aggregate(
+            F.zip_with(
+                "_sig_a", "_sig_b",
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(
+                    F.lit(0)
+                ),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double") / F.lit(float(num_hashes))
+        pairs = (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .where(agree >= F.lit(float(threshold) - float(sig_margin)))
             .select("id_a", "id_b")
         )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -324,6 +365,7 @@ def near_duplicates_minhash(
     shingle_size: int = 3,
     max_bucket: int | None = None,
     size_prefilter: bool = True,
+    sig_margin: float | None = None,
 ) -> DataFrame:
     """End-to-end MinHash LSH near-dup: (id_a, id_b, jaccard).
 
@@ -332,7 +374,13 @@ def near_duplicates_minhash(
     the shingling per consumer would triple the dominant cost. The result
     is materialized eagerly (localCheckpoint) so the base relation can be
     unpersisted before returning — long-lived sessions don't accumulate
-    retained RDDs across calls."""
+    retained RDDs across calls.
+
+    ``sig_margin`` (off by default — the default path stays EXACT LSH
+    verify) turns on the sketch-first prefilter: candidate pairs whose
+    minhash-signature agreement is below ``threshold - sig_margin``
+    are pruned via a skinny signature join before any shingle array
+    ships. Quantified recall trade per :func:`jaccard_verify`."""
     base = minhash_signature(df, id_col, text_col, num_hashes,
                              shingle_size).persist()
     # size bound applied IN the band join (free: sizes ride the banded
@@ -344,9 +392,12 @@ def near_duplicates_minhash(
     shingles_df = base.select(
         F.col(id_col), F.col("shingle_hashes").alias("sh")
     )
+    sig_df = (base.select(F.col(id_col), "sig")
+              if sig_margin is not None else None)
     out = jaccard_verify(cands, df, id_col, text_col, threshold,
                          shingle_size, shingles_df=shingles_df,
-                         size_prefilter=False)
+                         size_prefilter=False, sig_df=sig_df,
+                         sig_margin=sig_margin, num_hashes=num_hashes)
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out

@@ -1,14 +1,22 @@
-"""A/B: MinHash verify-join shuffle with and without the exact size
-pre-filter (round-5 verdict item 2).
+"""A/B: MinHash verify-join shuffle across prefilter modes.
 
-Corpus: near-dup families plus subset pairs (short doc fully contained
-in a 2x-longer doc, Jaccard ~0.5) that collide in LSH bands but can
-never reach the 0.8 threshold — exactly the candidates the size bound
-J <= min/max prunes before any shingle array ships.
+Corpus: near-dup families plus two junk-candidate shapes —
+* subset pairs (short doc contained in a longer one, J ~ 0.5-0.75,
+  DIFFERENT sizes): the exact size bound J <= min/max prunes these
+  before any shingle array ships (round-5 verdict item 2);
+* half-overlap siblings (same length, half the tokens shared,
+  J ~ 0.5): size-bound-PROOF — only the round-6 sketch-first filter
+  (signature-agreement >= threshold - margin over the already-computed
+  minhash signatures) prunes them before the array join.
 
-Reports, per mode: wall seconds (best of N interleaved), pairs entering
-the array join, result pairs (MUST be identical), and the delta of
-executor shuffle-write bytes pulled from the Spark UI REST API.
+Modes: none / size / size+sig(margin=0.2). Result pair sets are
+asserted IDENTICAL across modes (every pruned candidate is below
+threshold; the Hoeffding drop probability for a true pair at
+num_hashes=64, margin=0.2 is ~e^-5 per borderline pair and the fixed
+seed makes the run deterministic).
+
+Reports, per mode: wall seconds (best of N interleaved), result pairs,
+and the delta of executor shuffle-write bytes from the UI REST API.
 
 Run: python scripts/minhash_verify_ab.py [n_families] [repeats]
 """
@@ -71,21 +79,36 @@ def main() -> None:
         rows.append((doc_id, " ".join(toks[:162]))); doc_id += 1
         rows.append((doc_id, " ".join(toks[:135]))); doc_id += 1
         rows.append((doc_id, " ".join(toks[:90]))); doc_id += 1
+        # template siblings: SAME length, 62% of tokens shared
+        # (pairwise J ~ 0.45 — the boilerplate-template shape) ->
+        # immune to the size bound, band-collide ~50% of the time,
+        # agreement ~0.48 < 0.8-0.2 -> only the signature-agreement
+        # prefilter prunes them before their arrays ship
+        shared = toks[:112]
+        for s in range(4):
+            other = [
+                "sib%d_%d_%d" % (fam, s, k) for k in range(68)
+            ]
+            rows.append((doc_id, " ".join(shared + other))); doc_id += 1
     df = spark.createDataFrame(rows, ["doc_id", "text"]).persist()
     df.count()
 
+    modes = {
+        "none": dict(size_prefilter=False),
+        "size": dict(size_prefilter=True),
+        "size+sig": dict(size_prefilter=True, sig_margin=0.2),
+    }
     results = {}
-    timings = {True: [], False: []}
-    shuffles = {True: [], False: []}
+    timings = {m: [] for m in modes}
+    shuffles = {m: [] for m in modes}
     for _ in range(repeats):
-        for mode in (True, False):
+        for mode, kw in modes.items():
             s0 = shuffle_write_bytes(spark)
             t0 = time.time()
             out = near_duplicates_minhash(
-                df, "doc_id", "text", threshold=0.8,
-                size_prefilter=mode,
+                df, "doc_id", "text", threshold=0.8, **kw
             )
-            n = out.count()
+            out.count()
             timings[mode].append(round(time.time() - t0, 3))
             shuffles[mode].append(shuffle_write_bytes(spark) - s0)
             key = frozenset(
@@ -95,25 +118,22 @@ def main() -> None:
             results.setdefault(mode, key)
             assert results[mode] == key, "nondeterministic result"
 
-    assert results[True] == results[False], (
-        "size prefilter changed the result set!"
-    )
+    for mode in modes:
+        assert results[mode] == results["none"], (
+            "%s prefilter changed the result set!" % mode
+        )
     print(json.dumps({
         "n_docs": doc_id,
-        "result_pairs": len(results[True]),
-        "wall_sec": {
-            "prefilter": min(timings[True]),
-            "no_prefilter": min(timings[False]),
+        "result_pairs": len(results["none"]),
+        "wall_sec": {m: min(ts) for m, ts in timings.items()},
+        "raw_wall": timings,
+        "shuffle_write_bytes": {m: min(vs)
+                                for m, vs in shuffles.items()},
+        "shuffle_reduction_vs_none": {
+            m: round(1.0 - min(shuffles[m])
+                     / max(1, min(shuffles["none"])), 3)
+            for m in modes
         },
-        "raw_wall": {"prefilter": timings[True],
-                     "no_prefilter": timings[False]},
-        "shuffle_write_bytes": {
-            "prefilter": min(shuffles[True]),
-            "no_prefilter": min(shuffles[False]),
-        },
-        "shuffle_reduction": round(
-            1.0 - min(shuffles[True]) / max(1, min(shuffles[False])), 3
-        ),
     }))
     spark.stop()
 
