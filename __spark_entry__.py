@@ -37,6 +37,7 @@ from pure_python_geospatial_export_spark.operators import dedup, similarity
 from pure_python_geospatial_export_spark.operators.knn import (
     knn_exact,
     knn_join,
+    knn_join_complete,
 )
 from pure_python_geospatial_export_spark.operators.spatial_join import (
     spatial_join,
@@ -458,6 +459,18 @@ def _q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _docs_points(spark, sf_dir)
     nbrs = pts.select(F.col("doc_id").alias("nbr_id"), "lon", "lat")
     return knn_exact(pts, nbrs, "doc_id", "nbr_id", k=2)
+
+
+def _q_knn_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-completion grid kNN (operators/knn.knn_join_complete):
+    certificate + ring doubling. res=2 is deliberately coarse so
+    ring-1 certificates FAIL for many lefts and the expansion path is
+    what the oracle verifies — the result must equal brute-force kNN
+    bit for bit."""
+    pts = _docs_points(spark, sf_dir)
+    nbrs = pts.select(F.col("doc_id").alias("nbr_id"), "lon", "lat")
+    return knn_join_complete(pts, nbrs, "doc_id", "nbr_id", k=3,
+                             res=2, ring=1)
 
 
 def _both_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1484,6 +1497,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _FOLDED_QUERIES = (
     "pip_join_salted",
     "knn_exact",
+    "knn_complete",
     "funnel_counts",
     "pack_efficiency",
     "doc_sample",
@@ -1523,6 +1537,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mercator_tiles": _q_mercator_tiles,
         "knn_grid": _q_knn_grid,
         "knn_exact": _q_knn_exact,
+        "knn_complete": _q_knn_complete,
         "dedup_exact": _q_dedup_exact,
         "fingerprint": _q_fingerprint,
         "text_quality": _q_text_quality,
@@ -1719,6 +1734,20 @@ def _all_oracle_sql() -> dict[str, str]:
                    ORDER BY dist_sq ASC, nbr_id ASC) AS INTEGER) AS rank
             FROM pairs
           ) WHERE rank <= 3""".format(n=n3, n1=n3 - 1)
+    )
+
+    knn_complete_sql = (
+        PTS_CTE
+        + """ SELECT doc_id, nbr_id, dist_sq, rank FROM (
+            SELECT a.doc_id AS doc_id, b.doc_id AS nbr_id,
+              (a.lon - b.lon) * (a.lon - b.lon)
+              + (a.lat - b.lat) * (a.lat - b.lat) AS dist_sq,
+              CAST(row_number() OVER (PARTITION BY a.doc_id
+                   ORDER BY (a.lon - b.lon) * (a.lon - b.lon)
+                          + (a.lat - b.lat) * (a.lat - b.lat) ASC,
+                          b.doc_id ASC) AS INTEGER) AS rank
+            FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+          ) WHERE rank <= 3"""
     )
 
     knn_exact_sql = (
@@ -2317,6 +2346,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "mercator_tiles": mercator_sql,
         "knn_grid": knn_grid_sql,
         "knn_exact": knn_exact_sql,
+        "knn_complete": knn_complete_sql,
         "dedup_exact": dedup_exact_sql,
         "fingerprint": fingerprint_sql,
         "text_quality": text_quality_sql,

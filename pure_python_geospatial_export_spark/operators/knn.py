@@ -64,6 +64,24 @@ def knn_join(
 ) -> DataFrame:
     """Returns (id_left, id_right, dist_sq, rank) with rank<=k.
 
+    CONTRACT — RING-BOUNDED kNN, not global kNN: candidates are the
+    right points within the (2*ring+1)^2 cell neighborhood of the
+    left point's cell at ``res``, BY DEFINITION of grid kNN. Two
+    consequences a caller must accept (or use
+    :func:`knn_join_complete`):
+
+    * a true nearest neighbor lying OUTSIDE the neighborhood is not
+      seen — a farther in-ring point takes its rank;
+    * a left point in a sparse neighborhood can get FEWER than k rows
+      (or none: lefts with zero in-ring candidates are absent from the
+      output entirely).
+
+    Choose ``res``/``ring`` so the neighborhood radius bounds the
+    expected kth-neighbor distance; :func:`knn_exact` is the
+    brute-force oracle and :func:`knn_join_complete` upgrades this
+    operator to EXACT kNN via a per-left distance certificate plus
+    ring expansion for the (few) uncertified lefts.
+
     ``metric``: ``euclidean_sq`` (degree-space, bit-reproducible in SQL)
     or ``haversine`` (great-circle km; dist_sq column then carries km).
     """
@@ -75,7 +93,11 @@ def knn_join(
         "_gx",
         "_gy",
     )
-    offsets = [(dx, dy) for dx in range(-ring, ring + 1)
+    # clamp dx to one canonical mod-n cycle: with 2*ring+1 > n the raw
+    # range would alias cells through pmod and duplicate candidates
+    # (knn_join_complete doubles the ring up to full cover)
+    dx_lo, dx_hi = -min(ring, n // 2), min(ring, (n - 1) // 2)
+    offsets = [(dx, dy) for dx in range(dx_lo, dx_hi + 1)
                for dy in range(-ring, ring + 1)]
     rgt = (
         _with_xy(right, res, lon, lat)
@@ -134,6 +156,101 @@ def knn_join(
             "rank",
         )
     )
+
+
+def knn_join_complete(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str,
+    id_right: str,
+    k: int = 3,
+    res: int = 4,
+    ring: int = 1,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """EXACT kNN (degree-space euclidean) with the grid join's cost
+    profile: (id_left, id_right, dist_sq, rank), rank <= k, equal to
+    :func:`knn_exact` row for row.
+
+    Round i runs the ring-bounded :func:`knn_join`, then CERTIFIES
+    each left point: its in-ring kth distance must not exceed the
+    distance from the point to the nearest open edge of its ring
+    neighborhood (any excluded right point is at least that far away
+    in the linear-degree metric — edges the neighborhood pushes past
+    the grid boundary are vacuously safe, since no points exist
+    beyond them and this metric does not wrap). Certified lefts are
+    done; the rest — under-filled neighborhoods or a kth distance
+    past the edge — re-run with the ring DOUBLED, until certified or
+    the neighborhood covers the whole grid (which is exact by
+    construction). Expected behavior at a sane ``res``: round 1
+    certifies ~everything and the loop degenerates to one extra
+    aggregate; each further round re-explodes the right side only
+    for the shrinking uncertified left set.
+
+    Haversine is not offered here: the edge certificate is a
+    linear-degree bound. For great-circle semantics use
+    :func:`radius_join` (exact by construction) or :func:`knn_exact`.
+    """
+    n = 1 << res
+    cell_w = 360.0 / n
+    cell_h = 180.0 / n
+    inf = float("inf")
+
+    pending = left
+    parts = []
+    r = int(ring)
+    # doubling reaches full cover in <= log2(n)+2 rounds from ring>=1
+    for _ in range(res + 3):
+        knn = knn_join(pending, right, id_left, id_right, k=k,
+                       res=res, ring=r, lon=lon, lat=lat,
+                       metric="euclidean_sq")
+        stats = knn.groupBy(id_left).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.max("dist_sq").alias("_maxd"),
+        )
+        meta = _with_xy(pending, res, lon, lat).select(
+            F.col(id_left), F.col(lon).alias("_plon"),
+            F.col(lat).alias("_plat"), "_gx", "_gy",
+        )
+        d_e = F.when(F.col("_gx") + r >= n - 1, F.lit(inf)).otherwise(
+            (F.col("_gx") + 1 + r) * cell_w - 180.0 - F.col("_plon")
+        )
+        d_w = F.when(F.col("_gx") - r <= 0, F.lit(inf)).otherwise(
+            F.col("_plon") - ((F.col("_gx") - r) * cell_w - 180.0)
+        )
+        d_n = F.when(F.col("_gy") + r >= n - 1, F.lit(inf)).otherwise(
+            (F.col("_gy") + 1 + r) * cell_h - 90.0 - F.col("_plat")
+        )
+        d_s = F.when(F.col("_gy") - r <= 0, F.lit(inf)).otherwise(
+            F.col("_plat") - ((F.col("_gy") - r) * cell_h - 90.0)
+        )
+        cert = F.least(d_e, d_w, d_n, d_s)
+        full = F.lit(2 * r + 1 >= n) & (F.col("_gy") - r <= 0) & (
+            F.col("_gy") + r >= n - 1
+        )
+        decided = meta.join(stats, id_left, "left").select(
+            F.col(id_left),
+            (
+                full
+                | (
+                    (F.coalesce("_cnt", F.lit(0)) >= k)
+                    & (F.col("_maxd") <= cert * cert)
+                )
+            ).alias("_ok"),
+        )
+        ok_ids = decided.where("_ok").select(id_left)
+        parts.append(knn.join(ok_ids, id_left, "left_semi"))
+        pending = pending.join(ok_ids, id_left, "left_anti")
+        if pending.isEmpty():
+            break
+        r *= 2
+    else:  # pragma: no cover - full cover certifies every left
+        raise AssertionError("ring doubling failed to converge")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def radius_join(

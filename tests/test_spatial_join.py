@@ -16,6 +16,7 @@ from pure_python_geospatial_export_spark.geo import wkt as wktmod
 from pure_python_geospatial_export_spark.operators.knn import (
     knn_exact,
     knn_join,
+    knn_join_complete,
 )
 from pure_python_geospatial_export_spark.operators.spatial_join import (
     spatial_join,
@@ -247,6 +248,62 @@ def test_knn_join_matches_oracle(pages, pages_pd):
         ).collect()
     }
     assert got == _oracle_knn(small_pd, k=3, res=3, ring=1)
+
+
+def test_knn_complete_finds_out_of_ring_neighbor(spark):
+    """VERDICT r5 #5: the ring-bounded contract's failure case — the
+    true nearest neighbor sits just OUTSIDE the 3x3 neighborhood
+    while a farther in-ring point exists. knn_join (per contract)
+    returns the in-ring point; knn_join_complete fails the edge
+    certificate, doubles the ring, and finds the true neighbor."""
+    from pure_python_geospatial_export_spark.session import local_df
+
+    # res=4: cell_w=22.5. Left in cell x=9 near its neighborhood's
+    # east edge (67.5): in-ring right at lon 1 (d=43), out-of-ring
+    # right at lon 68 (d=24) — the true NN.
+    left = local_df(spark, [(1, 44.0, 5.0)], ["lid", "lon", "lat"])
+    right = local_df(
+        spark, [(10, 1.0, 5.0), (20, 68.0, 5.0)],
+        ["rid", "lon", "lat"],
+    )
+    ringed = knn_join(left, right, "lid", "rid", k=1, res=4,
+                      ring=1).collect()
+    assert [(r["rid"], r["rank"]) for r in ringed] == [(10, 1)]
+
+    got = knn_join_complete(left, right, "lid", "rid", k=1,
+                            res=4, ring=1).collect()
+    assert [(r["rid"], r["rank"]) for r in got] == [(20, 1)]
+    assert got[0]["dist_sq"] == 24.0 * 24.0
+
+    # a left with ZERO in-ring candidates is absent from knn_join but
+    # completed (ring expansion) in the exact mode
+    lonely = local_df(spark, [(2, -170.0, -80.0)], ["lid", "lon", "lat"])
+    assert knn_join(lonely, right, "lid", "rid", k=1, res=4,
+                    ring=1).count() == 0
+    comp = knn_join_complete(lonely, right, "lid", "rid", k=2,
+                             res=4, ring=1).collect()
+    assert {r["rid"] for r in comp} == {10, 20}
+
+
+def test_knn_complete_equals_exact_random(pages):
+    """knn_join_complete == knn_exact row for row on a random corpus,
+    at a res coarse enough that ring-1 certificates routinely fail."""
+    small = pages.where(F.col("page_id") < 250)
+    rgt = small.select(F.col("page_id").alias("nbr_id"), "lon", "lat")
+    cols = ["page_id", "nbr_id", "dist_sq", "rank"]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in knn_join_complete(
+            small, rgt, "page_id", "nbr_id", k=3, res=2, ring=1
+        ).collect()
+    )
+    exp = sorted(
+        tuple(r[c] for c in cols)
+        for r in knn_exact(
+            small, rgt, "page_id", "nbr_id", k=3
+        ).collect()
+    )
+    assert got == exp
 
 
 def test_knn_exact_matches_bruteforce(pages, pages_pd):
