@@ -120,3 +120,54 @@ def test_events_window_partial_agg_single_shuffle(spark):
     assert _shuffles(plan) == 1, plan
     assert plan.count("HashAggregate") == 2, plan  # partial + final
     assert "partial_count" in plan, plan
+
+
+def test_minhash_pipeline_shuffle_budget(spark):
+    """VERDICT r5 #6: lock the banded self-join's shuffle shape in the
+    corpus-scale regime (forced SMJ — neither verify side broadcasts
+    at 100 TB). Budget: 2 exchanges for the band self-join sides, 1
+    for the pair distinct, 2+2 for the two verify array joins = 7 hash
+    exchanges, zero extra. The public near_duplicates_minhash API
+    localCheckpoints its result (hiding the plan), so the lock builds
+    the same un-checkpointed pipeline from its building blocks."""
+    from pyspark.sql import functions as F
+
+    from pure_python_geospatial_export_spark.operators import dedup
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.read.parquet(
+            os.path.join(SF, "documents.parquet")
+        ).select("doc_id", "text")
+        base = dedup.minhash_signature(df, "doc_id", "text", 64, 3)
+        cands = dedup.lsh_candidate_pairs(
+            base, "doc_id", 16, 64, size_threshold=0.8
+        )
+        out = dedup.jaccard_verify(
+            cands, df, "doc_id", "text", 0.8,
+            shingles_df=base.select(
+                "doc_id", F.col("shingle_hashes").alias("sh")
+            ),
+            size_prefilter=False,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert _shuffles(plan) == 7, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_curate_pipeline_shuffle_budget(spark):
+    """VERDICT r5 #6: the whole curation preset's exchange budget in
+    the forced-SMJ regime — 12 hash exchanges across its cost-ordered
+    stages. A new stage composing badly (re-shuffling the corpus
+    where it could ride an existing partitioning) shows up here as a
+    count bump, independent of wall-clock noise."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "curate_pipeline")
+        assert _shuffles(plan) == 12, plan
+        assert "BatchEvalPython" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
