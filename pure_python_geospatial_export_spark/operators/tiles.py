@@ -403,7 +403,7 @@ def encode_mvt_polygons(
             })
         buf = mvt.encode_tile([mvt.encode_layer(layer_name, feats, ext)])
         n_feats = len(
-            mvt.decode_tile(buf)["layers"][0]["features"]
+            mvt.decode_tile(buf, arrays=True)["layers"][0]["features"]
         )  # post-degeneracy count, from the independent decoder
         return pd.DataFrame({
             "tile_id": pd.Series([tile], dtype="int64"),
@@ -934,7 +934,7 @@ def _encode_polys_xyz(
         buf = mvt.encode_tile([mvt.encode_layer(layer_name, feats,
                                                 ext)])
         n_feats = len(
-            mvt.decode_tile(buf)["layers"][0]["features"]
+            mvt.decode_tile(buf, arrays=True)["layers"][0]["features"]
         )
         return pd.DataFrame({
             "zoom": pd.Series([z], dtype="int32"),
