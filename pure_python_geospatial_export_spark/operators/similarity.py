@@ -648,8 +648,27 @@ def build_ivfpq_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "codebooks.parquet")
     )
+    # int8 scalar-quantized unit vectors, a SEPARATE relation from the
+    # PQ lists: the serving tier holds lists (m bytes/vec — the memory
+    # claim is unchanged); sq.parquet is the disk-resident intermediate
+    # rerank relation, dim bytes/vec = 8x lighter than the float64
+    # source join it replaces (see ivfpq_topk_indexed sq_keep).
+    @F.pandas_udf("binary")
+    def _sq8(vec: pd.Series) -> pd.Series:
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        q = np.clip(np.rint(127.0 * mat / nrm[:, None]), -127,
+                    127).astype(np.int8)
+        return pd.Series([r.tobytes() for r in q])
+
+    df.select(
+        F.col(id_col).alias("_id"), _sq8(F.col(vec_col)).alias("_sq")
+    ).write.mode("overwrite").parquet(os.path.join(path, "sq.parquet"))
+
     meta = {"dim": int(dim), "m_subspaces": int(m_subspaces),
-            "n_bits": int(n_bits), "n_centroids": int(n_centroids)}
+            "n_bits": int(n_bits), "n_centroids": int(n_centroids),
+            "sq": True}
     from ..sources.layout import atomic_write_text
 
     atomic_write_text(os.path.join(path, "meta.json"),
@@ -669,12 +688,27 @@ def ivfpq_topk_indexed(
     k: int = 5,
     n_probe: int = 4,
     rerank: int = 64,
+    sq_keep: int | None = None,
 ) -> DataFrame:
     """Serve ANN top-k from a :func:`build_ivfpq_index` directory:
     probe -> ADC score over one-byte codes -> top-``rerank`` per query
     -> EXACT cosine re-rank against the true vectors joined back from
     ``source`` by id. Output matches the other top-k servers:
-    (query_id, id, score, rank) with exact scores."""
+    (query_id, id, score, rank) with exact scores.
+
+    ``sq_keep`` (round-5 verdict item 9) inserts an int8
+    scalar-quantized intermediate rerank between the ADC shortlist and
+    the exact join: the top-``rerank`` candidates join the index's
+    ``sq.parquet`` relation (dim int8 bytes/vector — 8x lighter than
+    the float64 source vectors) and only the SQ top-``sq_keep`` per
+    query proceed to the exact join. At rerank=1000 / sq_keep=4k the
+    heavy per-candidate vector transfer shrinks ~8x and the float64
+    join handles 25x fewer rows, at negligible recall cost (SQ dot
+    error <= 0.5/127 * ||q||_1 ~ 0.002 rms for unit vectors — only
+    near-ties near the cut can flip; measured in
+    scripts/ann_recall_bench.py). Default None keeps the fully exact
+    shortlist contract (every ADC survivor gets a true-vector score).
+    Requires an index built with the sq relation (meta["sq"])."""
     import json
     import os
 
@@ -734,6 +768,14 @@ def ivfpq_topk_indexed(
             )
         return pd.Series(out)
 
+    # the queries relation is broadcast-sized by contract (the probe
+    # join already broadcasts it) — every downstream stage therefore
+    # shuffles only SKINNY (_qid, _id, score) rows and re-attaches the
+    # query vector by broadcast join where a kernel needs it. Carrying
+    # _qvec (8*dim bytes) through the candidate shuffles was the
+    # dominant serving transfer (measured ~7x the skinny rows).
+    qkv = queries.select(F.col(query_id).alias("_qid"),
+                         F.col(query_vec).alias("_qvec"))
     w = Window.partitionBy("_qid").orderBy(
         F.col("_adc").desc(), F.col("_id").asc()
     )
@@ -742,17 +784,55 @@ def ivfpq_topk_indexed(
             "_adc", adc(F.col("_qid"), F.col("_qvec"), F.col("_list"),
                         F.col("_code"))
         )
+        .select("_qid", "_id", "_adc")
         .withColumn("_adc_rank", F.row_number().over(w))
         .where(F.col("_adc_rank") <= int(rerank))
-        .select("_qid", "_qvec", "_id")
+        .select("_qid", "_id")
     )
+    if sq_keep is not None:
+        if not meta.get("sq"):
+            raise ValueError(
+                "sq_keep requires an index built with the sq relation "
+                "(rebuild with build_ivfpq_index)"
+            )
+        if sq_keep < k:
+            raise ValueError("sq_keep must be >= k")
+        sq_rel = spark.read.parquet(os.path.join(path, "sq.parquet"))
+
+        @F.pandas_udf("double")
+        def sq_score(qvec: pd.Series, sq: pd.Series) -> pd.Series:
+            mat = np.frombuffer(
+                b"".join(sq.to_numpy()), dtype=np.int8
+            ).reshape(len(sq), dim).astype(np.float64) / 127.0
+            qm = np.stack(qvec.to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(qm, axis=1)
+            qn[qn == 0] = 1.0
+            return pd.Series((mat * (qm / qn[:, None])).sum(axis=1))
+
+        w_sq = Window.partitionBy("_qid").orderBy(
+            F.col("_sqs").desc(), F.col("_id").asc()
+        )
+        shortlist = (
+            shortlist.join(sq_rel, "_id")
+            .join(F.broadcast(qkv), "_qid")
+            .withColumn("_sqs", sq_score(F.col("_qvec"), F.col("_sq")))
+            .select("_qid", "_id", "_sqs")
+            .withColumn("_sq_rank", F.row_number().over(w_sq))
+            .where(F.col("_sq_rank") <= int(sq_keep))
+            .select("_qid", "_id")
+        )
     truth = source.select(F.col(id_col).alias("_id"),
                           F.col(vec_col).alias("_tvec"))
     w2 = Window.partitionBy("_qid").orderBy(
         F.col("score").desc(), F.col("_id").asc()
     )
+    # post-SQ the shortlist is NQ*sq_keep skinny rows — broadcast it so
+    # the full-width source relation never shuffles at all
+    final_sl = (F.broadcast(shortlist) if sq_keep is not None
+                else shortlist)
     return (
-        shortlist.join(truth, "_id")
+        truth.join(final_sl, "_id")
+        .join(F.broadcast(qkv), "_qid")
         .withColumn("score", cosine_cols(F.col("_qvec"),
                                          F.col("_tvec")))
         .withColumn("rank", F.row_number().over(w2))

@@ -40,7 +40,9 @@ N_CENTERS = 64
 
 def main():
     spark = get_spark(app_name="ann-recall", master="local[%d]" % CPUS,
-                      shuffle_partitions=CPUS)
+                      shuffle_partitions=CPUS,
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.retainedStages": "30000"})
     spark.sparkContext.setLogLevel("ERROR")
 
     centers = np.random.default_rng(0).standard_normal(
@@ -166,21 +168,51 @@ def main():
             "memory_reduction_x": round(flat_b / max(1, pq_b), 1),
         })
         print(json.dumps(results[-1]), flush=True)
-        for probe, rr in ((4, 200), (8, 200), (8, 1000)):
+        # stage-metric deltas (shuffle bytes are a plan property,
+        # robust to co-tenant bursts) for the sq_keep A/B
+        from pure_python_geospatial_export_spark.session import (
+            ui_completed_stages,
+        )
+
+        def stage_keys():
+            try:
+                _u, _a, stages = ui_completed_stages(spark)
+            except Exception:
+                return None
+            return {(s["stageId"], s["attemptId"]): s for s in stages}
+
+        def stage_delta(before):
+            if before is None:
+                return None
+            time.sleep(0.3)
+            after = stage_keys()
+            if after is None:
+                return None
+            new = [s for kk, s in after.items() if kk not in before]
+            return round(sum(
+                int(s.get("shuffleWriteBytes", 0)) for s in new
+            ) / 2**20, 2)
+
+        for probe, rr, sq in ((4, 200, None), (8, 200, None),
+                              (8, 1000, None), (8, 1000, 4 * K)):
+            before = stage_keys()
             t0 = time.monotonic()
             rows = similarity.ivfpq_topk_indexed(
                 spark, os.path.join(idx_root, "pq"), queries, base,
                 "vec_id", "embedding", "query_id", "qvec",
-                k=K, n_probe=probe, rerank=rr,
+                k=K, n_probe=probe, rerank=rr, sq_keep=sq,
             ).collect()
             dt = time.monotonic() - t0
+            shuf_mb = stage_delta(before)
             got = {}
             for r in rows:
                 got.setdefault(r["query_id"], set()).add(r["vec_id"])
             results.append({
-                "config": "ivfpq c=64 m=8 probe=%d rerank=%d"
-                          % (probe, rr),
+                "config": "ivfpq c=64 m=8 probe=%d rerank=%d%s"
+                          % (probe, rr,
+                             " sq_keep=%d" % sq if sq else ""),
                 "sec": round(dt, 2),
+                "shuffle_write_mb": shuf_mb,
                 "recall_at_%d" % K: recall(got),
             })
             print(json.dumps(results[-1]), flush=True)

@@ -864,3 +864,76 @@ def test_ivfpq_index_recall_and_memory(spark, emb, tmp_path):
     assert got == serve()  # deterministic
     # all 8 lists probed + generous rerank: exact scores, exact ranks
     assert got == exact
+
+
+def test_ivfpq_sq_intermediate_rerank(spark, emb, tmp_path):
+    """int8-SQ intermediate rerank (round-5 verdict item 9): the
+    sq.parquet relation is ~8x smaller than the float64 vectors it
+    replaces in the rerank join, and serving with sq_keep recovers the
+    exact top-k at generous margins, deterministically."""
+    import json
+    import os
+
+    pq = str(tmp_path / "pq")
+    meta = similarity.build_ivfpq_index(
+        emb, "vec_id", "embedding", pq, n_centroids=8,
+        m_subspaces=8, lloyd_iters=2,
+    )
+    assert meta["sq"] is True
+
+    def tree_bytes(p):
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    dim = int(meta["dim"])
+    n = emb.count()
+    sq_b = tree_bytes(os.path.join(pq, "sq.parquet"))
+    # dim int8 bytes per vector (+ parquet framing) vs 8*dim float64
+    assert sq_b < n * dim * 2, (sq_b, n, dim)
+
+    qids = [0, 1, 2, 3, 4]
+    queries = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    exact = {
+        (int(r["query_id"]), int(r["vec_id"]), int(r["rank"]))
+        for r in similarity.cosine_topk_arrow(
+            emb, queries, "vec_id", "embedding", "query_id", "qvec",
+            k=5,
+        ).collect()
+    }
+    serve = lambda: {
+        (int(r["query_id"]), int(r["vec_id"]), int(r["rank"]))
+        for r in similarity.ivfpq_topk_indexed(
+            spark, pq, queries, emb, "vec_id", "embedding",
+            "query_id", "qvec", k=5, n_probe=8, rerank=256,
+            sq_keep=64,
+        ).collect()
+    }
+    got = serve()
+    assert got == serve()  # deterministic
+    assert got == exact    # SQ top-64 of 256 keeps every true top-5
+
+    # guard rails: sq_keep < k, and an index without the sq relation
+    import pytest
+
+    with pytest.raises(ValueError, match="sq_keep must be >= k"):
+        similarity.ivfpq_topk_indexed(
+            spark, pq, queries, emb, "vec_id", "embedding",
+            "query_id", "qvec", k=5, sq_keep=3,
+        )
+    mp = os.path.join(pq, "meta.json")
+    m = json.load(open(mp))
+    del m["sq"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="sq relation"):
+        similarity.ivfpq_topk_indexed(
+            spark, pq, queries, emb, "vec_id", "embedding",
+            "query_id", "qvec", k=5, sq_keep=20,
+        )
