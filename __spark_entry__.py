@@ -523,6 +523,37 @@ def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-PQ end to end (build -> probe -> ADC shortlist -> int8-SQ
+    # intermediate rerank -> exact rerank): with every inverted list
+    # probed, rerank >= corpus size, and a generous sq_keep, the served
+    # top-k is EXACTLY the brute-force cosine top-k, so the all-pairs
+    # SQL is the bit-level twin (the LSH recall-1 fixture pattern —
+    # generous parameters make approximate-path recall deterministically
+    # 1, and the exact-rerank scores are the same cosine_cols arithmetic
+    # the similarity_topk oracle already bit-matches). Exercises the
+    # whole index lifecycle including the sq.parquet relation.
+    from pure_python_geospatial_export_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    base = _scratch_dir("ivfpq", sf_dir)
+    build_ivfpq_index(
+        emb, "vec_id", "embedding", base, n_centroids=8,
+        m_subspaces=8, lloyd_iters=2,
+    )
+    return ivfpq_topk_indexed(
+        spark, base, queries, emb, "vec_id", "embedding",
+        "query_id", "qvec", k=5, n_probe=8, rerank=10000, sq_keep=64,
+    )
+
+
 def _q_events_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function coverage (SURVEY §2.5): per-user running event
     count and cumulative value, plus previous event type (lag)."""
@@ -1067,35 +1098,24 @@ def _q_events_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, period="week")
 
 
-def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hypertable continuous aggregate: build the day-chunked layout +
-    # precomputed rollup in a scratch dir, then serve precomputed-days
-    # UNION fresh-tail — the result must equal a flat recompute over the
-    # raw events (the DuckDB oracle), proving the chunk/tail seam.
-    import hashlib
-    import tempfile
-
-    from pure_python_geospatial_export_spark.sources.timeseries import (
-        serve_rollup,
-        write_events_table,
-        write_rollup,
-    )
-
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # uid + pid scoped (mirrors session.py's warehouse fix): a fixed
-    # world-shared /tmp name collides across users (permission errors)
-    # and across concurrent runs of the same sf_dir (mixed results).
-    # pid scoping means each process leaks a scratch copy unless
-    # cleaned: register atexit removal (the query's DataFrame must be
-    # consumed before interpreter exit anyway) and purge siblings of
-    # THIS uid whose owning process is gone.
+def _scratch_dir(kind: str, sf_dir: str) -> str:
+    """uid + pid + sf-scoped /tmp scratch for queries that must write
+    an on-disk artifact before serving (mirrors session.py's warehouse
+    fix): a fixed world-shared /tmp name collides across users
+    (permission errors) and across concurrent runs of the same sf_dir
+    (mixed results). pid scoping means each process leaks a scratch
+    copy unless cleaned: register atexit removal (the query's
+    DataFrame must be consumed before interpreter exit anyway) and
+    purge siblings of THIS uid whose owning process is gone."""
     import atexit
+    import hashlib
     import re as _re
     import shutil
+    import tempfile
 
     tmp_root = tempfile.gettempdir()
     mine = _re.compile(
-        r"^ppge_tsroll-uid%d-pid(\d+)_" % os.getuid()
+        r"^ppge_%s-uid%d-pid(\d+)_" % (_re.escape(kind), os.getuid())
     )
     for name in os.listdir(tmp_root):
         m = mine.match(name)
@@ -1111,9 +1131,26 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     base = os.path.join(
         tmp_root,
-        "ppge_tsroll-uid%d-pid%d_%s" % (os.getuid(), os.getpid(), tag),
+        "ppge_%s-uid%d-pid%d_%s" % (kind, os.getuid(), os.getpid(),
+                                    tag),
     )
     atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
+
+def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable continuous aggregate: build the day-chunked layout +
+    # precomputed rollup in a scratch dir, then serve precomputed-days
+    # UNION fresh-tail — the result must equal a flat recompute over the
+    # raw events (the DuckDB oracle), proving the chunk/tail seam.
+    from pure_python_geospatial_export_spark.sources.timeseries import (
+        serve_rollup,
+        write_events_table,
+        write_rollup,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = _scratch_dir("tsroll", sf_dir)
     write_events_table(ev, os.path.join(base, "events"))
     write_rollup(
         spark, os.path.join(base, "events"), os.path.join(base, "rollup")
@@ -1509,6 +1546,7 @@ _FOLDED_QUERIES = (
     "mixture_sample",
     "zonal_geotiff",
     "span_dedup",
+    "ann_ivfpq",
 )
 
 
@@ -1543,6 +1581,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_pred": _q_lang_pred,
         "similarity_topk": _q_similarity_topk,
+        "ann_ivfpq": _q_ann_ivfpq,
         "events_window": _q_events_window,
         "events_running": _q_events_running,
         "events_asof": _q_events_asof,
@@ -2352,6 +2391,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "text_quality": text_quality_sql,
         "lang_pred": lang_pred_sql,
         "similarity_topk": similarity_sql,
+        # generous-parameter IVF-PQ == brute force, same output shape
+        "ann_ivfpq": similarity_sql,
         "events_window": events_sql,
         "events_running": events_running_sql,
         "events_asof": events_asof_sql,
