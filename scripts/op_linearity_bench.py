@@ -1,0 +1,222 @@
+"""Data-scale linearity for the two heavy non-flagship operators
+(round-5 verdict item 8): tile_mvt (encode_mvt_points) and
+curate_pipeline (curate_corpus preset) at N vs 4N input rows, fixed
+parallelism. The flagship already has this proof; these two are the
+remaining heavyweights.
+
+The synthetic corpus is FAMILY-structured so per-unit work stays
+constant as N grows: naive input replication would make every doc an
+exact duplicate of its clones, inflating LSH band buckets (m^2/2
+candidate pairs per bucket) — a quadratic workload masquerading as a
+linear scale-up. Here family count scales with N while family size
+(one base doc, one near-dup twin, one exact dup, three uniques) stays
+fixed, so dedup buckets, shingle payloads, and survivor fractions are
+scale-invariant.
+
+Reports wall seconds AND executor task-time (UI REST stage deltas —
+task time excludes driver/JVM fixed overhead and is the less
+burst-sensitive number on this co-tenant host), plus throughput at
+both sizes and the flatness ratio.
+
+Run: python scripts/op_linearity_bench.py
+Env: LIN_CURATE_N (default 60000), LIN_TILE_N (default 1000000),
+     LIN_SCALE (default 4), SPARK_GRAFT_CPUS (default 16),
+     LIN_REPEATS (default 2)
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+CURATE_N = int(os.environ.get("LIN_CURATE_N", "60000"))
+TILE_N = int(os.environ.get("LIN_TILE_N", "1000000"))
+SCALE = int(os.environ.get("LIN_SCALE", "4"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+REPEATS = int(os.environ.get("LIN_REPEATS", "2"))
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+         "psi omega").split()
+
+
+def synth_docs(spark, n):
+    """Family-of-6 corpus: member 0 base, 1 near-dup twin (J~0.95),
+    2 exact dup, 3-5 unique. 4/6 of docs survive the curate preset."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), False),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            texts = []
+            for did in ids:
+                fam, member = divmod(int(did), 6)
+                if member <= 2:
+                    toks = [WORDS[(fam * 7 + k) % len(WORDS)]
+                            + str(fam * 13 + k) for k in range(60)]
+                    t = " ".join(toks)
+                    if member == 1:
+                        t += " zz"
+                else:
+                    toks = [WORDS[(did * 11 + k) % len(WORDS)]
+                            + "u%d_%d" % (did, k) for k in range(60)]
+                    t = " ".join(toks)
+                texts.append(t)
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    return (spark.range(n, numPartitions=CPUS * 2)
+            .mapInPandas(gen, schema))
+
+
+def synth_points(spark, n):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("lon", DoubleType(), False),
+        StructField("lat", DoubleType(), False),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy().astype(np.int64)
+            # splitmix-style deterministic scatter over the globe
+            h = (ids * np.int64(-7046029254386353131)) & np.int64(
+                (1 << 62) - 1)
+            lon = (h % 3600000) / 10000.0 - 180.0
+            lat = ((h // 3600000) % 1600000) / 10000.0 - 80.0
+            yield pd.DataFrame(
+                {"doc_id": ids, "lon": lon, "lat": lat})
+
+    return (spark.range(n, numPartitions=CPUS * 2)
+            .mapInPandas(gen, schema))
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from pure_python_geospatial_export_spark.operators.curate import (
+        curate_corpus,
+    )
+    from pure_python_geospatial_export_spark.operators.tiles import (
+        encode_mvt_points,
+    )
+    from pure_python_geospatial_export_spark.session import (
+        get_spark,
+        ui_completed_stages,
+    )
+
+    spark = get_spark(app_name="op-linearity",
+                      master="local[%d]" % CPUS,
+                      shuffle_partitions=CPUS * 2,
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.retainedStages": "30000"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def stage_keys():
+        try:
+            _u, _a, stages = ui_completed_stages(spark)
+        except Exception:
+            return None
+        return {(s["stageId"], s["attemptId"]): s for s in stages}
+
+    def task_delta(before):
+        if before is None:
+            return None
+        time.sleep(0.3)
+        after = stage_keys()
+        if after is None:
+            return None
+        new = [s for kk, s in after.items() if kk not in before]
+        return round(sum(int(s.get("executorRunTime", 0))
+                         for s in new) / 1000.0, 2)
+
+    def timed_once(job):
+        before = stage_keys()
+        t0 = time.monotonic()
+        res = job()
+        wall = time.monotonic() - t0
+        task = task_delta(before)
+        return wall, task, res
+
+    def curate_job(docs):
+        def job():
+            return curate_corpus(
+                docs, min_quality=0.0, near_dup_threshold=0.7,
+                min_tokens=5,
+            ).count()
+        return job
+
+    def tile_job(pts):
+        def job():
+            enc = encode_mvt_points(pts, res=5, id_col="doc_id")
+            row = enc.agg(
+                F.count("*").alias("tiles"),
+                F.sum("n_bytes").alias("bytes"),
+                F.sum("n_features").alias("feats"),
+            ).collect()[0]
+            return int(row["feats"])
+        return job
+
+    # warm the Python worker pool off the clock
+    synth_docs(spark, 2000).count()
+
+    out = {"cpus": CPUS, "scale": SCALE, "ops": {}}
+    for name, synth, mk_job, base_n, check in (
+        ("tile_mvt", synth_points, tile_job, TILE_N,
+         lambda res, n: res == n),
+        ("curate_pipeline", synth_docs, curate_job, CURATE_N,
+         lambda res, n: res == n * 4 // 6),
+    ):
+        small_in = synth(spark, base_n).cache()
+        assert small_in.count() == base_n
+        big_in = synth(spark, base_n * SCALE).cache()
+        assert big_in.count() == base_n * SCALE
+        best = {}
+        # INTERLEAVE sizes so a co-tenant burst cannot hit one size
+        # only and masquerade as a scaling cliff (best-of per size)
+        for _rep in range(REPEATS):
+            for tag, src, n in (("small", small_in, base_n),
+                                ("big", big_in, base_n * SCALE)):
+                wall, task, res = timed_once(mk_job(src))
+                assert check(res, n), (name, tag, res, n)
+                if tag not in best or wall < best[tag]["wall_s"]:
+                    best[tag] = {"n": n, "wall_s": round(wall, 2),
+                                 "task_s": task,
+                                 "rows_per_s": int(n / wall)}
+        small_in.unpersist()
+        big_in.unpersist()
+        small, big = best["small"], best["big"]
+        flat = round(
+            (big["rows_per_s"] / small["rows_per_s"]), 3)
+        task_flat = (
+            round(small["task_s"] * SCALE / big["task_s"], 3)
+            if small["task_s"] and big["task_s"] else None
+        )
+        out["ops"][name] = {
+            "small": small, "big": big,
+            "throughput_ratio_big_over_small": flat,
+            "task_time_linearity": task_flat,
+        }
+        print(json.dumps({name: out["ops"][name]}), flush=True)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
