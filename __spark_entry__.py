@@ -1213,6 +1213,73 @@ def _q_kmv_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog distinct-url state per coarse cell via MERGED
+    # fine-cell register relations — equality with the oracle (which
+    # computes each coarse cell's registers directly from raw rows)
+    # proves the register-wise-max merge is lossless. Output pins the
+    # full integer sketch state (zeros + scaled harmonic sum — exact
+    # BIGINTs, order-free) plus the raw estimate (one double division
+    # of exact operands). The corrected estimate stays OUT of the
+    # oracle by measurement: JVM Math.log and DuckDB ln differ by
+    # 1 ulp on ~7% of the m/zeros inputs (accuracy is pinned in
+    # tests/test_hll.py instead).
+    from pure_python_geospatial_export_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+    pts = _docs_points(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    )
+    fine = pts.withColumn(
+        "cell_id", cell_id_col(F.col("lon"), F.col("lat"), 1)
+    ).withColumn(
+        "cell_fine", cell_id_col(F.col("lon"), F.col("lat"), 3)
+    )
+    sk = hll_sketch(fine, ["cell_id", "cell_fine"], "url", p=8)
+    merged = hll_merge(sk, ["cell_id"])
+    return hll_estimate(merged, ["cell_id"], p=8, correction=False)
+
+
+def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV set-operation estimates (the capability HLL lacks): per-source
+    # vocabulary sketches, then union / Jaccard / intersection estimates
+    # for every source pair from the SKETCHES alone — the oracle
+    # recomputes the same estimator from raw rows, pinning the whole
+    # pipeline (tokenize -> hash -> per-source bottom-k -> pairwise
+    # union-sample arithmetic) bit-for-bit. 20 sources -> 190 pairs;
+    # the pair join is broadcast-sized by construction (one row per
+    # source).
+    from pure_python_geospatial_export_spark.functions.text import (
+        tokens_col,
+    )
+    from pure_python_geospatial_export_spark.operators.sketch import (
+        kmv_overlap_cols,
+        kmv_sketch,
+    )
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+    )
+    sk = kmv_sketch(toks, ["source"], "tok", k=32)
+    a = sk.select(F.col("source").alias("source_a"),
+                  F.col("sketch").alias("_sa"))
+    b = sk.select(F.col("source").alias("source_b"),
+                  F.col("sketch").alias("_sb"))
+    pairs = a.join(F.broadcast(b),
+                   F.col("source_a") < F.col("source_b"))
+    est_u, jac, est_i = kmv_overlap_cols("_sa", "_sb", k=32)
+    return pairs.select(
+        "source_a", "source_b",
+        est_u.alias("est_union"),
+        jac.alias("jaccard"),
+        est_i.alias("est_intersection"),
+    )
+
+
 def _q_events_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pure_python_geospatial_export_spark.operators.asof import (
         range_join,
@@ -1547,6 +1614,8 @@ _FOLDED_QUERIES = (
     "zonal_geotiff",
     "span_dedup",
     "ann_ivfpq",
+    "hll_cells",
+    "kmv_overlap",
 )
 
 
@@ -1587,6 +1656,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _q_events_asof,
         "events_range": _q_events_range,
         "kmv_cells": _q_kmv_cells,
+        "hll_cells": _q_hll_cells,
+        "kmv_overlap": _q_kmv_overlap,
         "hh_sketch": _q_hh_sketch,
         "radius_pairs": _q_radius_pairs,
         "url_features": _q_url_features,
@@ -1990,6 +2061,66 @@ def _all_oracle_sql() -> dict[str, str]:
             _tile_sql(1),
             kmv_hash_sql("'doc://' || CAST(doc_id AS VARCHAR)"),
         )
+    )
+
+    # hll_cells: registers from the same md5-prefix hash (bucket = low
+    # 8 bits, rank via length(bin(rest)) — identical semantics in both
+    # engines), harmonic sum as the exact scaled BIGINT, raw estimate
+    # as one double division. The numerator constant is computed in
+    # Python HERE and in hll_estimate, so both engines parse the
+    # identical shortest-repr double literal.
+    _hll_m = 256
+    _hll_alpha = 0.7213 / (1.0 + 1.079 / _hll_m)
+    _hll_numer = _hll_alpha * float(_hll_m) * float(_hll_m) * float(
+        1 << 40
+    )
+    hll_sql = (
+        PTS_CTE
+        + ", hv AS (SELECT %s AS cell_id, %s AS h FROM pts), "
+        "regs AS (SELECT cell_id, CAST(h %% 256 AS INTEGER) AS bucket, "
+        "MAX(CASE WHEN CAST((h - (h %% 256)) / 256 AS BIGINT) > 0 "
+        "THEN 25 - length(bin(CAST((h - (h %% 256)) / 256 AS BIGINT))) "
+        "ELSE 25 END) AS reg FROM hv GROUP BY 1, 2), "
+        "agg AS (SELECT cell_id, COUNT(*) AS nb, "
+        "CAST(SUM(CAST(pow(2.0, 40 - reg) AS BIGINT)) AS BIGINT) AS hs "
+        "FROM regs GROUP BY 1) "
+        "SELECT cell_id, CAST(256 - nb AS BIGINT) AS zeros, "
+        "CAST(hs + (256 - nb) * 1099511627776 AS BIGINT) AS harmonic, "
+        "%r / CAST(hs + (256 - nb) * 1099511627776 AS DOUBLE) AS est "
+        "FROM agg"
+        % (
+            _tile_sql(1),
+            kmv_hash_sql("'doc://' || CAST(doc_id AS VARCHAR)"),
+            _hll_numer,
+        )
+    )
+
+    # kmv_overlap: per-source bottom-32 vocab sketches from raw rows,
+    # then the identical union-sample estimator. 31 * 2^32 =
+    # 133143986176 is the saturated-estimate numerator at k=32.
+    kmv_overlap_sql = (
+        "WITH tok AS (SELECT source, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+        "FROM documents), "
+        "hv AS (SELECT DISTINCT source, %s AS h FROM tok), "
+        "ranked AS (SELECT source, h, row_number() OVER "
+        "(PARTITION BY source ORDER BY h) AS rn FROM hv), "
+        "sk AS (SELECT source, list(h ORDER BY h) AS s FROM ranked "
+        "WHERE rn <= 32 GROUP BY 1), "
+        "p AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "a.s AS sa, b.s AS sb FROM sk a JOIN sk b "
+        "ON a.source < b.source), "
+        "u AS (SELECT source_a, source_b, sa, sb, "
+        "list_slice(list_sort(list_distinct(list_concat(sa, sb))), "
+        "1, 32) AS un FROM p), "
+        "est AS (SELECT source_a, source_b, "
+        "CASE WHEN len(un) < 32 THEN CAST(len(un) AS DOUBLE) "
+        "ELSE 133143986176.0 / CAST(un[32] AS DOUBLE) END AS eu, "
+        "CAST(len(list_intersect(list_intersect(un, sa), sb)) "
+        "AS DOUBLE) / CAST(len(un) AS DOUBLE) AS j FROM u) "
+        "SELECT source_a, source_b, eu AS est_union, j AS jaccard, "
+        "j * eu AS est_intersection FROM est"
+        % kmv_hash_sql("tok")
     )
 
     events_range_sql = (
@@ -2398,6 +2529,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "events_asof": events_asof_sql,
         "events_range": events_range_sql,
         "kmv_cells": kmv_sql,
+        "hll_cells": hll_sql,
+        "kmv_overlap": kmv_overlap_sql,
         "hh_sketch": (
             "WITH c AS (SELECT lang, source AS key, COUNT(*) AS est "
             "FROM documents GROUP BY 1, 2) "

@@ -105,6 +105,154 @@ def kmv_estimate(sketch_col, k: int = 64) -> Column:
     )
 
 
+def kmv_union_col(a, b, k: int = 64) -> Column:
+    """Union sketch of two KMV sketches: the k smallest of the merged
+    distinct hashes. Same shape as the build, so estimates
+    (:func:`kmv_estimate`) and further unions compose losslessly —
+    ``union(union(a,b),c) == union(a,union(b,c)) == sketch(A∪B∪C)``."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_overlap_cols(a, b, k: int = 64):
+    """Set-operation estimates from two KMV sketches (Beyer et al.
+    2007) — the capability HLL registers cannot provide: registers
+    only merge by max (union), while KMV's value sketches support
+    INTERSECTION via the union sketch as a common sample frame.
+
+    Returns ``(est_union, jaccard, est_intersection)`` Columns:
+    the union sketch U of the k smallest merged hashes estimates
+    ``|A∪B|`` as usual; ``J = |U ∩ sk(A) ∩ sk(B)| / |U|`` is the
+    fraction of that uniform sample present in both sets; and
+    ``est_intersection = J * est_union``. Every step is array/double
+    arithmetic with exact DuckDB twins (list_slice/list_sort/
+    list_distinct/list_concat/list_intersect), so the driver oracle
+    reproduces all three estimates bit-for-bit. Standard error of J
+    is ~sqrt(J(1-J)/k)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    u = kmv_union_col(a, b, k)
+    icnt = F.size(F.array_intersect(F.array_intersect(u, a), b))
+    jac = icnt.cast("double") / F.size(u).cast("double")
+    est_u = kmv_estimate(u, k)
+    return est_u, jac, jac * est_u
+
+
+def hll_sketch(df: DataFrame, group_cols: List[str], value_col: str,
+               p: int = 8) -> DataFrame:
+    """HyperLogLog register relation (Flajolet et al. 2007):
+    (group_cols..., bucket: int, reg: int) — sparse rows, one per
+    NON-ZERO register, at most ``m = 2**p`` per group.
+
+    Where KMV (:func:`kmv_sketch`) keeps k hash VALUES (8k bytes), HLL
+    keeps m 6-bit registers — at equal memory it trades ~30% worse
+    constant error for a fixed-size, register-wise-max-mergeable
+    summary, the standard shape for per-cell distinct rollups at
+    corpus scale. Stored sparse as relation rows (absent bucket ==
+    register 0) so the merge is a plain groupBy-max and the build is
+    pure column arithmetic.
+
+    Every step is cross-engine exact: the hash is the md5-prefix
+    integer (:func:`kmv_hash_col` / :func:`kmv_hash_sql`), the bucket
+    is ``h % m``, the remaining ``32-p`` bits are ``(h - h%m)/m``
+    (exact double division below 2^53), and the rank
+    ``rho = 33 - p - bitlength(rest)`` uses ``length(bin(x))`` —
+    ``bin`` has identical semantics in Spark and DuckDB (no padding,
+    ``'0'`` for zero), so the DuckDB oracle reproduces registers
+    bit-for-bit. One shuffle (the register groupBy, map-side
+    combining max).
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    h = kmv_hash_col(F.col(value_col))
+    bucket = (h % m).cast("int").alias("bucket")
+    rest = ((h - (h % m)) / m).cast("long")
+    rho = (
+        F.when(rest > 0,
+               F.lit(33 - p) - F.length(F.bin(rest)))
+        .otherwise(F.lit(33 - p))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, bucket, rho.alias("_rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").alias("reg"))
+    )
+
+
+def hll_merge(df: DataFrame, group_cols: List[str]) -> DataFrame:
+    """Roll register relations up to coarser groups: register-wise max.
+    Exactly equals the sketch built directly from the unioned raw data
+    (max is associative/commutative/idempotent), so merge trees of any
+    depth — tile pyramids, daily partitions — are lossless relative to
+    a direct build."""
+    return df.groupBy(*group_cols, "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+
+
+#: scale for the integer harmonic sum: sum(2^(HLL_SCALE_BITS - reg))
+#: is an exact BIGINT (reg <= 33 <= HLL_SCALE_BITS), so the
+#: addition-order-sensitive double sum in the textbook formula becomes
+#: an order-free integer sum — the property that lets the DuckDB
+#: oracle reproduce estimates bit-for-bit.
+HLL_SCALE_BITS = 40
+
+
+def hll_estimate(sketch: DataFrame, group_cols: List[str],
+                 p: int = 8, correction: bool = True) -> DataFrame:
+    """(group_cols..., zeros, harmonic, est) from a register relation.
+
+    ``harmonic`` is the scaled-integer harmonic sum over all m
+    registers (absent rows count as register 0 == ``2^HLL_SCALE_BITS``
+    each): exact BIGINT, so bit-reproducible regardless of
+    partitioning. ``est`` is ``alpha_m * m^2 * 2^scale / harmonic`` —
+    one double division of exact operands — with the standard
+    small-range correction ``m * ln(m / zeros)`` when
+    ``correction=True`` (default), ``est_raw`` otherwise. The raw
+    estimate is deterministic cross-engine; the corrected branch adds
+    one ``ln`` whose last-ulp behavior is libm-dependent, which is why
+    the driver oracle pins zeros/harmonic/raw and the corrected branch
+    is pinned by accuracy tests instead."""
+    m = 1 << p
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    numer = alpha * float(m) * float(m) * float(1 << HLL_SCALE_BITS)
+    term = F.pow(F.lit(2.0), F.lit(HLL_SCALE_BITS) - F.col("reg")) \
+        .cast("long")
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum(term).alias("_hs"),
+    )
+    zeros = (F.lit(m) - F.col("_nb")).cast("long")
+    harmonic = (
+        F.col("_hs")
+        + zeros * F.lit(1 << HLL_SCALE_BITS).cast("long")
+    )
+    out = agg.select(
+        *group_cols,
+        zeros.alias("zeros"),
+        harmonic.alias("harmonic"),
+    )
+    raw = F.lit(numer) / F.col("harmonic").cast("double")
+    if not correction:
+        return out.withColumn("est", raw)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m))
+                                / F.col("zeros").cast("double")),
+    ).otherwise(raw)
+    return out.withColumn("est", est)
+
+
 def quantile_sample(
     df: DataFrame,
     group_cols: List[str],

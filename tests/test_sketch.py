@@ -235,3 +235,57 @@ def test_quantile_sample_rank_error_bound(spark):
         assert abs(est_rank - true_rank) <= 4.0 * n / (k ** 0.5), (
             q, est_rank, true_rank
         )
+
+
+def test_kmv_overlap_exact_when_unsaturated(spark):
+    # k >= |A ∪ B|: the union sketch IS the union, so all three
+    # estimates are exact set arithmetic
+    a_vals = {"v%d" % i for i in range(30)}
+    b_vals = {"v%d" % i for i in range(20, 50)}  # overlap = 10
+    rows = [("A", v) for v in a_vals] + [("B", v) for v in b_vals]
+    sk = sketch.kmv_sketch(_vals_df(spark, rows), ["grp"], "val", k=64)
+    a = sk.where("grp = 'A'").select(F.col("sketch").alias("sa"))
+    b = sk.where("grp = 'B'").select(F.col("sketch").alias("sb"))
+    eu, j, ei = sketch.kmv_overlap_cols("sa", "sb", k=64)
+    row = a.crossJoin(b).select(
+        eu.alias("eu"), j.alias("j"), ei.alias("ei")
+    ).first()
+    assert row["eu"] == 50.0
+    assert row["j"] == 10.0 / 50.0
+    assert row["ei"] == 10.0
+
+
+def test_kmv_overlap_estimate_accuracy(spark):
+    # saturated sketches: estimates within sampling error of truth
+    n, ov, k = 4000, 1000, 256
+    a_vals = ["a-%d" % i for i in range(n)]
+    b_vals = ["a-%d" % i for i in range(ov)] + [
+        "b-%d" % i for i in range(n - ov)
+    ]
+    rows = [("A", v) for v in a_vals] + [("B", v) for v in b_vals]
+    sk = sketch.kmv_sketch(_vals_df(spark, rows), ["grp"], "val", k=k)
+    a = sk.where("grp = 'A'").select(F.col("sketch").alias("sa"))
+    b = sk.where("grp = 'B'").select(F.col("sketch").alias("sb"))
+    eu, j, ei = sketch.kmv_overlap_cols("sa", "sb", k=k)
+    row = a.crossJoin(b).select(eu.alias("eu"), ei.alias("ei")).first()
+    true_union = 2 * n - ov
+    assert abs(row["eu"] - true_union) / true_union < 0.2
+    assert abs(row["ei"] - ov) / ov < 0.5  # J ~ 1/7, se ~ 2.2%/J
+
+
+def test_kmv_union_col_composes(spark):
+    # union-of-sketches == sketch-of-union, and associativity
+    rows = (
+        [("A", "x%d" % i) for i in range(60)]
+        + [("B", "y%d" % i) for i in range(60)]
+        + [("AB", "x%d" % i) for i in range(60)]
+        + [("AB", "y%d" % i) for i in range(60)]
+    )
+    sk = sketch.kmv_sketch(_vals_df(spark, rows), ["grp"], "val", k=16)
+    a = sk.where("grp = 'A'").select(F.col("sketch").alias("sa"))
+    b = sk.where("grp = 'B'").select(F.col("sketch").alias("sb"))
+    u = a.crossJoin(b).select(
+        sketch.kmv_union_col("sa", "sb", 16).alias("u")
+    ).first()["u"]
+    direct = sk.where("grp = 'AB'").first()["sketch"]
+    assert u == direct
