@@ -1163,6 +1163,40 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable continuous aggregate for the NON-additive aggregate:
+    # per-(day, event_type) HLL register relations precomputed into
+    # day chunks, served as precomputed-before-cutoff UNION
+    # tail-recompute, merged across days by register max. The oracle
+    # computes registers FLAT from raw events — equality proves the
+    # chunk/tail seam loses nothing (register max is lossless), the
+    # distinct-rollup twin of time_rollup's additive-seam proof.
+    # correction=False: the raw estimate is one double division of
+    # exact integers; the ln small-range branch is libm-divergent
+    # cross-engine (see hll_cells).
+    from pure_python_geospatial_export_spark.sources.timeseries import (
+        serve_distinct_rollup,
+        write_distinct_rollup,
+        write_events_table,
+    )
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = _scratch_dir("hllroll", sf_dir)
+    write_events_table(ev, os.path.join(base, "events"))
+    write_distinct_rollup(
+        spark, os.path.join(base, "events"),
+        os.path.join(base, "droll"), p=10,
+    )
+    return serve_distinct_rollup(
+        spark,
+        os.path.join(base, "events"),
+        os.path.join(base, "droll"),
+        "2024-01-21",
+        p=10,
+        correction=False,
+    )
+
+
 def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-width integer bins: pure arithmetic (no ln/boundary-ulp
     # risk), min/max are order-independent — fully deterministic
@@ -1616,6 +1650,7 @@ _FOLDED_QUERIES = (
     "ann_ivfpq",
     "hll_cells",
     "kmv_overlap",
+    "distinct_rollup",
 )
 
 
@@ -1658,6 +1693,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_cells": _q_kmv_cells,
         "hll_cells": _q_hll_cells,
         "kmv_overlap": _q_kmv_overlap,
+        "distinct_rollup": _q_distinct_rollup,
         "hh_sketch": _q_hh_sketch,
         "radius_pairs": _q_radius_pairs,
         "url_features": _q_url_features,
@@ -2123,6 +2159,29 @@ def _all_oracle_sql() -> dict[str, str]:
         % kmv_hash_sql("tok")
     )
 
+    # distinct_rollup: flat HLL register recompute from raw events at
+    # p=10 (m=1024, 33-p=23) — the Spark side must reproduce it
+    # through the day-chunked precompute + tail seam.
+    _dr_m = 1024
+    _dr_alpha = 0.7213 / (1.0 + 1.079 / _dr_m)
+    _dr_numer = _dr_alpha * float(_dr_m) * float(_dr_m) * float(1 << 40)
+    distinct_rollup_sql = (
+        "WITH hv AS (SELECT event_type, %s AS h FROM events), "
+        "regs AS (SELECT event_type, "
+        "CAST(h %% 1024 AS INTEGER) AS bucket, "
+        "MAX(CASE WHEN CAST((h - (h %% 1024)) / 1024 AS BIGINT) > 0 "
+        "THEN 23 - length(bin(CAST((h - (h %% 1024)) / 1024 "
+        "AS BIGINT))) ELSE 23 END) AS reg FROM hv GROUP BY 1, 2), "
+        "agg AS (SELECT event_type, COUNT(*) AS nb, "
+        "CAST(SUM(CAST(pow(2.0, 40 - reg) AS BIGINT)) AS BIGINT) AS hs "
+        "FROM regs GROUP BY 1) "
+        "SELECT event_type, CAST(1024 - nb AS BIGINT) AS zeros, "
+        "CAST(hs + (1024 - nb) * 1099511627776 AS BIGINT) AS harmonic, "
+        "%r / CAST(hs + (1024 - nb) * 1099511627776 AS DOUBLE) AS est "
+        "FROM agg"
+        % (kmv_hash_sql("CAST(user_id AS VARCHAR)"), _dr_numer)
+    )
+
     events_range_sql = (
         "WITH errors AS (SELECT event_id, user_id, ts FROM events "
         "WHERE event_type = 'error'), "
@@ -2531,6 +2590,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "kmv_cells": kmv_sql,
         "hll_cells": hll_sql,
         "kmv_overlap": kmv_overlap_sql,
+        "distinct_rollup": distinct_rollup_sql,
         "hh_sketch": (
             "WITH c AS (SELECT lang, source AS key, COUNT(*) AS est "
             "FROM documents GROUP BY 1, 2) "

@@ -105,6 +105,78 @@ def write_rollup(
     roll.write.mode(mode).partitionBy("part_day").parquet(rollup_path)
 
 
+def _distinct_regs(df: DataFrame, dims, distinct_col: str, p: int,
+                   ts_col: str) -> DataFrame:
+    from ..operators.sketch import hll_sketch
+
+    src = df.withColumn(
+        "day", F.date_trunc("day", F.col(ts_col)).cast("date")
+    ).withColumn("_dv", F.col(distinct_col).cast("string"))
+    return hll_sketch(src, ["day"] + list(dims), "_dv", p=p)
+
+
+def write_distinct_rollup(
+    spark: SparkSession,
+    events_path: str,
+    rollup_path: str,
+    dims=("event_type",),
+    distinct_col: str = "user_id",
+    p: int = 10,
+    ts_col: str = "ts",
+    mode: str = "overwrite",
+) -> None:
+    """Continuous aggregate for DISTINCT counts — the aggregate plain
+    rollups cannot provide, because per-day distinct counts don't add
+    across days. Precomputes a per-(day, dims) HyperLogLog register
+    relation (``operators/sketch.hll_sketch``): registers merge by max
+    across any day range, so one pass over each day's raw events is
+    enough forever after. Day-partitioned like :func:`write_rollup` so
+    the serving read prunes identically. State per (day, dims) group
+    is <= 2^p rows."""
+    ev = spark.read.parquet(events_path)
+    regs = _distinct_regs(ev, list(dims), distinct_col, p, ts_col)
+    out = regs.withColumn(
+        "part_day", F.date_format(F.col("day"), DAY_FMT)
+    )
+    out.write.mode(mode).partitionBy("part_day").parquet(rollup_path)
+
+
+def serve_distinct_rollup(
+    spark: SparkSession,
+    events_path: str,
+    rollup_path: str,
+    cutoff_day: str,
+    dims=("event_type",),
+    distinct_col: str = "user_id",
+    p: int = 10,
+    ts_col: str = "ts",
+    correction: bool = True,
+) -> DataFrame:
+    """Distinct-count estimates over the WHOLE table as
+    precomputed-registers-before-cutoff UNION tail-recomputed
+    registers, merged per ``dims``: (dims..., zeros, harmonic, est).
+
+    Register-wise max is lossless, so the result is bit-equal to a
+    flat ``hll_sketch`` + ``hll_estimate`` over all raw events — the
+    same chunk/tail-seam guarantee :func:`serve_rollup` gives for
+    additive aggregates, extended to the non-additive one. The raw
+    scan is bounded by the tail window."""
+    from ..operators.sketch import hll_estimate, hll_merge
+
+    dims = list(dims)
+    pre = (
+        spark.read.parquet(rollup_path)
+        .where(F.col("part_day") < F.lit(cutoff_day))
+        .select("day", *dims, "bucket", "reg")
+    )
+    tail_raw = spark.read.parquet(events_path).where(
+        F.col("part_day") >= F.lit(cutoff_day)
+    )
+    tail = _distinct_regs(tail_raw, dims, distinct_col, p, ts_col)
+    merged = hll_merge(pre.unionByName(tail), dims)
+    return hll_estimate(merged, dims, p=p, correction=correction)
+
+
 def serve_rollup(
     spark: SparkSession,
     events_path: str,

@@ -155,3 +155,44 @@ def test_stream_ingest_into_time_layout(spark, tmp_path):
         ).collect()
     }
     assert served == flat
+
+
+def test_serve_distinct_rollup_equals_flat_sketch(spark, tmp_path):
+    """The distinct-count seam: precomputed per-day registers UNION
+    tail registers, merged by max, must equal the flat sketch of ALL
+    raw events bit for bit — at every cutoff position (all-precomputed,
+    mid, all-tail)."""
+    from pure_python_geospatial_export_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+    from pure_python_geospatial_export_spark.sources.timeseries import (
+        serve_distinct_rollup,
+        write_distinct_rollup,
+    )
+
+    path = os.path.join(tmp_path, "events")
+    droll = os.path.join(tmp_path, "droll")
+    df = _events_df(spark, n=600, days=10).withColumn(
+        "user_id", (F.col("event_id") % 37).cast("long")
+    )
+    write_events_table(df, path)
+    write_distinct_rollup(spark, path, droll, p=8,
+                          distinct_col="user_id")
+    flat = hll_estimate(
+        hll_sketch(
+            df.withColumn("_dv", F.col("user_id").cast("string")),
+            ["event_type"], "_dv", p=8,
+        ),
+        ["event_type"], p=8,
+    )
+    want = {tuple(r) for r in flat.collect()}
+    for cutoff in ("2024-05-11", "2024-05-05", "2024-05-01"):
+        got = serve_distinct_rollup(
+            spark, path, droll, cutoff, p=8, distinct_col="user_id"
+        )
+        assert {tuple(r) for r in got.collect()} == want, cutoff
+    # sanity: the estimate tracks the true distinct count (37 users)
+    ests = {r["event_type"]: r["est"] for r in flat.collect()}
+    for v in ests.values():
+        assert abs(v - 37) / 37 < 0.25
