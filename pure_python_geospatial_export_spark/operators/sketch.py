@@ -176,7 +176,11 @@ def hll_sketch(df: DataFrame, group_cols: List[str], value_col: str,
         .cast("int")
     )
     return (
-        df.select(*group_cols, bucket, rho.alias("_rho"))
+        # NULL values don't count as a distinct element (countDistinct
+        # semantics); without the filter they'd land as a NULL-bucket
+        # register row and skew `zeros` by one
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket, rho.alias("_rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("_rho").alias("reg"))
     )

@@ -129,3 +129,14 @@ def test_single_shuffle_plan(spark):
     plan = hll_sketch(df, ["g"], "v", p=8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_null_values_do_not_count(spark):
+    rows = [("a", "v%d" % i) for i in range(50)] + [("a", None)] * 5
+    df = local_df(spark, rows, ["g", "v"])
+    with_nulls = _collect_regs(hll_sketch(df, ["g"], "v", p=8))
+    without = _collect_regs(
+        hll_sketch(df.where("v IS NOT NULL"), ["g"], "v", p=8)
+    )
+    assert with_nulls == without
+    assert all(b is not None for _g, b in with_nulls)
