@@ -1170,10 +1170,9 @@ def _q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tail-recompute, merged across days by register max. The oracle
     # computes registers FLAT from raw events — equality proves the
     # chunk/tail seam loses nothing (register max is lossless), the
-    # distinct-rollup twin of time_rollup's additive-seam proof.
-    # correction=False: the raw estimate is one double division of
-    # exact integers; the ln small-range branch is libm-divergent
-    # cross-engine (see hll_cells).
+    # distinct-rollup twin of time_rollup's additive-seam proof. The
+    # corrected estimate is bit-oracled via the precomputed
+    # linear-counting table (see hll_cells / hll_estimate).
     from pure_python_geospatial_export_spark.sources.timeseries import (
         serve_distinct_rollup,
         write_distinct_rollup,
@@ -1193,7 +1192,6 @@ def _q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "droll"),
         "2024-01-21",
         p=10,
-        correction=False,
     )
 
 
@@ -1253,11 +1251,12 @@ def _q_hll_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes each coarse cell's registers directly from raw rows)
     # proves the register-wise-max merge is lossless. Output pins the
     # full integer sketch state (zeros + scaled harmonic sum — exact
-    # BIGINTs, order-free) plus the raw estimate (one double division
-    # of exact operands). The corrected estimate stays OUT of the
-    # oracle by measurement: JVM Math.log and DuckDB ln differ by
-    # 1 ulp on ~7% of the m/zeros inputs (accuracy is pinned in
-    # tests/test_hll.py instead).
+    # BIGINTs, order-free) plus the CORRECTED estimate: the raw branch
+    # is one double division of exact operands, and the linear-counting
+    # branch reads a Python-precomputed m*ln(m/zeros) lookup table
+    # embedded as literals on BOTH engine sides — in-engine ln is
+    # measurably 1-ulp divergent (JVM vs DuckDB libm), table literals
+    # are data.
     from pure_python_geospatial_export_spark.operators.sketch import (
         hll_estimate,
         hll_merge,
@@ -1273,7 +1272,7 @@ def _q_hll_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = hll_sketch(fine, ["cell_id", "cell_fine"], "url", p=8)
     merged = hll_merge(sk, ["cell_id"])
-    return hll_estimate(merged, ["cell_id"], p=8, correction=False)
+    return hll_estimate(merged, ["cell_id"], p=8)
 
 
 def _q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2101,34 +2100,56 @@ def _all_oracle_sql() -> dict[str, str]:
 
     # hll_cells: registers from the same md5-prefix hash (bucket = low
     # 8 bits, rank via length(bin(rest)) — identical semantics in both
-    # engines), harmonic sum as the exact scaled BIGINT, raw estimate
-    # as one double division. The numerator constant is computed in
-    # Python HERE and in hll_estimate, so both engines parse the
-    # identical shortest-repr double literal.
-    _hll_m = 256
-    _hll_alpha = 0.7213 / (1.0 + 1.079 / _hll_m)
-    _hll_numer = _hll_alpha * float(_hll_m) * float(_hll_m) * float(
-        1 << 40
+    # engines), harmonic sum as the exact scaled BIGINT. The estimate
+    # numerator AND the linear-counting correction table are computed
+    # in Python here (same arithmetic / libm as hll_estimate) and
+    # embedded as literals — both engines parse identical
+    # shortest-repr doubles, so even the corrected branch bit-matches.
+    from pure_python_geospatial_export_spark.operators.sketch import (
+        hll_correction_table,
     )
+
+    def _hll_tbl_sql(p: int) -> str:
+        return "[" + ", ".join(
+            repr(x) for x in hll_correction_table(p)
+        ) + "]"
+
+    def _hll_numer_lit(p: int) -> str:
+        m = 1 << p
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        return repr(alpha * float(m) * float(m) * float(1 << 40))
+
+    def _hll_est_case(p: int) -> str:
+        m = 1 << p
+        raw = (_hll_numer_lit(p) + " / CAST(harmonic AS DOUBLE)")
+        return (
+            "CASE WHEN (" + raw + ") <= " + repr(2.5 * m)
+            + " AND zeros > 0 THEN (" + _hll_tbl_sql(p)
+            + ")[CAST(zeros AS INTEGER)] ELSE " + raw + " END AS est"
+        )
+
     hll_sql = (
         PTS_CTE
-        + ", hv AS (SELECT %s AS cell_id, %s AS h FROM pts), "
-        "regs AS (SELECT cell_id, CAST(h %% 256 AS INTEGER) AS bucket, "
-        "MAX(CASE WHEN CAST((h - (h %% 256)) / 256 AS BIGINT) > 0 "
-        "THEN 25 - length(bin(CAST((h - (h %% 256)) / 256 AS BIGINT))) "
-        "ELSE 25 END) AS reg FROM hv GROUP BY 1, 2), "
-        "agg AS (SELECT cell_id, COUNT(*) AS nb, "
-        "CAST(SUM(CAST(pow(2.0, 40 - reg) AS BIGINT)) AS BIGINT) AS hs "
-        "FROM regs GROUP BY 1) "
-        "SELECT cell_id, CAST(256 - nb AS BIGINT) AS zeros, "
-        "CAST(hs + (256 - nb) * 1099511627776 AS BIGINT) AS harmonic, "
-        "%r / CAST(hs + (256 - nb) * 1099511627776 AS DOUBLE) AS est "
-        "FROM agg"
-        % (
-            _tile_sql(1),
-            kmv_hash_sql("'doc://' || CAST(doc_id AS VARCHAR)"),
-            _hll_numer,
+        + (
+            ", hv AS (SELECT %s AS cell_id, %s AS h FROM pts), "
+            "regs AS (SELECT cell_id, "
+            "CAST(h %% 256 AS INTEGER) AS bucket, "
+            "MAX(CASE WHEN CAST((h - (h %% 256)) / 256 AS BIGINT) > 0 "
+            "THEN 25 - length(bin(CAST((h - (h %% 256)) / 256 "
+            "AS BIGINT))) ELSE 25 END) AS reg FROM hv GROUP BY 1, 2), "
+            % (
+                _tile_sql(1),
+                kmv_hash_sql("'doc://' || CAST(doc_id AS VARCHAR)"),
+            )
         )
+        + "agg AS (SELECT cell_id, COUNT(*) AS nb, "
+        "CAST(SUM(CAST(pow(2.0, 40 - reg) AS BIGINT)) AS BIGINT) AS hs "
+        "FROM regs GROUP BY 1), "
+        "fin AS (SELECT cell_id, CAST(256 - nb AS BIGINT) AS zeros, "
+        "CAST(hs + (256 - nb) * 1099511627776 AS BIGINT) AS harmonic "
+        "FROM agg) "
+        "SELECT cell_id, zeros, harmonic, " + _hll_est_case(8)
+        + " FROM fin"
     )
 
     # kmv_overlap: per-source bottom-32 vocab sketches from raw rows,
@@ -2161,10 +2182,8 @@ def _all_oracle_sql() -> dict[str, str]:
 
     # distinct_rollup: flat HLL register recompute from raw events at
     # p=10 (m=1024, 33-p=23) — the Spark side must reproduce it
-    # through the day-chunked precompute + tail seam.
-    _dr_m = 1024
-    _dr_alpha = 0.7213 / (1.0 + 1.079 / _dr_m)
-    _dr_numer = _dr_alpha * float(_dr_m) * float(_dr_m) * float(1 << 40)
+    # through the day-chunked precompute + tail seam. Corrected
+    # estimate via the same literal lookup table as hll_cells.
     distinct_rollup_sql = (
         "WITH hv AS (SELECT event_type, %s AS h FROM events), "
         "regs AS (SELECT event_type, "
@@ -2174,12 +2193,14 @@ def _all_oracle_sql() -> dict[str, str]:
         "AS BIGINT))) ELSE 23 END) AS reg FROM hv GROUP BY 1, 2), "
         "agg AS (SELECT event_type, COUNT(*) AS nb, "
         "CAST(SUM(CAST(pow(2.0, 40 - reg) AS BIGINT)) AS BIGINT) AS hs "
-        "FROM regs GROUP BY 1) "
-        "SELECT event_type, CAST(1024 - nb AS BIGINT) AS zeros, "
-        "CAST(hs + (1024 - nb) * 1099511627776 AS BIGINT) AS harmonic, "
-        "%r / CAST(hs + (1024 - nb) * 1099511627776 AS DOUBLE) AS est "
-        "FROM agg"
-        % (kmv_hash_sql("CAST(user_id AS VARCHAR)"), _dr_numer)
+        "FROM regs GROUP BY 1), "
+        "fin AS (SELECT event_type, CAST(1024 - nb AS BIGINT) AS zeros, "
+        "CAST(hs + (1024 - nb) * 1099511627776 AS BIGINT) AS harmonic "
+        "FROM agg) "
+        "SELECT event_type, zeros, harmonic, "
+        % (kmv_hash_sql("CAST(user_id AS VARCHAR)"),)
+        + _hll_est_case(10)
+        + " FROM fin"
     )
 
     events_range_sql = (

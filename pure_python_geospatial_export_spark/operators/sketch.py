@@ -215,11 +215,19 @@ def hll_estimate(sketch: DataFrame, group_cols: List[str],
     partitioning. ``est`` is ``alpha_m * m^2 * 2^scale / harmonic`` —
     one double division of exact operands — with the standard
     small-range correction ``m * ln(m / zeros)`` when
-    ``correction=True`` (default), ``est_raw`` otherwise. The raw
-    estimate is deterministic cross-engine; the corrected branch adds
-    one ``ln`` whose last-ulp behavior is libm-dependent, which is why
-    the driver oracle pins zeros/harmonic/raw and the corrected branch
-    is pinned by accuracy tests instead."""
+    ``correction=True`` (default), ``est_raw`` otherwise.
+
+    Cross-engine exactness of the CORRECTED branch: computing the
+    ``ln`` in-engine is not reproducible (JVM Math.log and DuckDB ln
+    measurably differ by 1 ulp on ~7% of the m/zeros inputs), so for
+    ``p <= 10`` the correction values are precomputed HERE with one
+    canonical libm and embedded as a literal lookup array indexed by
+    ``zeros`` — data, not engine arithmetic, so any engine that can
+    parse a double literal reproduces the estimate bit-for-bit
+    (:func:`hll_correction_table` builds the same table for oracle
+    SQL). Above p=10 the table would be > 2^10 literals, so the
+    correction falls back to runtime ``ln`` — accurate, but only
+    approximately reproducible across engines."""
     m = 1 << p
     if m >= 128:
         alpha = 0.7213 / (1.0 + 1.079 / m)
@@ -249,12 +257,32 @@ def hll_estimate(sketch: DataFrame, group_cols: List[str],
     raw = F.lit(numer) / F.col("harmonic").cast("double")
     if not correction:
         return out.withColumn("est", raw)
+    if p <= 10:
+        tbl = hll_correction_table(p)
+        corr = F.element_at(
+            F.array(*[F.lit(x) for x in tbl]),
+            F.col("zeros").cast("int"),
+        )
+    else:
+        corr = F.lit(float(m)) * F.log(
+            F.lit(float(m)) / F.col("zeros").cast("double")
+        )
     est = F.when(
-        (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m))
-                                / F.col("zeros").cast("double")),
+        (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0), corr
     ).otherwise(raw)
     return out.withColumn("est", est)
+
+
+def hll_correction_table(p: int) -> List[float]:
+    """``[m * ln(m / v) for v in 1..m]`` — the linear-counting
+    correction, 1-indexed by ``zeros``. Computed once with Python's
+    libm and embedded as literals on BOTH engine sides, which is what
+    makes the corrected estimate bit-reproducible (in-engine ln is
+    not; see :func:`hll_estimate`)."""
+    import math
+
+    m = 1 << p
+    return [float(m) * math.log(float(m) / v) for v in range(1, m + 1)]
 
 
 def quantile_sample(
