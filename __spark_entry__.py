@@ -2109,21 +2109,29 @@ def _all_oracle_sql() -> dict[str, str]:
         hll_correction_table,
     )
 
+    def _dlit(x: float) -> str:
+        # DuckDB lexes a plain decimal literal as DECIMAL (here up to
+        # DECIMAL(17,15)) and its DECIMAL->DOUBLE cast can land 1 ulp
+        # off the correct double parse of the same digits; an exponent
+        # forces the DOUBLE lexer path, which round-trips repr exactly.
+        r = repr(float(x))
+        return r if ("e" in r or "E" in r) else r + "e0"
+
     def _hll_tbl_sql(p: int) -> str:
         return "[" + ", ".join(
-            repr(x) for x in hll_correction_table(p)
+            _dlit(x) for x in hll_correction_table(p)
         ) + "]"
 
     def _hll_numer_lit(p: int) -> str:
         m = 1 << p
         alpha = 0.7213 / (1.0 + 1.079 / m)
-        return repr(alpha * float(m) * float(m) * float(1 << 40))
+        return _dlit(alpha * float(m) * float(m) * float(1 << 40))
 
     def _hll_est_case(p: int) -> str:
         m = 1 << p
         raw = (_hll_numer_lit(p) + " / CAST(harmonic AS DOUBLE)")
         return (
-            "CASE WHEN (" + raw + ") <= " + repr(2.5 * m)
+            "CASE WHEN (" + raw + ") <= " + _dlit(2.5 * m)
             + " AND zeros > 0 THEN (" + _hll_tbl_sql(p)
             + ")[CAST(zeros AS INTEGER)] ELSE " + raw + " END AS est"
         )
@@ -2184,8 +2192,13 @@ def _all_oracle_sql() -> dict[str, str]:
     # p=10 (m=1024, 33-p=23) — the Spark side must reproduce it
     # through the day-chunked precompute + tail seam. Corrected
     # estimate via the same literal lookup table as hll_cells.
+    # NULL user_ids must be dropped on BOTH sides: hll_sketch filters
+    # value_col IS NOT NULL (countDistinct semantics), so the oracle
+    # mirrors it — a NULL would otherwise hash to a NULL-bucket
+    # register row here only.
     distinct_rollup_sql = (
-        "WITH hv AS (SELECT event_type, %s AS h FROM events), "
+        "WITH hv AS (SELECT event_type, %s AS h FROM events "
+        "WHERE user_id IS NOT NULL), "
         "regs AS (SELECT event_type, "
         "CAST(h %% 1024 AS INTEGER) AS bucket, "
         "MAX(CASE WHEN CAST((h - (h %% 1024)) / 1024 AS BIGINT) > 0 "
