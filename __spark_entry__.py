@@ -526,13 +526,17 @@ def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF-PQ end to end (build -> probe -> ADC shortlist -> int8-SQ
     # intermediate rerank -> exact rerank): with every inverted list
-    # probed, rerank >= corpus size, and a generous sq_keep, the served
-    # top-k is EXACTLY the brute-force cosine top-k, so the all-pairs
-    # SQL is the bit-level twin (the LSH recall-1 fixture pattern —
-    # generous parameters make approximate-path recall deterministically
-    # 1, and the exact-rerank scores are the same cosine_cols arithmetic
-    # the similarity_topk oracle already bit-matches). Exercises the
-    # whole index lifecycle including the sq.parquet relation.
+    # probed, rerank >= corpus size, AND sq_keep >= corpus size, the
+    # served top-k is EXACTLY the brute-force cosine top-k BY
+    # CONSTRUCTION — every approximate stage runs but keeps its whole
+    # candidate set, so no ADC/int8 quantization error can evict a
+    # true neighbor (the LSH recall-1 fixture pattern). A small
+    # sq_keep would instead rest on the fixture's kth-vs-sq_keep-th
+    # cosine gap exceeding the int8 error — empirical, and silently
+    # breakable by a fixture regeneration. The selective-sq_keep
+    # accuracy trade is pinned by scripts/ann_recall_bench.py and the
+    # unit recall tests, not the bit oracle. Exercises the whole index
+    # lifecycle including the sq.parquet relation.
     from pure_python_geospatial_export_spark.operators.similarity import (
         build_ivfpq_index,
         ivfpq_topk_indexed,
@@ -550,7 +554,8 @@ def _q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivfpq_topk_indexed(
         spark, base, queries, emb, "vec_id", "embedding",
-        "query_id", "qvec", k=5, n_probe=8, rerank=10000, sq_keep=64,
+        "query_id", "qvec", k=5, n_probe=8, rerank=10000,
+        sq_keep=10000,
     )
 
 
@@ -2107,6 +2112,7 @@ def _all_oracle_sql() -> dict[str, str]:
     # shortest-repr doubles, so even the corrected branch bit-matches.
     from pure_python_geospatial_export_spark.operators.sketch import (
         hll_correction_table,
+        hll_numerator,
     )
 
     def _dlit(x: float) -> str:
@@ -2123,9 +2129,9 @@ def _all_oracle_sql() -> dict[str, str]:
         ) + "]"
 
     def _hll_numer_lit(p: int) -> str:
-        m = 1 << p
-        alpha = 0.7213 / (1.0 + 1.079 / m)
-        return _dlit(alpha * float(m) * float(m) * float(1 << 40))
+        # shared with hll_estimate — incl. the m<128 alpha special
+        # cases a local copy would miss
+        return _dlit(hll_numerator(p))
 
     def _hll_est_case(p: int) -> str:
         m = 1 << p

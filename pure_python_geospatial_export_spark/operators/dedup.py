@@ -263,7 +263,6 @@ def jaccard_verify(
     size_prefilter: bool = True,
     sig_df: DataFrame | None = None,
     sig_margin: float | None = None,
-    num_hashes: int = 64,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs -> pairs >= threshold.
 
@@ -282,15 +281,17 @@ def jaccard_verify(
     exactly).
 
     ``sig_df`` + ``sig_margin`` enable the SKETCH-FIRST prefilter: the
-    already-computed minhash signatures (``num_hashes`` longs per doc
-    — typically 10-100x smaller than a shingle array) join the
+    already-computed minhash signatures (``n`` longs per doc —
+    typically 10-100x smaller than a shingle array) join the
     candidate pairs first, and a pair whose signature-agreement
     fraction falls below ``threshold - sig_margin`` never ships its
     shingle arrays. Agreement is an unbiased estimate of J, so unlike
     the size bound this is APPROXIMATE: a true pair with J >= t is
-    dropped with probability <= exp(-2*num_hashes*sig_margin^2)
-    (Hoeffding) — ~3e-4 at num_hashes=64, margin=0.25; ~1e-7 at
-    margin=0.35. Exactness-gated callers (the driver oracle) leave it
+    dropped with probability <= exp(-2*n*sig_margin^2) (Hoeffding,
+    n = the signature length, read from the array itself so a
+    mis-stated length can't skew the fraction) — ~3e-4 at n=64,
+    margin=0.25; ~1e-7 at margin=0.35.
+    Exactness-gated callers (the driver oracle) leave it
     off; corpus-scale jobs where the candidate pool is dominated by
     far-below-threshold junk get the dominant shuffle cut for a
     bounded, quantified recall trade (measured in
@@ -335,7 +336,7 @@ def jaccard_verify(
             ),
             F.lit(0),
             lambda acc, v: acc + v,
-        ).cast("double") / F.lit(float(num_hashes))
+        ).cast("double") / F.size("_sig_a").cast("double")
         pairs = (
             pairs.join(sa, "id_a")
             .join(sb, "id_b")
@@ -397,7 +398,7 @@ def near_duplicates_minhash(
     out = jaccard_verify(cands, df, id_col, text_col, threshold,
                          shingle_size, shingles_df=shingles_df,
                          size_prefilter=False, sig_df=sig_df,
-                         sig_margin=sig_margin, num_hashes=num_hashes)
+                         sig_margin=sig_margin)
     out = out.localCheckpoint(eager=True)
     base.unpersist()
     return out

@@ -235,7 +235,15 @@ def knn_join_complete(
                 full
                 | (
                     (F.coalesce("_cnt", F.lit(0)) >= k)
-                    & (F.col("_maxd") <= cert * cert)
+                    # STRICT: a right point can sit exactly on the
+                    # excluded region's edge at dist_sq == cert^2 and
+                    # tie the in-ring kth candidate; knn_exact's
+                    # (dist, id) tie-break could then rank it in.
+                    # _maxd < cert^2 makes every excluded point
+                    # strictly farther, so no tie can displace an
+                    # accepted result — equality just doubles once
+                    # more.
+                    & (F.col("_maxd") < cert * cert)
                 )
             ).alias("_ok"),
         )

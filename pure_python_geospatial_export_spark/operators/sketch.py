@@ -229,15 +229,7 @@ def hll_estimate(sketch: DataFrame, group_cols: List[str],
     correction falls back to runtime ``ln`` — accurate, but only
     approximately reproducible across engines."""
     m = 1 << p
-    if m >= 128:
-        alpha = 0.7213 / (1.0 + 1.079 / m)
-    elif m == 64:
-        alpha = 0.709
-    elif m == 32:
-        alpha = 0.697
-    else:
-        alpha = 0.673
-    numer = alpha * float(m) * float(m) * float(1 << HLL_SCALE_BITS)
+    numer = hll_numerator(p)
     term = F.pow(F.lit(2.0), F.lit(HLL_SCALE_BITS) - F.col("reg")) \
         .cast("long")
     agg = sketch.groupBy(*group_cols).agg(
@@ -271,6 +263,32 @@ def hll_estimate(sketch: DataFrame, group_cols: List[str],
         (raw <= F.lit(2.5 * m)) & (F.col("zeros") > 0), corr
     ).otherwise(raw)
     return out.withColumn("est", est)
+
+
+def hll_alpha(p: int) -> float:
+    """The standard HLL bias constant alpha_m, including the small-m
+    special cases (m=16/32/64). ONE definition shared by
+    :func:`hll_estimate` and the oracle-SQL literal builders — a
+    second copy that only knows the m>=128 branch would silently
+    diverge for p <= 6."""
+    m = 1 << p
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    if m == 64:
+        return 0.709
+    if m == 32:
+        return 0.697
+    return 0.673
+
+
+def hll_numerator(p: int) -> float:
+    """``alpha_m * m^2 * 2^HLL_SCALE_BITS`` — the scaled estimate
+    numerator, computed once in Python so both engines parse the
+    identical shortest-repr double literal."""
+    m = 1 << p
+    return hll_alpha(p) * float(m) * float(m) * float(
+        1 << HLL_SCALE_BITS
+    )
 
 
 def hll_correction_table(p: int) -> List[float]:

@@ -10,10 +10,12 @@ The structural contrast with streaming/quantiles.py is the point:
 HLL's fold is register-wise MAX, which is idempotent and commutative,
 so foreachBatch's at-least-once delivery needs NO transactional epoch
 machinery — a redelivered micro-batch re-maxes the same registers into
-the same state. The epoch id is still recorded and same-or-older
-epochs are skipped, but purely as a work-avoidance optimization (and
-to keep restart behavior predictable); folding them anyway would be
-harmless, which is exactly the property KLL lacks. Commits reuse the
+the same state, and every batch folds unconditionally (an epoch-id
+gate would silently drop new data when a fresh-checkpoint query
+reuses the state dir and its epoch ids restart at 0). The epoch id is
+recorded in the pointer as monotonic metadata only — exactly the
+property KLL lacks, which is why quantiles.py needs real epoch
+transactionality and this module doesn't. Commits reuse the
 manifest-pointer idiom: new versioned directory, one atomic pointer
 write, superseded versions pruned.
 """
@@ -98,23 +100,28 @@ class DistinctState:
         from ..operators.sketch import hll_merge, hll_sketch
 
         cur_name, last_epoch = self._read_pointer()
-        if int(epoch_id) <= last_epoch:
-            # Work avoidance only: the max-fold is idempotent, so a
-            # redelivered (or out-of-lifetime) epoch folding again
-            # would be CORRECT, just wasted IO. No KLL-style
-            # regression error is needed — a restarted query's
-            # re-folds cannot corrupt the registers. Skipping equal
-            # epochs keeps retries free; skipping lower ones assumes
-            # a restarted-from-scratch source replays a prefix of
-            # what is already folded (true for replayable sources).
+        # No epoch gating: the register max-fold is idempotent and
+        # commutative, so every batch folds unconditionally.
+        # Correctness comes from the algebra, not the epoch id — a
+        # gate on epoch_id is UNSAFE across query lifetimes: a
+        # fresh-checkpoint query reusing this state dir restarts
+        # epoch ids at 0 with DIFFERENT batch boundaries, so a lower
+        # (or equal) id can carry brand-new values that a skip would
+        # silently drop forever. Redelivered retries re-max the same
+        # registers into the same state (wasted IO, never wrong). The
+        # pointer's epoch field is metadata and stays monotonic.
+        if batch_df.isEmpty():
+            # raw-batch probe (scan limit 1, no shuffle) — probing
+            # the aggregated sketch instead would run the full
+            # register groupBy once for the probe and again for the
+            # write below
+            self._commit(cur_name or "-",
+                         max(int(epoch_id), last_epoch))
             return
         fresh = hll_sketch(
             batch_df.select(*self.group_cols, self.value_col),
             self.group_cols, self.value_col, p=self.p,
         )
-        if not fresh.take(1):
-            self._commit(cur_name or "-", int(epoch_id))
-            return
         prev = self.current()
         merged = (
             hll_merge(prev.unionByName(fresh), self.group_cols)
@@ -124,7 +131,7 @@ class DistinctState:
         version = "v%020d" % next_n
         out = os.path.join(self.state_dir, version)
         merged.write.mode("overwrite").parquet(out)
-        self._commit(version, int(epoch_id))
+        self._commit(version, max(int(epoch_id), last_epoch))
         self._prune(version)
 
     def _prune(self, current: str) -> None:

@@ -306,6 +306,35 @@ def test_knn_complete_equals_exact_random(pages):
     assert got == exp
 
 
+def test_knn_complete_boundary_tie_certificate_is_strict(spark):
+    """A right point sitting EXACTLY on the neighborhood's open north
+    edge ties the in-ring candidate's dist_sq at cert^2. knn_exact's
+    (dist, id) tie-break ranks the excluded point in (smaller id), so
+    a non-strict certificate (_maxd <= cert^2) would certify the
+    WRONG row; the strict form doubles the ring once more and matches
+    knn_exact. All coordinates are exact binaries, so the tie is
+    bit-exact, not approximate."""
+    from pure_python_geospatial_export_spark.session import local_df
+
+    # res=3: cell_w=45, cell_h=22.5, n=8. Left (60, 20): gx=5, gy=4.
+    # cert = d_n = (4+2)*22.5 - 90 - 20 = 25 (north edge; east 75,
+    # west 60, south 42.5). Excluded right rid=1 at (60, 45): lat
+    # exactly on the ring's north edge -> gy=6, outside [3,5];
+    # dist_sq = 25^2 = 625 = cert^2 exactly. In-ring right rid=2 at
+    # (35, 20): gx=4, dist_sq = 625 too.
+    left = local_df(spark, [(100, 60.0, 20.0)], ["lid", "lon", "lat"])
+    right = local_df(
+        spark, [(1, 60.0, 45.0), (2, 35.0, 20.0)],
+        ["rid", "lon", "lat"],
+    )
+    exact = knn_exact(left, right, "lid", "rid", k=1).collect()
+    assert [(r["rid"], r["dist_sq"]) for r in exact] == [(1, 625.0)]
+    got = knn_join_complete(
+        left, right, "lid", "rid", k=1, res=3, ring=1
+    ).collect()
+    assert [(r["rid"], r["dist_sq"]) for r in got] == [(1, 625.0)]
+
+
 def test_knn_exact_matches_bruteforce(pages, pages_pd):
     small = pages.where(F.col("page_id") < 200)
     small_pd = pages_pd[pages_pd["page_id"] < 200]

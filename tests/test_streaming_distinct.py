@@ -77,9 +77,10 @@ def test_stream_equals_batch_sketch(spark, tmp_path):
 
 
 def test_redelivery_and_regression_are_harmless(spark, tmp_path):
-    """Idempotence is the structural property: same-epoch retries are
-    skipped as work avoidance, but even a forced double fold of the
-    same rows yields identical registers."""
+    """Idempotence is the structural property: every batch folds
+    unconditionally (no epoch gate), and re-folding already-folded
+    rows — retry, replay, or cross-lifetime redelivery — yields
+    identical registers."""
     state = DistinctState(spark, str(tmp_path / "state"), ["grp"],
                           "value", p=8)
     b1 = local_df(spark, [(0, "v%d" % i) for i in range(300)],
@@ -88,16 +89,14 @@ def test_redelivery_and_regression_are_harmless(spark, tmp_path):
                   ["grp", "value"])
     state.foreach_batch(b1, 0)
     after_first = _regs(state.current())
-    state.foreach_batch(b1, 0)  # retry: skipped
+    state.foreach_batch(b1, 0)  # retry: max of itself
     assert _regs(state.current()) == after_first
     state.foreach_batch(b2, 1)
     combined = _regs(state.current())
-    # a regressed epoch (restarted query replaying folded data) is
-    # skipped — and by idempotence would be harmless even if folded
+    # a regressed epoch replaying already-folded data: harmless
     state.foreach_batch(b1, 0)
     assert _regs(state.current()) == combined
-    # force-fold the same data as a NEW epoch: registers unchanged
-    # (max of itself) — the property the skip merely optimizes
+    # the same data as a NEW epoch: registers unchanged
     state.foreach_batch(b1, 2)
     state.foreach_batch(b2, 3)
     assert _regs(state.current()) == combined
@@ -105,6 +104,27 @@ def test_redelivery_and_regression_are_harmless(spark, tmp_path):
         b1.unionByName(b2), ["grp"], "value", p=8
     )
     assert combined == _regs(direct)
+
+
+def test_fresh_checkpoint_restart_new_data_at_low_epoch(
+    spark, tmp_path,
+):
+    """A new query lifetime (fresh checkpoint dir) reuses the state
+    dir: its epoch ids restart at 0 and batch boundaries differ, so a
+    low epoch id can carry brand-new values. An epoch-id gate would
+    drop them forever; the unconditional fold must count them."""
+    state = DistinctState(spark, str(tmp_path / "state"), ["grp"],
+                          "value", p=8)
+    a = local_df(spark, [(0, "a%d" % i) for i in range(200)],
+                 ["grp", "value"])
+    state.foreach_batch(a, 0)
+    state.foreach_batch(a, 1)  # lifetime A ends at epoch 1
+    # lifetime B: epoch 0 again, NEW values
+    b = local_df(spark, [(0, "b%d" % i) for i in range(200)],
+                 ["grp", "value"])
+    state.foreach_batch(b, 0)
+    direct = hll_sketch(a.unionByName(b), ["grp"], "value", p=8)
+    assert _regs(state.current()) == _regs(direct)
 
 
 def test_empty_batch_advances_epoch(spark, tmp_path):
