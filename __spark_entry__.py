@@ -1168,6 +1168,41 @@ def _q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full GeoPackage CONTAINER lifecycle: derive document points ->
+    # vectorized POINT WKB -> write a REAL .gpkg (SQLite file with
+    # spec metadata tables, GP blob wrapping JVM-side) -> distributed
+    # rowid-range read back -> strip GP headers -> decode coordinate
+    # doubles. The lon/lat bits ride through IEEE-754 bytes unchanged
+    # end to end, so the output equals the pts derivation EXACTLY —
+    # the oracle recomputes it straight from the documents table.
+    from pure_python_geospatial_export_spark.functions.geom_udfs import (
+        lonlat_to_wkb_point,
+        wkb_point_lat,
+        wkb_point_lon,
+    )
+    from pure_python_geospatial_export_spark.sources.gpkg import (
+        read_gpkg,
+        write_gpkg,
+    )
+
+    pts = _docs_points(spark, sf_dir).select("doc_id", "lon", "lat")
+    wkb = pts.select(
+        "doc_id",
+        lonlat_to_wkb_point("lon", "lat").alias("geom"),
+    )
+    base = _scratch_dir("gpkg", sf_dir)
+    os.makedirs(base, exist_ok=True)  # sqlite won't mkdir, Spark would
+    path = os.path.join(base, "docs.gpkg")
+    write_gpkg(wkb, path, "docs", geometry_type="POINT")
+    back = read_gpkg(spark, path, num_partitions=4)
+    return back.select(
+        F.col("doc_id"),
+        wkb_point_lon("geom").alias("lon"),
+        wkb_point_lat("geom").alias("lat"),
+    )
+
+
 def _q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hypertable continuous aggregate for the NON-additive aggregate:
     # per-(day, event_type) HLL register relations precomputed into
@@ -1655,6 +1690,7 @@ _FOLDED_QUERIES = (
     "hll_cells",
     "kmv_overlap",
     "distinct_rollup",
+    "gpkg_roundtrip",
 )
 
 
@@ -1698,6 +1734,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cells": _q_hll_cells,
         "kmv_overlap": _q_kmv_overlap,
         "distinct_rollup": _q_distinct_rollup,
+        "gpkg_roundtrip": _q_gpkg_roundtrip,
         "hh_sketch": _q_hh_sketch,
         "radius_pairs": _q_radius_pairs,
         "url_features": _q_url_features,
@@ -2629,6 +2666,10 @@ def _all_oracle_sql() -> dict[str, str]:
         "events_range": events_range_sql,
         "kmv_cells": kmv_sql,
         "hll_cells": hll_sql,
+        # gpkg_roundtrip: the container round-trip is the identity on
+        # (doc_id, lon, lat) — doubles ride through IEEE bytes — so
+        # the oracle is the bare point derivation.
+        "gpkg_roundtrip": PTS_CTE + " SELECT doc_id, lon, lat FROM pts",
         "kmv_overlap": kmv_overlap_sql,
         "distinct_rollup": distinct_rollup_sql,
         "hh_sketch": (

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
+    DoubleType,
     StringType,
 )
 
@@ -110,6 +111,68 @@ def wkb_to_wkt(wkb_in: pd.Series) -> pd.Series:
     """WKB -> WKT at 16 decimals (C4 -> C1)."""
     geoms = wkbmod.loads_batch(wkb_in.tolist())
     return pd.Series(wktmod.dumps_batch(geoms), dtype=object)
+
+
+#: little-endian 2D POINT WKB prefix (byte order + geometry type)
+_WKB_POINT_LE = b"\x01\x01\x00\x00\x00"
+
+
+@F.pandas_udf(BinaryType())
+def lonlat_to_wkb_point(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """(lon, lat) doubles -> 21-byte little-endian POINT WKB, fully
+    vectorized (one (n, 21) uint8 matrix, coordinate bits copied via
+    dtype views — the doubles round-trip bit-exactly by
+    construction)."""
+    n = len(lon)
+    buf = np.empty((n, 21), dtype=np.uint8)
+    buf[:, 0:5] = np.frombuffer(_WKB_POINT_LE, dtype=np.uint8)
+    buf[:, 5:13] = (
+        lon.to_numpy(dtype=np.float64).astype("<f8")
+        .view(np.uint8).reshape(n, 8)
+    )
+    buf[:, 13:21] = (
+        lat.to_numpy(dtype=np.float64).astype("<f8")
+        .view(np.uint8).reshape(n, 8)
+    )
+    return pd.Series([row.tobytes() for row in buf], dtype=object)
+
+
+def _wkb_point_coords(wkb_in: pd.Series) -> np.ndarray:
+    """(n, 2) lon/lat from POINT WKBs. Fast path: every blob is the
+    21-byte little-endian form -> one reshape + view, no per-row
+    parse; anything else falls back to the full codec."""
+    vals = [None if b is None else bytes(b) for b in wkb_in]
+    n = len(vals)
+    out = np.full((n, 2), np.nan, dtype=np.float64)
+    if n and all(
+        b is not None and len(b) == 21 and b[:5] == _WKB_POINT_LE
+        for b in vals
+    ):
+        raw = np.frombuffer(b"".join(vals), dtype=np.uint8)
+        raw = raw.reshape(n, 21)
+        out[:, 0] = np.ascontiguousarray(raw[:, 5:13]).view("<f8")[:, 0]
+        out[:, 1] = np.ascontiguousarray(
+            raw[:, 13:21]
+        ).view("<f8")[:, 0]
+        return out
+    for i, b in enumerate(vals):
+        if b is None:
+            continue
+        g = wkbmod.loads(b)
+        if g["type"] != "Point":
+            raise ValueError("expected Point WKB, got %s" % g["type"])
+        out[i, 0], out[i, 1] = g["coordinates"][0], g["coordinates"][1]
+    return out
+
+
+@F.pandas_udf(DoubleType())
+def wkb_point_lon(wkb_in: pd.Series) -> pd.Series:
+    return pd.Series(_wkb_point_coords(wkb_in)[:, 0])
+
+
+@F.pandas_udf(DoubleType())
+def wkb_point_lat(wkb_in: pd.Series) -> pd.Series:
+    return pd.Series(_wkb_point_coords(wkb_in)[:, 1])
 
 
 def make_pip_refine(rings_by_id: Dict[int, dict], edges: str = "planar"):
