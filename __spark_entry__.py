@@ -32,6 +32,7 @@ from pure_python_geospatial_export_spark.functions.points import (
     lon_col,
     point_sql,
 )
+from pure_python_geospatial_export_spark.geo import geohash as _geohash
 from pure_python_geospatial_export_spark.geo import wkt as wktmod
 from pure_python_geospatial_export_spark.operators import dedup, similarity
 from pure_python_geospatial_export_spark.operators.knn import (
@@ -1203,6 +1204,32 @@ def _q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # geohash cell rollup: derived document points bucketed by a coarse
+    # precision-2 geohash (pure column arithmetic, JVM-side), with the
+    # lexicographic min/max of each cell's full-precision (9-char)
+    # geohash — exercising both ends of the codec. Geohash strings are
+    # exact integer interleave + base32 after one IEEE quantization per
+    # axis, so both engines produce identical strings.
+    from pure_python_geospatial_export_spark.geo.geohash import (
+        geohash_col,
+    )
+
+    pts = _docs_points(spark, sf_dir)
+    return (
+        pts.select(
+            geohash_col(F.col("lon"), F.col("lat"), 2).alias("gh2"),
+            geohash_col(F.col("lon"), F.col("lat"), 9).alias("gh9"),
+        )
+        .groupBy("gh2")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("gh9").alias("gh9_min"),
+            F.max("gh9").alias("gh9_max"),
+        )
+    )
+
+
 def _q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hypertable continuous aggregate for the NON-additive aggregate:
     # per-(day, event_type) HLL register relations precomputed into
@@ -1691,6 +1718,7 @@ _FOLDED_QUERIES = (
     "kmv_overlap",
     "distinct_rollup",
     "gpkg_roundtrip",
+    "geohash_cells",
 )
 
 
@@ -1735,6 +1763,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_overlap": _q_kmv_overlap,
         "distinct_rollup": _q_distinct_rollup,
         "gpkg_roundtrip": _q_gpkg_roundtrip,
+        "geohash_cells": _q_geohash_cells,
         "hh_sketch": _q_hh_sketch,
         "radius_pairs": _q_radius_pairs,
         "url_features": _q_url_features,
@@ -2670,6 +2699,15 @@ def _all_oracle_sql() -> dict[str, str]:
         # (doc_id, lon, lat) — doubles ride through IEEE bytes — so
         # the oracle is the bare point derivation.
         "gpkg_roundtrip": PTS_CTE + " SELECT doc_id, lon, lat FROM pts",
+        "geohash_cells": (
+            PTS_CTE
+            + ", gh AS (SELECT %s AS gh2, %s AS gh9 FROM pts)"
+              " SELECT gh2, COUNT(*) AS n_docs,"
+              " min(gh9) AS gh9_min, max(gh9) AS gh9_max"
+              " FROM gh GROUP BY 1"
+            % (_geohash.geohash_sql("lon", "lat", 2),
+               _geohash.geohash_sql("lon", "lat", 9))
+        ),
         "kmv_overlap": kmv_overlap_sql,
         "distinct_rollup": distinct_rollup_sql,
         "hh_sketch": (

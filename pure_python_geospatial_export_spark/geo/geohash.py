@@ -1,0 +1,251 @@
+"""Geohash codec — base32 Z-order cell strings over EPSG:4326.
+
+Engine-added capability (the reference has no cell index at all; its only
+spatial pruning is the per-record bbox skip,
+ref ppge/pyshp/__init__.py:1381-1388). Geohash is the interoperable
+STRING form of the engine's Morton/Z-order cell ids (geo/cells.py): the
+same lon-first bit interleave, chunked 5 bits at a time into the standard
+base32 alphabet, so external systems (Elasticsearch, Redis GEO, Uber's
+movement data, most tile caches) can consume the engine's spatial keys
+directly.
+
+The encoder exists in three bit-identical forms:
+
+* :func:`geohash_col` — pure Spark column arithmetic (floor / shift /
+  mask / element_at), JVM-side and whole-stage-codegen'd: at 10^12 rows
+  the geohash derive runs at scan speed with no Python in the path;
+* :func:`geohash_sql` — the same arithmetic as ANSI SQL for the DuckDB
+  oracle (bit-level parity: quantization is one correctly-rounded IEEE
+  add/div/mul per axis, everything after is exact integer arithmetic);
+* :func:`encode_geohash` — numpy batch kernel for Arrow/mapInPandas use
+  and for tests.
+
+Semantics match the classic bisection algorithm exactly (property-tested
+against a bit-by-bit reference implementation): even interleave positions
+(MSB-first) take longitude bits, odd take latitude; cell edges follow the
+engine's convention that lon=180 / lat=90 clamp into the last cell so
+every valid coordinate maps to exactly one geohash.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+MAX_PRECISION = 12  # 60 interleaved bits — comfortably int64
+
+_CHAR_TO_VAL = {c: i for i, c in enumerate(ALPHABET)}
+_ALPH_ARR = np.array(list(ALPHABET))
+_VAL_LUT = np.full(128, -1, dtype=np.int64)
+for _i, _c in enumerate(ALPHABET):
+    _VAL_LUT[ord(_c)] = _i
+
+
+def _check_precision(precision: int) -> int:
+    if not 1 <= precision <= MAX_PRECISION:
+        raise ValueError(
+            "precision must be in [1, %d]" % MAX_PRECISION
+        )
+    return int(precision)
+
+
+def _bit_split(precision: int) -> Tuple[int, int, int]:
+    """(total_bits, lon_bits, lat_bits) for a precision."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2  # lon leads the interleave
+    return bits, lon_bits, bits - lon_bits
+
+
+def _quantize_np(vals: np.ndarray, lo: float, span: float,
+                 nbits: int) -> np.ndarray:
+    n = np.int64(1) << np.int64(nbits)
+    q = np.floor((vals - lo) / span * np.float64(n)).astype(np.int64)
+    np.clip(q, 0, n - 1, out=q)
+    return q
+
+
+def encode_geohash(lons, lats, precision: int = 9) -> np.ndarray:
+    """Vectorized (lon, lat) -> geohash strings at ``precision`` chars."""
+    precision = _check_precision(precision)
+    bits, lon_bits, lat_bits = _bit_split(precision)
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    x = _quantize_np(lons, -180.0, 360.0, lon_bits)
+    y = _quantize_np(lats, -90.0, 180.0, lat_bits)
+    z = np.zeros_like(x)
+    for k in range(lon_bits):
+        z |= ((x >> np.int64(lon_bits - 1 - k)) & 1) << np.int64(
+            bits - 1 - 2 * k
+        )
+    for k in range(lat_bits):
+        z |= ((y >> np.int64(lat_bits - 1 - k)) & 1) << np.int64(
+            bits - 2 - 2 * k
+        )
+    out = np.full(z.shape, "", dtype="<U%d" % precision)
+    for c in range(precision):
+        chunk = (z >> np.int64(5 * (precision - 1 - c))) & 31
+        out = np.char.add(out, _ALPH_ARR[chunk])
+    return out
+
+
+def decode_geohash(ghs) -> Tuple[np.ndarray, np.ndarray,
+                                 np.ndarray, np.ndarray]:
+    """Vectorized geohash strings -> (lon_min, lat_min, lon_max, lat_max).
+
+    All inputs must share one precision (one string length).
+    """
+    ghs = np.asarray(ghs, dtype="U")
+    if ghs.size == 0:
+        e = np.empty(0, dtype=np.float64)
+        return e, e.copy(), e.copy(), e.copy()
+    lengths = np.char.str_len(ghs)
+    precision = int(lengths.flat[0])
+    if not (lengths == precision).all():
+        raise ValueError("mixed geohash precisions in one batch")
+    _check_precision(precision)
+    bits, lon_bits, lat_bits = _bit_split(precision)
+    # chars -> 5-bit values -> interleaved z
+    codes = ghs.view(np.uint32).reshape(ghs.shape + (-1,))[
+        ..., :precision
+    ].astype(np.int64)
+    if (codes >= 128).any():
+        raise ValueError("invalid geohash character")
+    vals = _VAL_LUT[codes]
+    if (vals < 0).any():
+        raise ValueError("invalid geohash character")
+    z = np.zeros(ghs.shape, dtype=np.int64)
+    for c in range(precision):
+        z = (z << np.int64(5)) | vals[..., c]
+    x = np.zeros_like(z)
+    y = np.zeros_like(z)
+    for k in range(lon_bits):
+        x |= ((z >> np.int64(bits - 1 - 2 * k)) & 1) << np.int64(
+            lon_bits - 1 - k
+        )
+    for k in range(lat_bits):
+        y |= ((z >> np.int64(bits - 2 - 2 * k)) & 1) << np.int64(
+            lat_bits - 1 - k
+        )
+    nx = np.float64(np.int64(1) << np.int64(lon_bits))
+    ny = np.float64(np.int64(1) << np.int64(lat_bits))
+    lon_min = x / nx * 360.0 - 180.0
+    lat_min = y / ny * 180.0 - 90.0
+    lon_max = (x + 1) / nx * 360.0 - 180.0
+    lat_max = (y + 1) / ny * 180.0 - 90.0
+    return lon_min, lat_min, lon_max, lat_max
+
+
+def geohash_center(ghs) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized geohash strings -> cell-center (lon, lat)."""
+    x0, y0, x1, y1 = decode_geohash(ghs)
+    return (x0 + x1) / 2.0, (y0 + y1) / 2.0
+
+
+def geohash_neighbors(gh: str) -> List[str]:
+    """The up-to-8 neighboring geohashes of ``gh`` (same precision).
+
+    Longitude wraps across the antimeridian; rows beyond the poles are
+    dropped (a polar cell has 5 neighbors). Order is row-major from the
+    south-west, excluding ``gh`` itself.
+    """
+    precision = _check_precision(len(gh))
+    _, lon_bits, lat_bits = _bit_split(precision)
+    x0, y0, x1, y1 = decode_geohash([gh])
+    nx = 1 << lon_bits
+    ny = 1 << lat_bits
+    cx = int(np.floor((x0[0] + 180.0) / 360.0 * nx + 0.5))
+    cy = int(np.floor((y0[0] + 90.0) / 180.0 * ny + 0.5))
+    out: List[str] = []
+    for dy in (-1, 0, 1):
+        yy = cy + dy
+        if not 0 <= yy < ny:
+            continue
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            xx = (cx + dx) % nx
+            lon = (xx + 0.5) / nx * 360.0 - 180.0
+            lat = (yy + 0.5) / ny * 180.0 - 90.0
+            out.append(str(encode_geohash([lon], [lat], precision)[0]))
+    return out
+
+
+def _quantize_col(val: Column, lo: float, span: float,
+                  nbits: int) -> Column:
+    n = 1 << nbits
+    q = F.floor((val - F.lit(lo)) / F.lit(span) * F.lit(float(n)))
+    return F.least(
+        F.greatest(q.cast("long"), F.lit(0).cast("long")),
+        F.lit(n - 1).cast("long"),
+    )
+
+
+def geohash_col(lon: Column, lat: Column, precision: int = 9) -> Column:
+    """Geohash as a pure Spark column expression (no Python in the path).
+
+    Bit-identical to :func:`encode_geohash` and :func:`geohash_sql`:
+    the quantization is one IEEE add/div/mul per axis and the
+    interleave/base32 steps are exact integer arithmetic.
+    """
+    precision = _check_precision(precision)
+    bits, lon_bits, lat_bits = _bit_split(precision)
+    x = _quantize_col(lon, -180.0, 360.0, lon_bits)
+    y = _quantize_col(lat, -90.0, 180.0, lat_bits)
+    z = F.lit(0).cast("long")
+    for k in range(lon_bits):
+        z = z + F.shiftleft(
+            F.shiftright(x, lon_bits - 1 - k).bitwiseAND(F.lit(1)),
+            bits - 1 - 2 * k,
+        )
+    for k in range(lat_bits):
+        z = z + F.shiftleft(
+            F.shiftright(y, lat_bits - 1 - k).bitwiseAND(F.lit(1)),
+            bits - 2 - 2 * k,
+        )
+    alph = F.array(*[F.lit(c) for c in ALPHABET])
+    chars = [
+        F.element_at(
+            alph,
+            (
+                F.shiftright(z, 5 * (precision - 1 - c))
+                .bitwiseAND(F.lit(31))
+                + F.lit(1)
+            ).cast("int"),
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 9) -> str:
+    """The same geohash arithmetic as an ANSI-SQL expression (DuckDB)."""
+    precision = _check_precision(precision)
+    bits, lon_bits, lat_bits = _bit_split(precision)
+
+    def quant(expr: str, lo: str, span: str, nbits: int) -> str:
+        n = 1 << nbits
+        return (
+            "least(greatest(CAST(floor((%s + %s) / %s * %d.0) AS BIGINT),"
+            " 0), %d)" % (expr, lo, span, n, n - 1)
+        )
+
+    x = quant(lon_expr, "180.0", "360.0", lon_bits)
+    y = quant(lat_expr, "90.0", "180.0", lat_bits)
+    terms = [
+        "(((%s >> %d) & 1) << %d)" % (x, lon_bits - 1 - k, bits - 1 - 2 * k)
+        for k in range(lon_bits)
+    ] + [
+        "(((%s >> %d) & 1) << %d)" % (y, lat_bits - 1 - k, bits - 2 - 2 * k)
+        for k in range(lat_bits)
+    ]
+    z = "(" + " + ".join(terms) + ")"
+    chars = [
+        "substr('%s', CAST((%s >> %d) & 31 AS INTEGER) + 1, 1)"
+        % (ALPHABET, z, 5 * (precision - 1 - c))
+        for c in range(precision)
+    ]
+    return "(" + " || ".join(chars) + ")"

@@ -1,0 +1,174 @@
+"""Geohash codec: closed form vs classic bisection, Spark/SQL/numpy parity."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pure_python_geospatial_export_spark.geo.geohash import (
+    ALPHABET,
+    decode_geohash,
+    encode_geohash,
+    geohash_center,
+    geohash_col,
+    geohash_neighbors,
+    geohash_sql,
+)
+
+
+def _classic(lon: float, lat: float, precision: int) -> str:
+    """Reference implementation: textbook bit-by-bit interval bisection."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True
+    while len(bits) < 5 * precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2.0
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2.0
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    out = []
+    for c in range(precision):
+        v = 0
+        for b in bits[5 * c:5 * c + 5]:
+            v = v * 2 + b
+        out.append(ALPHABET[v])
+    return "".join(out)
+
+
+def _rand_points(n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    lons = rng.uniform(-180.0, 180.0, n)
+    lats = rng.uniform(-90.0, 90.0, n)
+    return lons, lats
+
+
+def test_known_vectors():
+    assert str(encode_geohash([-5.603], [42.605], 5)[0]) == "ezs42"
+    assert (
+        str(encode_geohash([10.40744], [57.64911], 11)[0])
+        == "u4pruydqqvj"
+    )
+    assert str(encode_geohash([0.0], [0.0], 1)[0]) == "s"
+
+
+@pytest.mark.parametrize("precision", [1, 2, 5, 8, 12])
+def test_matches_classic_bisection(precision):
+    lons, lats = _rand_points()
+    got = encode_geohash(lons, lats, precision)
+    for lon, lat, g in zip(lons, lats, got):
+        assert str(g) == _classic(lon, lat, precision)
+
+
+def test_edge_clamps():
+    # lon=180 / lat=90 clamp into the last cell (engine convention,
+    # identical to the bisection's >= comparisons)
+    for precision in (1, 5, 9):
+        got = encode_geohash(
+            [180.0, -180.0, 0.0], [90.0, -90.0, 0.0], precision
+        )
+        assert str(got[0]) == _classic(180.0, 90.0, precision)
+        assert str(got[1]) == _classic(-180.0, -90.0, precision)
+
+
+def test_decode_roundtrip():
+    lons, lats = _rand_points(300, seed=11)
+    for precision in (3, 7, 12):
+        ghs = encode_geohash(lons, lats, precision)
+        x0, y0, x1, y1 = decode_geohash(ghs)
+        assert (x0 <= lons).all() and (lons < x1 + 1e-12).all()
+        assert (y0 <= lats).all() and (lats < y1 + 1e-12).all()
+        clon, clat = geohash_center(ghs)
+        again = encode_geohash(clon, clat, precision)
+        assert (again == ghs).all()
+
+
+def test_decode_rejects():
+    with pytest.raises(ValueError):
+        decode_geohash(["ezs42", "u4pr"])  # mixed precision
+    with pytest.raises(ValueError):
+        decode_geohash(["ezsa2"])  # 'a' not in the alphabet
+    with pytest.raises(ValueError):
+        decode_geohash(["ez£42"])  # non-ascii
+
+
+def test_neighbors_adjacency_and_wrap():
+    nbrs = geohash_neighbors("ezs42")
+    assert len(nbrs) == 8 and len(set(nbrs)) == 8
+    x0, y0, x1, y1 = decode_geohash(["ezs42"])
+    for nb in nbrs:
+        a0, b0, a1, b1 = decode_geohash([nb])
+        # shares an edge or corner with the center cell
+        assert a1[0] >= x0[0] - 1e-9 and a0[0] <= x1[0] + 1e-9
+        assert b1[0] >= y0[0] - 1e-9 and b0[0] <= y1[0] + 1e-9
+    # antimeridian wrap: a cell on the west edge has east-hemisphere
+    # neighbors
+    west = str(encode_geohash([-179.99], [10.0], 4)[0])
+    wn = geohash_neighbors(west)
+    assert len(wn) == 8
+    cl, _ = geohash_center(wn)
+    assert (cl > 170.0).any()
+    # pole: no rows beyond lat=90
+    top = str(encode_geohash([10.0], [89.99], 4)[0])
+    assert len(geohash_neighbors(top)) == 5
+
+
+def test_spark_column_matches_numpy(spark):
+    lons, lats = _rand_points(500, seed=3)
+    import pandas as pd
+
+    pdf = pd.DataFrame({"lon": lons, "lat": lats})
+    df = spark.createDataFrame(pdf)
+    for precision in (1, 4, 9, 12):
+        rows = (
+            df.select(
+                "lon", "lat",
+                geohash_col(F.col("lon"), F.col("lat"), precision)
+                .alias("gh"),
+            )
+            .collect()
+        )
+        want = encode_geohash(
+            [r["lon"] for r in rows], [r["lat"] for r in rows], precision
+        )
+        assert [r["gh"] for r in rows] == [str(w) for w in want]
+
+
+def test_duckdb_sql_matches_numpy():
+    lons, lats = _rand_points(500, seed=5)
+    con = duckdb.connect()
+    con.register(
+        "pts",
+        __import__("pandas").DataFrame({"lon": lons, "lat": lats}),
+    )
+    for precision in (1, 4, 9, 12):
+        got = [
+            r[0]
+            for r in con.execute(
+                "SELECT %s FROM pts" % geohash_sql("lon", "lat", precision)
+            ).fetchall()
+        ]
+        want = encode_geohash(lons, lats, precision)
+        assert got == [str(w) for w in want]
+
+
+def test_precision_bounds():
+    with pytest.raises(ValueError):
+        encode_geohash([0.0], [0.0], 0)
+    with pytest.raises(ValueError):
+        encode_geohash([0.0], [0.0], 13)
+    with pytest.raises(ValueError):
+        geohash_sql("lon", "lat", 13)
