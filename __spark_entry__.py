@@ -1204,6 +1204,37 @@ def _q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dissolve_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # polygon dissolve: doc-derived rectangles merged into
+    # overlap-connected groups (exact self-overlap pairs -> label
+    # propagation CC -> group rollup). Rect-vs-rect intersect is pure
+    # interval arithmetic so the oracle mirrors the pair graph in SQL
+    # and computes the same components with a recursive closure CTE;
+    # coords round to 6 decimals before the WKT text so the parsed
+    # doubles equal the oracle's round(x, 6) (the polygon_overlap
+    # recipe).
+    from pure_python_geospatial_export_spark.operators.dissolve import (
+        dissolve_groups,
+    )
+
+    pts = _docs_points(spark, sf_dir).where(F.col("doc_id") % 20 == 0)
+    half = F.lit(0.5) + (F.col("doc_id") % 4).cast("double") * F.lit(0.3)
+    x0 = F.round(F.col("lon") - half, 6)
+    x1 = F.round(F.col("lon") + half, 6)
+    y0 = F.round(F.col("lat") - half, 6)
+    y1 = F.round(F.col("lat") + half, 6)
+    probe_wkt = F.format_string(
+        "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, "
+        "%.6f %.6f))",
+        x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
+    )
+    probes = pts.select(F.col("doc_id").alias("id"),
+                        probe_wkt.alias("wkt"))
+    return dissolve_groups(probes, res=6).select(
+        "group_id", "n_members", "xmin", "ymin", "xmax", "ymax"
+    )
+
+
 def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # geohash cell rollup: derived document points bucketed by a coarse
     # precision-2 geohash (pure column arithmetic, JVM-side), with the
@@ -1719,6 +1750,7 @@ _FOLDED_QUERIES = (
     "distinct_rollup",
     "gpkg_roundtrip",
     "geohash_cells",
+    "dissolve_rects",
 )
 
 
@@ -1764,6 +1796,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_rollup": _q_distinct_rollup,
         "gpkg_roundtrip": _q_gpkg_roundtrip,
         "geohash_cells": _q_geohash_cells,
+        "dissolve_rects": _q_dissolve_rects,
         "hh_sketch": _q_hh_sketch,
         "radius_pairs": _q_radius_pairs,
         "url_features": _q_url_features,
@@ -2699,6 +2732,36 @@ def _all_oracle_sql() -> dict[str, str]:
         # (doc_id, lon, lat) — doubles ride through IEEE bytes — so
         # the oracle is the bare point derivation.
         "gpkg_roundtrip": PTS_CTE + " SELECT doc_id, lon, lat FROM pts",
+        # rect intersect == interval overlap, so the oracle rebuilds
+        # the pair graph in SQL and takes min-id components with a
+        # recursive closure (reach(node, r): r reaches node; UNION
+        # dedups so it terminates)
+        "dissolve_rects": (
+            PTS_CTE.replace("WITH pts", "WITH RECURSIVE pts", 1)
+            + ", rects AS (SELECT doc_id AS id, "
+              "round(lon - (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
+              " AS x0, "
+              "round(lon + (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
+              " AS x1, "
+              "round(lat - (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
+              " AS y0, "
+              "round(lat + (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
+              " AS y1 FROM pts WHERE doc_id % 20 = 0)"
+              ", prs AS (SELECT a.id AS ia, b.id AS ib FROM rects a"
+              " JOIN rects b ON a.id < b.id AND a.x0 <= b.x1"
+              " AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1)"
+              ", eg AS (SELECT ia AS src, ib AS dst FROM prs"
+              " UNION ALL SELECT ib, ia FROM prs)"
+              ", reach(node, r) AS (SELECT id, id FROM rects"
+              " UNION SELECT eg.dst, reach.r FROM reach"
+              " JOIN eg ON eg.src = reach.node)"
+              ", labels AS (SELECT node AS id, min(r) AS group_id"
+              " FROM reach GROUP BY node)"
+              " SELECT group_id, COUNT(*) AS n_members,"
+              " min(x0) AS xmin, min(y0) AS ymin,"
+              " max(x1) AS xmax, max(y1) AS ymax"
+              " FROM labels JOIN rects USING (id) GROUP BY 1"
+        ),
         "geohash_cells": (
             PTS_CTE
             + ", gh AS (SELECT %s AS gh2, %s AS gh9 FROM pts)"

@@ -1,0 +1,221 @@
+"""Polygon dissolve — merge a fact-scale polygon table into
+overlap-connected groups.
+
+The classic GIS "dissolve" (flatten a parcel/footprint layer into
+contiguous blobs), decomposed into Spark-native steps so nothing
+quadratic sits on a scale path:
+
+1. :func:`polygon_self_overlap_pairs` — the exact "intersects"
+   self-join. One Arrow pass extracts each polygon's bbox
+   (``spatial_join.attach_probe_bboxes`` — WKT parsed once, malformed
+   rows drop); candidate cells are the bbox's grid-range cross product
+   (pure column ``sequence`` explodes); a single equi self-join on
+   ``cell_id`` proposes pairs. Pairs are deduplicated WITHOUT a
+   ``distinct`` shuffle: a pair is emitted only from its CANONICAL cell
+   — the cell containing the south-west corner of the two bboxes'
+   intersection, which both sides provably cover — so every colliding
+   pair surfaces exactly once. Only bbox-overlapping candidates run the
+   exact kernel (``kernels.polygons_intersect``; geodesic edges via the
+   great-circle variants), Arrow-batched over the pair's two WKTs.
+2. :func:`dissolve` — connected components over the pair graph
+   (``dedup.duplicate_clusters``: label propagation + pointer jumping,
+   O(log diameter) rounds), with non-colliding singletons unioned back
+   as their own groups.
+3. :func:`dissolve_groups` — per-group rollup: member count and the
+   merged vertex bbox.
+
+Scale notes: the self-join shuffles each polygon once per covered cell
+(pick ``res`` so typical geometries span O(1) cells); hot cells are
+bounded by ``max_bucket`` exactly like the MinHash band join —
+explicitly capped, never silently quadratic. The verify step ships each
+candidate pair's two WKTs; geometries are small by contract (parcels,
+footprints), so the pair relation stays skinny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geom_udfs import grid_xy_cols
+from .spatial_join import DEFAULT_RES, attach_probe_bboxes
+
+__all__ = [
+    "polygon_self_overlap_pairs",
+    "dissolve",
+    "dissolve_groups",
+]
+
+
+def polygon_self_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    wkt_col: str = "wkt",
+    res: int = DEFAULT_RES,
+    edges: str = "planar",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Exact polygon-vs-polygon "intersects" self-join ->
+    ``(id_a, id_b)`` with ``id_a < id_b`` (boundary contact counts).
+
+    ``max_bucket`` caps the per-cell candidate fan-out (rows kept per
+    cell, ordered by id for determinism) — the boilerplate-flood guard;
+    ``None`` disables the cap.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    from ..geo import kernels
+    from ..geo import wkt as wktmod
+    from .spatial_join import _probe_parts
+
+    geodesic = edges == "geodesic"
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(wkt_col).alias("_wkt"))
+    with_bbox = attach_probe_bboxes(src, geodesic)
+
+    gx0, gy0 = grid_xy_cols(F.col("_xmin"), F.col("_ymin"), res)
+    gx1, gy1 = grid_xy_cols(F.col("_xmax"), F.col("_ymax"), res)
+    cand = (
+        with_bbox
+        .withColumn("_gx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("_gy", F.explode(F.sequence(gy0, gy1)))
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_gx", "_gy").orderBy("_id")
+        cand = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket)
+            .drop("_rn")
+        )
+
+    a = cand.select(
+        F.col("_id").alias("id_a"), F.col("_wkt").alias("_wkt_a"),
+        F.col("_xmin").alias("_ax0"), F.col("_ymin").alias("_ay0"),
+        F.col("_xmax").alias("_ax1"), F.col("_ymax").alias("_ay1"),
+        "_gx", "_gy",
+    )
+    b = cand.select(
+        F.col("_id").alias("id_b"), F.col("_wkt").alias("_wkt_b"),
+        F.col("_xmin").alias("_bx0"), F.col("_ymin").alias("_by0"),
+        F.col("_xmax").alias("_bx1"), F.col("_ymax").alias("_by1"),
+        "_gx", "_gy",
+    )
+    # canonical-cell dedupe: both bboxes cover the cell holding the SW
+    # corner of their intersection, so emitting the pair only there
+    # yields each colliding pair exactly once — no distinct shuffle.
+    ix0 = F.greatest(F.col("_ax0"), F.col("_bx0"))
+    iy0 = F.greatest(F.col("_ay0"), F.col("_by0"))
+    cgx, cgy = grid_xy_cols(ix0, iy0, res)
+    joined = (
+        a.join(b, ["_gx", "_gy"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            (F.col("_ax0") <= F.col("_bx1"))
+            & (F.col("_bx0") <= F.col("_ax1"))
+            & (F.col("_ay0") <= F.col("_by1"))
+            & (F.col("_by0") <= F.col("_ay1"))
+        )
+        .where((F.col("_gx") == cgx) & (F.col("_gy") == cgy))
+        .select("id_a", "id_b", "_wkt_a", "_wkt_b")
+    )
+
+    out_schema = StructType([
+        joined.schema["id_a"],
+        joined.schema["id_b"],
+    ])
+
+    def verify_kernel(batches):
+        for pdf in batches:
+            keep = []
+            for sa, sb in zip(pdf["_wkt_a"], pdf["_wkt_b"]):
+                try:
+                    ka, ra = _probe_parts(wktmod.loads(sa))
+                    kb, rb = _probe_parts(wktmod.loads(sb))
+                    if ka != "area" or kb != "area":
+                        # dissolve is a polygon operator: non-areal
+                        # rows never merge (they stay singletons)
+                        keep.append(False)
+                        continue
+                    if geodesic:
+                        from ..geo.geodesic import (
+                            polygons_intersect_geodesic,
+                        )
+                        keep.append(
+                            bool(polygons_intersect_geodesic(ra, rb))
+                        )
+                    else:
+                        keep.append(
+                            bool(kernels.polygons_intersect(ra, rb))
+                        )
+                except Exception:
+                    keep.append(False)
+            mask = pd.Series(keep, index=pdf.index)
+            yield pdf.loc[mask, ["id_a", "id_b"]]
+
+    return joined.mapInPandas(verify_kernel, out_schema)
+
+
+def dissolve(
+    df: DataFrame,
+    id_col: str = "id",
+    wkt_col: str = "wkt",
+    res: int = DEFAULT_RES,
+    edges: str = "planar",
+    max_bucket: int | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Overlap-connected component labels -> ``(id, group_id)`` with
+    ``group_id`` = the minimum member id; polygons that touch nothing
+    form singleton groups of themselves. Malformed geometries drop
+    (the P8 null-guard semantics — they join no group)."""
+    from .dedup import duplicate_clusters
+
+    pairs = polygon_self_overlap_pairs(
+        df, id_col=id_col, wkt_col=wkt_col, res=res, edges=edges,
+        max_bucket=max_bucket,
+    )
+    clustered = duplicate_clusters(pairs, max_iters=max_iters).select(
+        F.col("id").alias(id_col), F.col("cluster_id").alias("group_id")
+    )
+    src = df.select(F.col(id_col), F.col(wkt_col).alias("_wkt"))
+    valid = attach_probe_bboxes(src, edges == "geodesic").select(id_col)
+    singles = (
+        valid.join(clustered.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("group_id"))
+    )
+    return clustered.unionByName(singles)
+
+
+def dissolve_groups(
+    df: DataFrame,
+    id_col: str = "id",
+    wkt_col: str = "wkt",
+    res: int = DEFAULT_RES,
+    edges: str = "planar",
+    max_bucket: int | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Dissolved-group rollup -> ``(group_id, n_members, xmin, ymin,
+    xmax, ymax)`` — the merged VERTEX bbox of every member (planar
+    extent; geodesic edge bulges pad only the internal cover, never
+    the reported extent)."""
+    members = dissolve(
+        df, id_col=id_col, wkt_col=wkt_col, res=res, edges=edges,
+        max_bucket=max_bucket, max_iters=max_iters,
+    )
+    src = df.select(F.col(id_col), F.col(wkt_col).alias("_wkt"))
+    boxes = attach_probe_bboxes(src, geodesic=False)
+    return (
+        members.join(boxes, id_col)
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("_xmin").alias("xmin"),
+            F.min("_ymin").alias("ymin"),
+            F.max("_xmax").alias("xmax"),
+            F.max("_ymax").alias("ymax"),
+        )
+    )

@@ -273,59 +273,18 @@ def _probe_parts(geom: dict):
     raise ValueError("unsupported probe geometry %s" % t)
 
 
-def polygon_overlap_join(
-    probes: DataFrame,
-    polygons: DataFrame,
-    res: int = DEFAULT_RES,
-    id_col: str = "probe_id",
-    wkt_col: str = "wkt",
-    rings_by_id: Optional[Dict[int, dict]] = None,
-    edges: str = "planar",
-) -> DataFrame:
-    """Polygon-vs-polygon "intersects" join: a fact-scale table of SMALL
-    polygon geometries (building footprints, parcels — WKT column)
-    against the dimension layer -> (id, polygon_id, name). Boundary
-    contact counts as intersecting.
-
-    Plan shape (the PIP flagship's recipe generalized to areal probes):
-
-    1. one Arrow pass extracts each probe's bbox (WKT parsed once;
-       malformed rows drop — the P8 null-guard semantics);
-    2. candidate cells are the bbox's grid-range cross product — pure
-       column ``sequence`` explodes, no geometry;
-    3. broadcast equi-join against the layer's cover cells (zero
-       shuffle of the probe side);
-    4. pair dedupe with the FULL-CELL shortcut: a probe whose bbox sits
-       inside a provably-interior cover cell intersects by containment
-       — no geometry runs for it (the areal analogue of the interior
-       fast path);
-    5. only unresolved pairs run the exact kernel
-       (``kernels.polygons_intersect``: vertex-in-polygon both ways +
-       edge crossings/touches), Arrow-batched, layer rings from the
-       driver dict in the closure.
-
-    Pick ``res`` so typical probes span O(1) cells — the explode in (2)
-    is (bbox cells per row) and the refine cost is per candidate pair.
-    """
+def attach_probe_bboxes(src: DataFrame, geodesic: bool) -> DataFrame:
+    """One Arrow pass attaching ``_xmin/_ymin/_xmax/_ymax`` to a frame
+    with a ``_wkt`` geometry column (parsed once; malformed rows drop —
+    the P8 null-guard semantics). Under ``geodesic`` the bbox is padded
+    by the worst great-circle sagitta so arc bulges can't escape the
+    candidate cells derived from it. Shared by the probe-vs-layer
+    overlap join and the self-overlap dissolve."""
     import pandas as pd
-    from pyspark.sql.types import (
-        BooleanType,
-        DoubleType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    from ..functions.geom_udfs import grid_xy_cols
-    from ..geo import kernels
     from ..geo import wkt as wktmod
 
-    if rings_by_id is None:
-        rings_by_id = load_rings(polygons)
-    cover = polygon_cells(
-        probes.sparkSession, rings_by_id, res, edges=edges
-    )
-
-    src = probes.select(F.col(id_col), F.col(wkt_col).alias("_wkt"))
     bbox_schema = StructType(
         list(src.schema.fields) + [
             StructField("_xmin", DoubleType(), True),
@@ -334,8 +293,6 @@ def polygon_overlap_join(
             StructField("_ymax", DoubleType(), True),
         ]
     )
-
-    geodesic = edges == "geodesic"
 
     def bbox_kernel(batches):
         import numpy as np
@@ -389,9 +346,61 @@ def polygon_overlap_join(
                 for k, v in vals.items()
             })
 
-    with_bbox = src.mapInPandas(bbox_kernel, bbox_schema).where(
+    return src.mapInPandas(bbox_kernel, bbox_schema).where(
         F.col("_xmin").isNotNull()
     )
+
+
+def polygon_overlap_join(
+    probes: DataFrame,
+    polygons: DataFrame,
+    res: int = DEFAULT_RES,
+    id_col: str = "probe_id",
+    wkt_col: str = "wkt",
+    rings_by_id: Optional[Dict[int, dict]] = None,
+    edges: str = "planar",
+) -> DataFrame:
+    """Polygon-vs-polygon "intersects" join: a fact-scale table of SMALL
+    polygon geometries (building footprints, parcels — WKT column)
+    against the dimension layer -> (id, polygon_id, name). Boundary
+    contact counts as intersecting.
+
+    Plan shape (the PIP flagship's recipe generalized to areal probes):
+
+    1. one Arrow pass extracts each probe's bbox (WKT parsed once;
+       malformed rows drop — the P8 null-guard semantics);
+    2. candidate cells are the bbox's grid-range cross product — pure
+       column ``sequence`` explodes, no geometry;
+    3. broadcast equi-join against the layer's cover cells (zero
+       shuffle of the probe side);
+    4. pair dedupe with the FULL-CELL shortcut: a probe whose bbox sits
+       inside a provably-interior cover cell intersects by containment
+       — no geometry runs for it (the areal analogue of the interior
+       fast path);
+    5. only unresolved pairs run the exact kernel
+       (``kernels.polygons_intersect``: vertex-in-polygon both ways +
+       edge crossings/touches), Arrow-batched, layer rings from the
+       driver dict in the closure.
+
+    Pick ``res`` so typical probes span O(1) cells — the explode in (2)
+    is (bbox cells per row) and the refine cost is per candidate pair.
+    """
+    import pandas as pd
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    from ..functions.geom_udfs import grid_xy_cols
+    from ..geo import kernels
+    from ..geo import wkt as wktmod
+
+    if rings_by_id is None:
+        rings_by_id = load_rings(polygons)
+    cover = polygon_cells(
+        probes.sparkSession, rings_by_id, res, edges=edges
+    )
+
+    src = probes.select(F.col(id_col), F.col(wkt_col).alias("_wkt"))
+    geodesic = edges == "geodesic"
+    with_bbox = attach_probe_bboxes(src, geodesic)
 
     n = 1 << res
     gx0, gy0 = grid_xy_cols(F.col("_xmin"), F.col("_ymin"), res)
