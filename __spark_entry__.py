@@ -1217,7 +1217,9 @@ def _q_dissolve_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
         dissolve_groups,
     )
 
-    pts = _docs_points(spark, sf_dir).where(F.col("doc_id") % 20 == 0)
+    # 21 is coprime to 4 so the surviving doc_ids exercise all four
+    # rect sizes (a % 20 filter would pin doc_id % 4 == 0)
+    pts = _docs_points(spark, sf_dir).where(F.col("doc_id") % 21 == 0)
     half = F.lit(0.5) + (F.col("doc_id") % 4).cast("double") * F.lit(0.3)
     x0 = F.round(F.col("lon") - half, 6)
     x1 = F.round(F.col("lon") + half, 6)
@@ -2746,7 +2748,7 @@ def _all_oracle_sql() -> dict[str, str]:
               "round(lat - (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
               " AS y0, "
               "round(lat + (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
-              " AS y1 FROM pts WHERE doc_id % 20 = 0)"
+              " AS y1 FROM pts WHERE doc_id % 21 = 0)"
               ", prs AS (SELECT a.id AS ia, b.id AS ib FROM rects a"
               " JOIN rects b ON a.id < b.id AND a.x0 <= b.x1"
               " AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1)"

@@ -20,11 +20,16 @@ The encoder exists in three bit-identical forms:
 * :func:`encode_geohash` — numpy batch kernel for Arrow/mapInPandas use
   and for tests.
 
-Semantics match the classic bisection algorithm exactly (property-tested
-against a bit-by-bit reference implementation): even interleave positions
-(MSB-first) take longitude bits, odd take latitude; cell edges follow the
-engine's convention that lon=180 / lat=90 clamp into the last cell so
-every valid coordinate maps to exactly one geohash.
+Semantics match the classic bisection algorithm exactly FOR EVERY
+DOUBLE, including coordinates within 1 ulp of a cell edge: the fast
+floor quantization is followed by an exact-boundary correction (cell
+edges are exact dyadic doubles, so the at-most-one-cell floor error is
+detectable and repairable with a +-1 adjustment — see ``_quantize_np``).
+Property-tested against a bit-by-bit reference implementation on both
+random and boundary-adjacent points. Even interleave positions
+(MSB-first) take longitude bits, odd take latitude; cell edges follow
+the engine's convention that lon=180 / lat=90 clamp into the last cell
+so every valid coordinate maps to exactly one geohash.
 """
 
 from __future__ import annotations
@@ -62,8 +67,21 @@ def _bit_split(precision: int) -> Tuple[int, int, int]:
 
 def _quantize_np(vals: np.ndarray, lo: float, span: float,
                  nbits: int) -> np.ndarray:
+    # Fast floor, then an exact-boundary correction so the result
+    # equals the textbook bisection for EVERY double, not just points
+    # away from cell edges. Cell boundaries lo + q*span/2^k are exact
+    # doubles (span/2^k is 45*2^j and every multiple in range has
+    # <= 53 significant bits; adding lo = -span/2, itself a boundary
+    # multiple, stays representable, so the IEEE ops below are exact),
+    # while the fast floor's three roundings can misplace a point
+    # within ~1 ulp of an edge by at most one cell (error < 2^-22
+    # cells), so a single +-1 adjustment restores exactness.
     n = np.int64(1) << np.int64(nbits)
+    step = span / np.float64(n)  # exact: 45 * 2^j
     q = np.floor((vals - lo) / span * np.float64(n)).astype(np.int64)
+    np.clip(q, 0, n - 1, out=q)
+    q -= vals < (q.astype(np.float64) * step + lo)
+    q += vals >= ((q + 1).astype(np.float64) * step + lo)
     np.clip(q, 0, n - 1, out=q)
     return q
 
@@ -98,7 +116,7 @@ def decode_geohash(ghs) -> Tuple[np.ndarray, np.ndarray,
 
     All inputs must share one precision (one string length).
     """
-    ghs = np.asarray(ghs, dtype="U")
+    ghs = np.ascontiguousarray(np.asarray(ghs, dtype="U"))
     if ghs.size == 0:
         e = np.empty(0, dtype=np.float64)
         return e, e.copy(), e.copy(), e.copy()
@@ -176,10 +194,23 @@ def geohash_neighbors(gh: str) -> List[str]:
 
 def _quantize_col(val: Column, lo: float, span: float,
                   nbits: int) -> Column:
+    # fast floor + exact-boundary correction — see _quantize_np
     n = 1 << nbits
+    step = span / float(n)
     q = F.floor((val - F.lit(lo)) / F.lit(span) * F.lit(float(n)))
-    return F.least(
+    q = F.least(
         F.greatest(q.cast("long"), F.lit(0).cast("long")),
+        F.lit(n - 1).cast("long"),
+    )
+    q = q - F.when(
+        val < q.cast("double") * F.lit(step) + F.lit(lo), F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    q = q + F.when(
+        val >= (q + F.lit(1)).cast("double") * F.lit(step) + F.lit(lo),
+        F.lit(1),
+    ).otherwise(F.lit(0)).cast("long")
+    return F.least(
+        F.greatest(q, F.lit(0).cast("long")),
         F.lit(n - 1).cast("long"),
     )
 
@@ -227,11 +258,22 @@ def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 9) -> str:
     bits, lon_bits, lat_bits = _bit_split(precision)
 
     def quant(expr: str, lo: str, span: str, nbits: int) -> str:
+        # fast floor + exact-boundary correction — see _quantize_np
         n = 1 << nbits
-        return (
+        step = float(span) / float(n)
+        q0 = (
             "least(greatest(CAST(floor((%s + %s) / %s * %d.0) AS BIGINT),"
             " 0), %d)" % (expr, lo, span, n, n - 1)
         )
+        q1 = (
+            "(%s - CASE WHEN %s < CAST(%s AS DOUBLE) * %r - %s"
+            " THEN 1 ELSE 0 END)" % (q0, expr, q0, step, lo)
+        )
+        q2 = (
+            "(%s + CASE WHEN %s >= CAST(%s + 1 AS DOUBLE) * %r - %s"
+            " THEN 1 ELSE 0 END)" % (q1, expr, q1, step, lo)
+        )
+        return "least(greatest(%s, 0), %d)" % (q2, n - 1)
 
     x = quant(lon_expr, "180.0", "360.0", lon_bits)
     y = quant(lat_expr, "90.0", "180.0", lat_bits)

@@ -62,17 +62,26 @@ def polygon_self_overlap_pairs(
     cell, ordered by id for determinism) — the boilerplate-flood guard;
     ``None`` disables the cap.
     """
+    geodesic = edges == "geodesic"
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(wkt_col).alias("_wkt"))
+    with_bbox = attach_probe_bboxes(src, geodesic)
+    return _pairs_from_bboxes(with_bbox, res, geodesic, max_bucket)
+
+
+def _pairs_from_bboxes(
+    with_bbox: DataFrame,
+    res: int,
+    geodesic: bool,
+    max_bucket: int | None,
+) -> DataFrame:
+    """The pair join over a prepared (_id, _wkt, _xmin.._ymax) frame."""
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
     from ..geo import kernels
     from ..geo import wkt as wktmod
     from .spatial_join import _probe_parts
-
-    geodesic = edges == "geodesic"
-    src = df.select(F.col(id_col).alias("_id"),
-                    F.col(wkt_col).alias("_wkt"))
-    with_bbox = attach_probe_bboxes(src, geodesic)
 
     gx0, gy0 = grid_xy_cols(F.col("_xmin"), F.col("_ymin"), res)
     gx1, gy1 = grid_xy_cols(F.col("_xmax"), F.col("_ymax"), res)
@@ -158,6 +167,45 @@ def polygon_self_overlap_pairs(
     return joined.mapInPandas(verify_kernel, out_schema)
 
 
+def _prepared_bboxes(df: DataFrame, id_col: str, wkt_col: str,
+                     geodesic: bool) -> DataFrame:
+    """ONE parse pass, materialized (localCheckpoint — the
+    near_duplicates_minhash precedent): the frame feeds both sides of
+    the pair self-join, the valid-id set, and the group rollup, and the
+    CC loop re-references its lineage every iteration."""
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(wkt_col).alias("_wkt"))
+    return attach_probe_bboxes(
+        src, geodesic, include_raw=True
+    ).localCheckpoint(eager=True)
+
+
+def _members_from_bboxes(
+    with_bbox: DataFrame,
+    id_col: str,
+    res: int,
+    geodesic: bool,
+    max_bucket: int | None,
+    max_iters: int,
+) -> DataFrame:
+    from .dedup import duplicate_clusters
+
+    # materialize pairs: duplicate_clusters walks its input once per
+    # CC round — an unmaterialized self-join would re-run every round
+    pairs = _pairs_from_bboxes(
+        with_bbox, res, geodesic, max_bucket
+    ).localCheckpoint(eager=True)
+    clustered = duplicate_clusters(pairs, max_iters=max_iters).select(
+        F.col("id").alias(id_col), F.col("cluster_id").alias("group_id")
+    )
+    singles = (
+        with_bbox.select(F.col("_id").alias(id_col))
+        .join(clustered.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("group_id"))
+    )
+    return clustered.unionByName(singles)
+
+
 def dissolve(
     df: DataFrame,
     id_col: str = "id",
@@ -171,22 +219,11 @@ def dissolve(
     ``group_id`` = the minimum member id; polygons that touch nothing
     form singleton groups of themselves. Malformed geometries drop
     (the P8 null-guard semantics — they join no group)."""
-    from .dedup import duplicate_clusters
-
-    pairs = polygon_self_overlap_pairs(
-        df, id_col=id_col, wkt_col=wkt_col, res=res, edges=edges,
-        max_bucket=max_bucket,
+    geodesic = edges == "geodesic"
+    with_bbox = _prepared_bboxes(df, id_col, wkt_col, geodesic)
+    return _members_from_bboxes(
+        with_bbox, id_col, res, geodesic, max_bucket, max_iters
     )
-    clustered = duplicate_clusters(pairs, max_iters=max_iters).select(
-        F.col("id").alias(id_col), F.col("cluster_id").alias("group_id")
-    )
-    src = df.select(F.col(id_col), F.col(wkt_col).alias("_wkt"))
-    valid = attach_probe_bboxes(src, edges == "geodesic").select(id_col)
-    singles = (
-        valid.join(clustered.select(id_col), id_col, "left_anti")
-        .select(F.col(id_col), F.col(id_col).alias("group_id"))
-    )
-    return clustered.unionByName(singles)
 
 
 def dissolve_groups(
@@ -201,21 +238,26 @@ def dissolve_groups(
     """Dissolved-group rollup -> ``(group_id, n_members, xmin, ymin,
     xmax, ymax)`` — the merged VERTEX bbox of every member (planar
     extent; geodesic edge bulges pad only the internal cover, never
-    the reported extent)."""
-    members = dissolve(
-        df, id_col=id_col, wkt_col=wkt_col, res=res, edges=edges,
-        max_bucket=max_bucket, max_iters=max_iters,
+    the reported extent). The WKT parse runs ONCE: the same
+    materialized frame feeds the pair join, the singleton set, and
+    this rollup."""
+    geodesic = edges == "geodesic"
+    with_bbox = _prepared_bboxes(df, id_col, wkt_col, geodesic)
+    members = _members_from_bboxes(
+        with_bbox, id_col, res, geodesic, max_bucket, max_iters
     )
-    src = df.select(F.col(id_col), F.col(wkt_col).alias("_wkt"))
-    boxes = attach_probe_bboxes(src, geodesic=False)
+    boxes = with_bbox.select(
+        F.col("_id").alias(id_col),
+        "_rxmin", "_rymin", "_rxmax", "_rymax",
+    )
     return (
         members.join(boxes, id_col)
         .groupBy("group_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.min("_xmin").alias("xmin"),
-            F.min("_ymin").alias("ymin"),
-            F.max("_xmax").alias("xmax"),
-            F.max("_ymax").alias("ymax"),
+            F.min("_rxmin").alias("xmin"),
+            F.min("_rymin").alias("ymin"),
+            F.max("_rxmax").alias("xmax"),
+            F.max("_rymax").alias("ymax"),
         )
     )

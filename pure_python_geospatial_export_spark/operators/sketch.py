@@ -378,6 +378,43 @@ def quantile_estimate(
     )
 
 
+def ss_insert(ss: dict, heap: list, key, w: int, m: int) -> None:
+    """Weighted SpaceSaving insertion (Metwally et al. 2005) into a
+    ``{key: [cnt, err]}`` summary of capacity ``m`` with a LAZY min-heap
+    of ``(cnt, key)`` entries: a tracked key absorbs its weight; an
+    untracked one evicts the minimum counter c_min and enters at
+    ``c_min + w`` with ``err = c_min``. The heap makes eviction
+    amortized O(log m) instead of an O(m) min scan per evicted tail
+    item (measured 20x on a long-tail corpus); stale heap entries
+    (count since bumped, or key since evicted) are skipped on pop and
+    compacted when the heap outgrows 8*m. Eviction ties break by
+    (cnt, key) — deterministic. Shared by the batch summaries kernel
+    and the streaming fold (streaming/hh.py)."""
+    import heapq
+
+    ent = ss.get(key)
+    if ent is not None:
+        ent[0] += w
+        heapq.heappush(heap, (ent[0], key))
+    elif len(ss) < m:
+        ss[key] = [w, 0]
+        heapq.heappush(heap, (w, key))
+    else:
+        while True:
+            mc, mk = heap[0]
+            cur = ss.get(mk)
+            if cur is not None and cur[0] == mc:
+                break
+            heapq.heappop(heap)  # stale
+        heapq.heappop(heap)
+        del ss[mk]
+        ss[key] = [mc + w, mc]
+        heapq.heappush(heap, (mc + w, key))
+        if len(heap) > 8 * m:
+            heap[:] = [(c[0], q) for q, c in ss.items()]
+            heapq.heapify(heap)
+
+
 def space_saving_summaries(
     df: DataFrame,
     group_cols: List[str],
@@ -422,15 +459,8 @@ def space_saving_summaries(
         ]
     )
 
-    import heapq
-
     def kernel(batches):
         # group tuple -> ({key: [cnt, err]}, lazy min-heap of (cnt, key))
-        # The heap makes eviction amortized O(log m) instead of an O(m)
-        # min scan per evicted tail item (measured 20x on a long-tail
-        # corpus); stale heap entries (count since bumped, or key since
-        # evicted) are skipped on pop and compacted when the heap
-        # outgrows 8*m.
         state: dict = {}
         for pdf in batches:
             counts = pdf.groupby(
@@ -441,29 +471,7 @@ def space_saving_summaries(
                     idx = (idx,)
                 g, key = idx[:-1], idx[-1]
                 ss, heap = state.setdefault(g, ({}, []))
-                ent = ss.get(key)
-                if ent is not None:
-                    ent[0] += int(w)
-                    heapq.heappush(heap, (ent[0], key))
-                elif len(ss) < m:
-                    ss[key] = [int(w), 0]
-                    heapq.heappush(heap, (int(w), key))
-                else:
-                    while True:
-                        mc, mk = heap[0]
-                        cur = ss.get(mk)
-                        if cur is not None and cur[0] == mc:
-                            break
-                        heapq.heappop(heap)  # stale
-                    heapq.heappop(heap)
-                    del ss[mk]
-                    ss[key] = [mc + int(w), mc]
-                    heapq.heappush(heap, (mc + int(w), key))
-                    if len(heap) > 8 * m:
-                        heap[:] = [
-                            (c[0], q) for q, c in ss.items()
-                        ]
-                        heapq.heapify(heap)
+                ss_insert(ss, heap, key, int(w), m)
         pid = TaskContext.get().partitionId()
         rows = []
         for g, (ss, _heap) in state.items():

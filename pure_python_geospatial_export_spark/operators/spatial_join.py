@@ -273,24 +273,28 @@ def _probe_parts(geom: dict):
     raise ValueError("unsupported probe geometry %s" % t)
 
 
-def attach_probe_bboxes(src: DataFrame, geodesic: bool) -> DataFrame:
+def attach_probe_bboxes(src: DataFrame, geodesic: bool,
+                        include_raw: bool = False) -> DataFrame:
     """One Arrow pass attaching ``_xmin/_ymin/_xmax/_ymax`` to a frame
     with a ``_wkt`` geometry column (parsed once; malformed rows drop —
     the P8 null-guard semantics). Under ``geodesic`` the bbox is padded
     by the worst great-circle sagitta so arc bulges can't escape the
-    candidate cells derived from it. Shared by the probe-vs-layer
-    overlap join and the self-overlap dissolve."""
+    candidate cells derived from it; ``include_raw`` additionally emits
+    the UNpadded vertex bbox as ``_rxmin/_rymin/_rxmax/_rymax`` (the
+    reporting extent — same kernel pass, no extra parse). Shared by the
+    probe-vs-layer overlap join and the self-overlap dissolve."""
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cols = ["_xmin", "_ymin", "_xmax", "_ymax"]
+    if include_raw:
+        cols += ["_rxmin", "_rymin", "_rxmax", "_rymax"]
 
     from ..geo import wkt as wktmod
 
     bbox_schema = StructType(
         list(src.schema.fields) + [
-            StructField("_xmin", DoubleType(), True),
-            StructField("_ymin", DoubleType(), True),
-            StructField("_xmax", DoubleType(), True),
-            StructField("_ymax", DoubleType(), True),
+            StructField(c, DoubleType(), True) for c in cols
         ]
     )
 
@@ -298,7 +302,7 @@ def attach_probe_bboxes(src: DataFrame, geodesic: bool) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            vals = {k: [] for k in ("_xmin", "_ymin", "_xmax", "_ymax")}
+            vals = {k: [] for k in cols}
             for s in pdf["_wkt"]:
                 try:
                     _kind, rings = _probe_parts(wktmod.loads(s))
@@ -338,6 +342,11 @@ def attach_probe_bboxes(src: DataFrame, geodesic: bool) -> DataFrame:
                     vals["_xmax"].append(float(arr[:, 0].max())
                                          + pad_lon)
                     vals["_ymax"].append(float(arr[:, 1].max()) + pad)
+                    if include_raw:
+                        vals["_rxmin"].append(float(arr[:, 0].min()))
+                        vals["_rymin"].append(float(arr[:, 1].min()))
+                        vals["_rxmax"].append(float(arr[:, 0].max()))
+                        vals["_rymax"].append(float(arr[:, 1].max()))
                 except Exception:
                     for k in vals:
                         vals[k].append(None)

@@ -73,6 +73,53 @@ def test_matches_classic_bisection(precision):
         assert str(g) == _classic(lon, lat, precision)
 
 
+def _boundary_points(precision, n_cells=300, seed=13):
+    """Doubles straddling cell edges: each edge's exact value plus its
+    nextafter neighbors on both sides — where the naive fast-floor
+    quantization diverged from bisection before the exactness fix."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits - lon_bits
+    rng = np.random.default_rng(seed)
+    lons, lats = [], []
+    for _ in range(n_cells):
+        qx = int(rng.integers(1, 1 << lon_bits))
+        qy = int(rng.integers(1, 1 << lat_bits))
+        ex = qx * (360.0 / (1 << lon_bits)) - 180.0
+        ey = qy * (180.0 / (1 << lat_bits)) - 90.0
+        for e, acc in ((ex, lons), (ey, lats)):
+            acc.extend([
+                e,
+                np.nextafter(e, -np.inf),
+                np.nextafter(e, np.inf),
+            ])
+    return np.array(lons), np.array(lats)
+
+
+@pytest.mark.parametrize("precision", [5, 9, 12])
+def test_boundary_adjacent_matches_bisection(precision):
+    # the confirmed pre-fix counterexample first
+    assert (
+        str(encode_geohash([24.916992187499996], [0.0], 5)[0])
+        == _classic(24.916992187499996, 0.0, 5)
+        == "s818n"
+    )
+    lons, lats = _boundary_points(precision)
+    got = encode_geohash(lons, lats, precision)
+    for lon, lat, g in zip(lons, lats, got):
+        assert str(g) == _classic(lon, lat, precision), (lon, lat)
+    # the roundtrip invariant now holds strictly at boundaries too
+    x0, y0, x1, y1 = decode_geohash(got)
+    assert (x0 <= lons).all() and (lons < x1).all()
+    assert (y0 <= lats).all() and (lats < y1).all()
+
+
+def test_decode_accepts_noncontiguous_input():
+    ghs = np.array(["ezs42", "u4pru", "s0000"])[::2]
+    x0, y0, x1, y1 = decode_geohash(ghs)
+    assert len(x0) == 2 and (x0 < x1).all()
+
+
 def test_edge_clamps():
     # lon=180 / lat=90 clamp into the last cell (engine convention,
     # identical to the bisection's >= comparisons)
