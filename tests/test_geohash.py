@@ -212,6 +212,52 @@ def test_duckdb_sql_matches_numpy():
         assert got == [str(w) for w in want]
 
 
+def test_sql_registry_geohash(spark):
+    from pure_python_geospatial_export_spark.functions.sql_registry import (
+        register_sql_functions,
+    )
+
+    names = register_sql_functions(spark)
+    assert "ppge_geohash" in names and "ppge_geohash_center" in names
+    lons, lats = _rand_points(200, seed=21)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({"lon": lons, "lat": lats}))
+    df.createOrReplaceTempView("gh_pts")
+    for precision in (1, 5, 12):
+        got = [
+            r["gh"]
+            for r in spark.sql(
+                "SELECT ppge_geohash(lon, lat, %d) AS gh FROM gh_pts"
+                % precision
+            ).collect()
+        ]
+        want = encode_geohash(lons, lats, precision)
+        # also checks the nesting property the registration relies on:
+        # precision p IS the first p chars of precision 12
+        assert got == [str(w) for w in want]
+    assert spark.sql(
+        "SELECT ppge_geohash(1.0, 2.0, 0) AS gh"
+    ).collect()[0]["gh"] is None
+    # center decode: roundtrip, mixed precisions in one batch,
+    # invalid -> NULL
+    rows = spark.sql(
+        "SELECT gh, ppge_geohash_center(gh) AS c FROM (VALUES"
+        " ('ezs42'), ('u4pruydqqvj'), ('not valid!'), (''),"
+        " (CAST(NULL AS STRING))) AS t(gh)"
+    ).collect()
+    by_gh = {r["gh"]: r["c"] for r in rows}
+    for gh_str in ("ezs42", "u4pruydqqvj"):
+        c = by_gh[gh_str]
+        assert (
+            str(encode_geohash([c["lon"]], [c["lat"]], len(gh_str))[0])
+            == gh_str
+        )
+    assert by_gh["not valid!"]["lon"] is None
+    assert by_gh[""]["lon"] is None
+    assert by_gh[None]["lon"] is None
+
+
 def test_precision_bounds():
     with pytest.raises(ValueError):
         encode_geohash([0.0], [0.0], 0)

@@ -119,7 +119,8 @@ def test_sql_registered_functions(spark):
     names = register_sql_functions(spark)
     assert set(names) == {
         "ppge_wkt_norm", "ppge_geom_type", "ppge_wkt_to_wkb",
-        "ppge_wkb_to_wkt", "ppge_nfc",
+        "ppge_wkb_to_wkt", "ppge_nfc", "ppge_geohash",
+        "ppge_geohash_center",
     }
     df = local_df(spark, ROWS, ["fid", "label", "wkt"])
     df.createOrReplaceTempView("layer_v")
