@@ -86,14 +86,13 @@ def _quantize_np(vals: np.ndarray, lo: float, span: float,
     return q
 
 
-def encode_geohash(lons, lats, precision: int = 9) -> np.ndarray:
-    """Vectorized (lon, lat) -> geohash strings at ``precision`` chars."""
+def xy_to_geohash(x, y, precision: int) -> np.ndarray:
+    """Vectorized grid coordinates (lon-index, lat-index at the
+    precision's bit split) -> geohash strings."""
     precision = _check_precision(precision)
     bits, lon_bits, lat_bits = _bit_split(precision)
-    lons = np.asarray(lons, dtype=np.float64)
-    lats = np.asarray(lats, dtype=np.float64)
-    x = _quantize_np(lons, -180.0, 360.0, lon_bits)
-    y = _quantize_np(lats, -90.0, 180.0, lat_bits)
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
     z = np.zeros_like(x)
     for k in range(lon_bits):
         z |= ((x >> np.int64(lon_bits - 1 - k)) & 1) << np.int64(
@@ -108,6 +107,17 @@ def encode_geohash(lons, lats, precision: int = 9) -> np.ndarray:
         chunk = (z >> np.int64(5 * (precision - 1 - c))) & 31
         out = np.char.add(out, _ALPH_ARR[chunk])
     return out
+
+
+def encode_geohash(lons, lats, precision: int = 9) -> np.ndarray:
+    """Vectorized (lon, lat) -> geohash strings at ``precision`` chars."""
+    precision = _check_precision(precision)
+    _bits, lon_bits, lat_bits = _bit_split(precision)
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    x = _quantize_np(lons, -180.0, 360.0, lon_bits)
+    y = _quantize_np(lats, -90.0, 180.0, lat_bits)
+    return xy_to_geohash(x, y, precision)
 
 
 def decode_geohash(ghs) -> Tuple[np.ndarray, np.ndarray,
@@ -190,6 +200,102 @@ def geohash_neighbors(gh: str) -> List[str]:
             lat = (yy + 0.5) / ny * 180.0 - 90.0
             out.append(str(encode_geohash([lon], [lat], precision)[0]))
     return out
+
+
+def geohash_cover(rings, precision: int, edges: str = "planar"):
+    """Geohashes covering a polygon (GeoJSON ring list), tagged
+    ``full`` -> [(geohash, is_full)].
+
+    The geohash sibling of ``cells.polygon_cover`` over the codec's
+    ANISOTROPIC grid (lon gets the extra interleave bit at odd total
+    bits): candidate cells seed from each ring's bbox range with a
+    +-1-cell safety margin (the raw floor can misplace a bbox edge
+    within 1 ulp of a cell boundary; margin cells that don't truly
+    touch are removed by the exact pruning below, so the result is
+    boundary-safe without being conservative). ``is_full`` means the
+    cell rectangle is certainly entirely inside the polygon (all four
+    corners inside and no polygon edge's bbox overlaps the cell —
+    never false-positive), so points in full cells skip the exact
+    ray-cast refine. Planar edges only; for great-circle edges use the
+    engine grid's ``cells.polygon_cover(edges='geodesic')``.
+    """
+    if edges != "planar":
+        raise ValueError(
+            "geohash_cover supports planar edges only; use "
+            "cells.polygon_cover(edges='geodesic') for the engine grid"
+        )
+    from . import kernels
+    from .kernels import points_in_polygon, ring_bbox
+
+    precision = _check_precision(precision)
+    _bits, lon_bits, lat_bits = _bit_split(precision)
+    nx, ny = 1 << lon_bits, 1 << lat_bits
+    w, h = 360.0 / nx, 180.0 / ny
+
+    # seam-crossing rings become their [-180, 180] lobes, exactly as in
+    # cells.polygon_cover — bbox seeding must never span the seam
+    rings = kernels.expand_antimeridian_rings(rings)
+    if not rings:
+        return []
+
+    pairs = []
+    for r in rings:
+        bb = ring_bbox(np.asarray(r, dtype=np.float64)[:, :2])
+        x0 = max(0, int(np.floor((bb[0] + 180.0) / 360.0 * nx)) - 1)
+        x1 = min(nx - 1, int(np.floor((bb[2] + 180.0) / 360.0 * nx)) + 1)
+        y0 = max(0, int(np.floor((bb[1] + 90.0) / 180.0 * ny)) - 1)
+        y1 = min(ny - 1, int(np.floor((bb[3] + 90.0) / 180.0 * ny)) + 1)
+        gx, gy = np.meshgrid(
+            np.arange(x0, x1 + 1, dtype=np.int64),
+            np.arange(y0, y1 + 1, dtype=np.int64),
+        )
+        pairs.append(gx.ravel() * np.int64(ny) + gy.ravel())
+    cand = np.unique(np.concatenate(pairs))
+    x = cand // np.int64(ny)
+    y = cand % np.int64(ny)
+
+    lon0 = -180.0 + x.astype(np.float64) * w
+    lat0 = -90.0 + y.astype(np.float64) * h
+    lon1 = lon0 + w
+    lat1 = lat0 + h
+
+    corners_x = np.stack([lon0, lon1, lon0, lon1], axis=1).ravel()
+    corners_y = np.stack([lat0, lat0, lat1, lat1], axis=1).ravel()
+    corner_inside = points_in_polygon(
+        corners_x, corners_y, rings
+    ).reshape(-1, 4)
+    any_corner = corner_inside.any(axis=1)
+    all_corners = corner_inside.all(axis=1)
+
+    edge_touch = np.zeros(len(cand), dtype=bool)
+    vertex_in_cell = np.zeros(len(cand), dtype=bool)
+    for ring in rings:
+        arr = np.asarray(ring, dtype=np.float64)[:, :2]
+        ex0 = np.minimum(arr[:-1, 0], arr[1:, 0])
+        ex1 = np.maximum(arr[:-1, 0], arr[1:, 0])
+        ey0 = np.minimum(arr[:-1, 1], arr[1:, 1])
+        ey1 = np.maximum(arr[:-1, 1], arr[1:, 1])
+        t = (
+            (lon0[:, None] <= ex1[None, :])
+            & (lon1[:, None] >= ex0[None, :])
+            & (lat0[:, None] <= ey1[None, :])
+            & (lat1[:, None] >= ey0[None, :])
+        )
+        edge_touch |= t.any(axis=1)
+        vx = (
+            (arr[None, :, 0] >= lon0[:, None])
+            & (arr[None, :, 0] <= lon1[:, None])
+            & (arr[None, :, 1] >= lat0[:, None])
+            & (arr[None, :, 1] <= lat1[:, None])
+        )
+        vertex_in_cell |= vx.any(axis=1)
+
+    keep = any_corner | edge_touch | vertex_in_cell
+    full = all_corners & ~edge_touch
+    ghs = xy_to_geohash(x[keep], y[keep], precision)
+    return [
+        (str(g), bool(f)) for g, f in zip(ghs, full[keep].tolist())
+    ]
 
 
 def _quantize_col(val: Column, lo: float, span: float,

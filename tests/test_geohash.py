@@ -212,6 +212,66 @@ def test_duckdb_sql_matches_numpy():
         assert got == [str(w) for w in want]
 
 
+def _sample_inside(rings, n, seed):
+    from pure_python_geospatial_export_spark.geo.kernels import (
+        points_in_polygon, ring_bbox,
+    )
+    rng = np.random.default_rng(seed)
+    bb = ring_bbox(np.asarray(rings[0], dtype=np.float64)[:, :2])
+    xs = rng.uniform(bb[0], bb[2], n * 6)
+    ys = rng.uniform(bb[1], bb[3], n * 6)
+    inside = points_in_polygon(xs, ys, rings)
+    return xs[inside][:n], ys[inside][:n]
+
+
+@pytest.mark.parametrize("precision", [2, 3, 4])
+def test_geohash_cover_contains_all_interior_points(precision):
+    from pure_python_geospatial_export_spark.geo.geohash import (
+        geohash_cover,
+    )
+    from pure_python_geospatial_export_spark.geo.kernels import (
+        points_in_polygon,
+    )
+
+    # concave pentagon with a hole
+    outer = [[-40.0, -20.0], [50.0, -25.0], [55.0, 30.0], [5.0, 12.0],
+             [-45.0, 35.0], [-40.0, -20.0]]
+    hole = [[-10.0, -10.0], [10.0, -10.0], [10.0, 2.0], [-10.0, 2.0],
+            [-10.0, -10.0]]
+    rings = [outer, hole]
+    cover = geohash_cover(rings, precision)
+    assert cover and any(f for _, f in cover)
+    cover_set = {g for g, _ in cover}
+    xs, ys = _sample_inside(rings, 400, seed=precision)
+    ghs = encode_geohash(xs, ys, precision)
+    missing = [g for g in ghs if str(g) not in cover_set]
+    assert not missing
+    # full cells really are full: their centers are inside
+    full = [g for g, f in cover if f]
+    clon, clat = geohash_center(np.array(full))
+    assert points_in_polygon(clon, clat, rings).all()
+    # and full cells never touch the hole's interior ring box
+    # (conservative flag: corners in + no edge-bbox overlap)
+
+
+def test_geohash_cover_antimeridian_and_errors():
+    from pure_python_geospatial_export_spark.geo.geohash import (
+        geohash_cover,
+    )
+
+    seam = [[170.0, 10.0], [-170.0, 10.0], [-170.0, 20.0],
+            [170.0, 20.0], [170.0, 10.0]]
+    cover = geohash_cover([seam], 3)
+    cover_set = {g for g, _ in cover}
+    # points on both sides of the seam are covered
+    for lon in (175.0, -175.0):
+        assert str(encode_geohash([lon], [15.0], 3)[0]) in cover_set
+    # but the world's far side is not blanket-covered
+    assert str(encode_geohash([0.0], [15.0], 3)[0]) not in cover_set
+    with pytest.raises(ValueError, match="planar"):
+        geohash_cover([seam], 3, edges="geodesic")
+
+
 def test_sql_registry_geohash(spark):
     from pure_python_geospatial_export_spark.functions.sql_registry import (
         register_sql_functions,
