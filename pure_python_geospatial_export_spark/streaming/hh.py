@@ -127,8 +127,7 @@ class HeavyHitterState(EpochVersionedState):
         m = self.m
         gcols = list(self.group_cols)
 
-        def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            gvals = tuple(pdf.iloc[0][g] for g in gcols)
+        def fold_group(gvals, pdf):
             ss = {}
             st = pdf[pdf["_from_state"]]
             for key, w, err in zip(st["key"], st["_w"], st["err"]):
@@ -140,15 +139,19 @@ class HeavyHitterState(EpochVersionedState):
             )
             for key, w in zip(batch["key"], batch["_w"]):
                 ss_insert(ss, heap, key, int(w), m)
-            rows = [gvals + (key, cnt, err)
+            rows = [tuple(gvals) + (key, cnt, err)
                     for key, (cnt, err) in ss.items()]
             return pd.DataFrame(
                 rows, columns=gcols + ["key", "cnt", "err"]
             )
 
-        return unioned.groupBy(*gcols).applyInPandas(
-            fold_group, out_schema
-        )
+        # batched grouped-map: one hash exchange + streamed group walk
+        # — per-group applyInPandas pays ~4 ms PER GROUP (the round-5
+        # pitfall), which a high-cardinality group column would turn
+        # into the whole fold
+        from ..operators.grouped import ordered_group_map
+
+        return ordered_group_map(unioned, gcols, fold_group, out_schema)
 
 
 def heavy_hitters_sink(
