@@ -34,6 +34,7 @@ footprints), so the pair relation stays skinny.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,6 +55,7 @@ def polygon_self_overlap_pairs(
     res: int = DEFAULT_RES,
     edges: str = "planar",
     max_bucket: int | None = None,
+    strategy: str = "join",
 ) -> DataFrame:
     """Exact polygon-vs-polygon "intersects" self-join ->
     ``(id_a, id_b)`` with ``id_a < id_b`` (boundary contact counts).
@@ -61,12 +63,122 @@ def polygon_self_overlap_pairs(
     ``max_bucket`` caps the per-cell candidate fan-out (rows kept per
     cell, ordered by id for determinism) — the boilerplate-flood guard;
     ``None`` disables the cap.
+
+    ``strategy``: ``"join"`` (default) shuffles both explode sides
+    into a hash equi self-join on the cell — two exchanges, the shape
+    AQE can skew-split; ``"grouped"`` shuffles the exploded relation
+    ONCE and forms pairs per cell inside a batched group walk
+    (vectorized bbox prefilter + canonical-cell dedupe + in-kernel
+    verify, each group member's WKT parsed at most once). Identical
+    pair sets (asserted in tests); measured A/B in
+    scripts/dissolve_strategy_ab.py.
     """
+    if strategy not in ("join", "grouped"):
+        raise ValueError("strategy must be 'join' or 'grouped'")
     geodesic = edges == "geodesic"
     src = df.select(F.col(id_col).alias("_id"),
                     F.col(wkt_col).alias("_wkt"))
     with_bbox = attach_probe_bboxes(src, geodesic)
+    if strategy == "grouped":
+        return _pairs_grouped(with_bbox, res, geodesic, max_bucket)
     return _pairs_from_bboxes(with_bbox, res, geodesic, max_bucket)
+
+
+def _pairs_grouped(
+    with_bbox: DataFrame,
+    res: int,
+    geodesic: bool,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Single-exchange pair formation: explode to cells, ONE hash
+    repartition on the cell, then per-cell pair enumeration inside the
+    batched group walk (triu index broadcast over the cell's bboxes —
+    bounded by ``max_bucket``, the same flood guard as the join path)."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    from ..geo import cells as cellmod
+    from ..geo import kernels
+    from ..geo import wkt as wktmod
+    from .grouped import ordered_group_map
+    from .spatial_join import _probe_parts
+
+    gx0, gy0 = grid_xy_cols(F.col("_xmin"), F.col("_ymin"), res)
+    gx1, gy1 = grid_xy_cols(F.col("_xmax"), F.col("_ymax"), res)
+    cand = (
+        with_bbox
+        .withColumn("_gx", F.explode(F.sequence(gx0, gx1)))
+        .withColumn("_gy", F.explode(F.sequence(gy0, gy1)))
+        .select("_id", "_wkt", "_xmin", "_ymin", "_xmax", "_ymax",
+                "_gx", "_gy")
+    )
+    out_schema = StructType([
+        StructField("id_a", cand.schema["_id"].dataType, True),
+        StructField("id_b", cand.schema["_id"].dataType, True),
+    ])
+
+    def pair_group(key, pdf):
+        if max_bucket is not None:
+            pdf = pdf.iloc[:max_bucket]  # rows arrive sorted by _id
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": []})
+        if n < 2:
+            return empty
+        x0 = pdf["_xmin"].to_numpy()
+        y0 = pdf["_ymin"].to_numpy()
+        x1 = pdf["_xmax"].to_numpy()
+        y1 = pdf["_ymax"].to_numpy()
+        i, j = np.triu_indices(n, k=1)
+        mask = (
+            (x0[i] <= x1[j]) & (x0[j] <= x1[i])
+            & (y0[i] <= y1[j]) & (y0[j] <= y1[i])
+        )
+        i, j = i[mask], j[mask]
+        if len(i):
+            # canonical-cell dedupe, vectorized over surviving pairs
+            cgx, cgy = cellmod.cell_xy(
+                np.maximum(x0[i], x0[j]), np.maximum(y0[i], y0[j]), res
+            )
+            keep = (cgx == int(key[0])) & (cgy == int(key[1]))
+            i, j = i[keep], j[keep]
+        if not len(i):
+            return empty
+        ids = pdf["_id"].to_numpy()
+        wkts = pdf["_wkt"].to_numpy()
+        parsed: dict = {}
+
+        def parts(idx):
+            got = parsed.get(idx)
+            if got is None:
+                try:
+                    got = _probe_parts(wktmod.loads(wkts[idx]))
+                except Exception:
+                    got = ("bad", None)
+                parsed[idx] = got
+            return got
+
+        out_a, out_b = [], []
+        for ii, jj in zip(i.tolist(), j.tolist()):
+            ka, ra = parts(ii)
+            kb, rb = parts(jj)
+            if ka != "area" or kb != "area":
+                continue
+            if geodesic:
+                from ..geo.geodesic import polygons_intersect_geodesic
+                hit = polygons_intersect_geodesic(ra, rb)
+            else:
+                hit = kernels.polygons_intersect(ra, rb)
+            if hit:
+                out_a.append(ids[ii])
+                out_b.append(ids[jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return ordered_group_map(
+        cand, ["_gx", "_gy"], pair_group, out_schema,
+        sort_cols=["_id"],
+    )
 
 
 def _pairs_from_bboxes(

@@ -71,6 +71,12 @@ def test_hole_interior_does_not_merge(spark):
         for r in polygon_self_overlap_pairs(df, res=4).collect()
     }
     assert pairs == {(1, 3)}
+    assert {
+        (r["id_a"], r["id_b"])
+        for r in polygon_self_overlap_pairs(
+            df, res=4, strategy="grouped"
+        ).collect()
+    } == {(1, 3)}
     labels = {
         r["id"]: r["group_id"] for r in dissolve(df, res=4).collect()
     }
@@ -107,6 +113,13 @@ def test_random_rects_match_bruteforce(spark, res):
         (r["id_a"], r["id_b"])
         for r in polygon_self_overlap_pairs(df, res=res).collect()
     }
+    grouped = {
+        (r["id_a"], r["id_b"])
+        for r in polygon_self_overlap_pairs(
+            df, res=res, strategy="grouped"
+        ).collect()
+    }
+    assert grouped == got
     want = set()
     for i, (ax0, ay0, ax1, ay1) in rects:
         for j, (bx0, by0, bx1, by1) in rects:
