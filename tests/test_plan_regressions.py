@@ -171,3 +171,57 @@ def test_curate_pipeline_shuffle_budget(spark):
         assert "BatchEvalPython" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dissolve_pair_join_shuffle_budget(spark):
+    """The dissolve pair stage: exactly the two hash exchanges of the
+    cell equi self-join (both sides of the exploded relation) and NO
+    distinct anywhere — pair dedupe is the canonical-cell filter
+    inside the join stage. A creeping Deduplicate/HashAggregate over
+    (id_a, id_b) would re-shuffle every candidate pair."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pure_python_geospatial_export_spark.functions.points import (
+        lon_col, lat_col,
+    )
+    from pure_python_geospatial_export_spark.operators.dissolve import (
+        polygon_self_overlap_pairs,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    pts = docs.withColumn("lon", lon_col(url)).withColumn(
+        "lat", lat_col(url)
+    ).where(F.col("doc_id") % 21 == 0)
+    half = F.lit(0.5) + (F.col("doc_id") % 4).cast("double") * F.lit(0.3)
+    wkt = F.format_string(
+        "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, "
+        "%.6f %.6f))",
+        F.round(F.col("lon") - half, 6), F.round(F.col("lat") - half, 6),
+        F.round(F.col("lon") + half, 6), F.round(F.col("lat") - half, 6),
+        F.round(F.col("lon") + half, 6), F.round(F.col("lat") + half, 6),
+        F.round(F.col("lon") - half, 6), F.round(F.col("lat") + half, 6),
+        F.round(F.col("lon") - half, 6), F.round(F.col("lat") - half, 6),
+    )
+    probes = pts.select(F.col("doc_id").alias("id"), wkt.alias("wkt"))
+
+    # corpus-scale regime: neither side of a fact-scale self-join
+    # broadcasts at 100 TB, so force the SMJ shape (the minhash lock's
+    # recipe)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = polygon_self_overlap_pairs(probes, res=6)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert _shuffles(plan) == 2, plan
+        assert "Deduplicate" not in plan and "distinct" not in plan, \
+            plan
+
+        grouped = polygon_self_overlap_pairs(probes, res=6,
+                                             strategy="grouped")
+        gplan = grouped._jdf.queryExecution().executedPlan().toString()
+        assert _shuffles(gplan) == 1, gplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
