@@ -159,6 +159,10 @@ def _pairs_grouped(
 
         out_a, out_b = [], []
         for ii, jj in zip(i.tolist(), j.tolist()):
+            if ids[ii] == ids[jj]:
+                # duplicate-id rows: the join strategy's strict
+                # id_a < id_b filter drops self-pairs — mirror it
+                continue
             ka, ra = parts(ii)
             kb, rb = parts(jj)
             if ka != "area" or kb != "area":

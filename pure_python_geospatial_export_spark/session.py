@@ -125,3 +125,41 @@ def ui_shuffle_write_bytes(spark) -> int:
     """Cumulative shuffle-write bytes across completed stages."""
     _ui, _app, stages = ui_completed_stages(spark)
     return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)
+
+
+def ui_stage_snapshot(spark):
+    """Snapshot of completed stages keyed by (stageId, attemptId), or
+    None if the UI is unreachable — pair with :func:`ui_stage_delta`
+    to attribute executor metrics to one timed job (the shared helper
+    for every benchmark script; wall clocks on this co-tenant host are
+    burst-sensitive, stage metrics are not)."""
+    try:
+        _ui, _app, stages = ui_completed_stages(spark)
+    except Exception:
+        return None
+    return {(s["stageId"], s["attemptId"]): s for s in stages}
+
+
+def ui_stage_delta(spark, before, settle_seconds: float = 0.3):
+    """Metrics of stages completed since ``before`` (a
+    :func:`ui_stage_snapshot`): dict with ``task_time_s`` (executor
+    run time) and ``shuffle_write_mb``, or None when either snapshot
+    is unavailable. Waits ``settle_seconds`` first — the UI publishes
+    stage completion slightly after the job returns."""
+    import time as _time
+
+    if before is None:
+        return None
+    _time.sleep(settle_seconds)
+    after = ui_stage_snapshot(spark)
+    if after is None:
+        return None
+    new = [s for k, s in after.items() if k not in before]
+    return {
+        "task_time_s": round(sum(
+            int(s.get("executorRunTime", 0)) for s in new
+        ) / 1000.0, 2),
+        "shuffle_write_mb": round(sum(
+            int(s.get("shuffleWriteBytes", 0)) for s in new
+        ) / 1e6, 2),
+    }

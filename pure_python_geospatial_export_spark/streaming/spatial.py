@@ -154,10 +154,10 @@ def make_cell_matcher(
         ):
             rid = int(rid)
             t_us = int(pd.Timestamp(rts).value // 1000)
-            try:
-                r_parts = _probe_parts(wktmod.loads(rwkt))
-            except Exception:
-                r_parts = ("bad", None)
+            # parse lazily: most arrivals in a sparse stream touch no
+            # candidate, and an unparsed row must not pay per covered
+            # cell (the _pairs_grouped memo pattern)
+            r_parts = None
             for k in range(len(ids)):
                 oid = ids[k]
                 if oid == rid:
@@ -173,6 +173,11 @@ def make_cell_matcher(
                     )
                     if int(cgx[0]) != gx or int(cgy[0]) != gy:
                         continue  # another cell owns this pair
+                if r_parts is None:
+                    try:
+                        r_parts = _probe_parts(wktmod.loads(rwkt))
+                    except Exception:
+                        r_parts = ("bad", None)
                 if intersects(parts_cache, wkts, k, r_parts):
                     out_a.append(min(rid, oid))
                     out_b.append(max(rid, oid))
@@ -184,8 +189,10 @@ def make_cell_matcher(
             bx1.append(float(rx1))
             by1.append(float(ry1))
             wkts.append(rwkt)
-            parts_cache[len(ids) - 1] = r_parts
-            if len(ids) > max_members:  # FIFO space cap
+            if r_parts is not None:
+                parts_cache[len(ids) - 1] = r_parts
+            if max_members is not None \
+                    and len(ids) > max_members:  # FIFO space cap
                 drop = len(ids) - max_members
                 ids = ids[drop:]
                 ts_us = ts_us[drop:]
@@ -222,15 +229,27 @@ def spatial_overlap_stream(
     res: int = DEFAULT_RES,
     edges: str = "planar",
     watermark: str = "2 hours",
-    max_members: int = 256,
+    max_members: int | str | None = "auto",
     emit_mode: str = "all_cells",
 ) -> DataFrame:
     """Polygon stream (or batch frame) -> (id_a, id_b, pair_ts), one
     row per intersecting pair found within the watermark horizon (per
     shared cell under the default at-least-once ``'all_cells'`` —
-    consumers must be idempotent; see module docstring)."""
+    consumers must be idempotent; see module docstring).
+
+    ``max_members`` (the per-cell FIFO space cap): the default
+    ``"auto"`` means 256 when streaming but UNCAPPED on a batch frame
+    — a silent cap would drop pairs that
+    ``operators.dissolve.polygon_self_overlap_pairs`` (the operator
+    batch mode must equal) finds. Pass an int to cap both modes, or
+    ``None`` for unbounded streaming state (dangerous on hot cells).
+    Note batch mode also applies NO watermark horizon (there are no
+    micro-batches to advance it): batch == stream only when the data
+    fits inside the horizon."""
     geodesic = edges == "geodesic"
     is_streaming = polys.isStreaming
+    if max_members == "auto":
+        max_members = 256 if is_streaming else None
     src = polys.select(
         F.col(id_col).alias("id"),
         F.col(ts_col).alias("ts"),

@@ -171,27 +171,16 @@ def main():
         # stage-metric deltas (shuffle bytes are a plan property,
         # robust to co-tenant bursts) for the sq_keep A/B
         from pure_python_geospatial_export_spark.session import (
-            ui_completed_stages,
+            ui_stage_delta,
+            ui_stage_snapshot,
         )
 
         def stage_keys():
-            try:
-                _u, _a, stages = ui_completed_stages(spark)
-            except Exception:
-                return None
-            return {(s["stageId"], s["attemptId"]): s for s in stages}
+            return ui_stage_snapshot(spark)
 
         def stage_delta(before):
-            if before is None:
-                return None
-            time.sleep(0.3)
-            after = stage_keys()
-            if after is None:
-                return None
-            new = [s for kk, s in after.items() if kk not in before]
-            return round(sum(
-                int(s.get("shuffleWriteBytes", 0)) for s in new
-            ) / 2**20, 2)
+            d = ui_stage_delta(spark, before)
+            return None if d is None else d["shuffle_write_mb"]
 
         for probe, rr, sq in ((4, 200, None), (8, 200, None),
                               (8, 1000, None), (8, 1000, 4 * K)):

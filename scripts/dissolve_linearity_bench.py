@@ -84,7 +84,8 @@ def main():
     )
     from pure_python_geospatial_export_spark.session import (
         get_spark,
-        ui_completed_stages,
+        ui_stage_delta,
+        ui_stage_snapshot,
     )
 
     spark = get_spark(app_name="dissolve-linearity",
@@ -94,31 +95,13 @@ def main():
                                   "spark.ui.retainedStages": "30000"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    def stage_keys():
-        try:
-            _u, _a, stages = ui_completed_stages(spark)
-        except Exception:
-            return None
-        return {(s["stageId"], s["attemptId"]): s for s in stages}
-
-    def task_delta(before):
-        if before is None:
-            return None
-        time.sleep(0.3)
-        after = stage_keys()
-        if after is None:
-            return None
-        new = [s for kk, s in after.items() if kk not in before]
-        return round(sum(int(s.get("executorRunTime", 0))
-                         for s in new) / 1000.0, 2)
-
     def timed_once(job):
-        before = stage_keys()
+        before = ui_stage_snapshot(spark)
         t0 = time.monotonic()
         res = job()
         wall = time.monotonic() - t0
-        task = task_delta(before)
-        return wall, task, res
+        d = ui_stage_delta(spark, before)
+        return wall, (d or {}).get("task_time_s"), res
 
     synth_rects(spark, 2000).count()  # warm the worker pool
 

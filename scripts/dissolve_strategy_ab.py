@@ -33,8 +33,8 @@ def main():
     )
     from pure_python_geospatial_export_spark.session import (
         get_spark,
-        ui_completed_stages,
-        ui_shuffle_write_bytes,
+        ui_stage_delta,
+        ui_stage_snapshot,
     )
 
     spark = get_spark(app_name="dissolve-ab",
@@ -44,26 +44,11 @@ def main():
                                   "spark.ui.retainedStages": "30000"})
     spark.sparkContext.setLogLevel("ERROR")
 
-    def stage_keys():
-        try:
-            _u, _a, stages = ui_completed_stages(spark)
-        except Exception:
-            return None
-        return {(s["stageId"], s["attemptId"]): s for s in stages}
-
     def deltas(before):
-        if before is None:
+        d = ui_stage_delta(spark, before)
+        if d is None:
             return None, None
-        time.sleep(0.3)
-        after = stage_keys()
-        if after is None:
-            return None, None
-        new = [s for kk, s in after.items() if kk not in before]
-        task = round(sum(int(s.get("executorRunTime", 0))
-                         for s in new) / 1000.0, 2)
-        shuf = round(sum(int(s.get("shuffleWriteBytes", 0))
-                         for s in new) / 1e6, 2)
-        return task, shuf
+        return d["task_time_s"], d["shuffle_write_mb"]
 
     rects = synth_rects(spark, N).cache()
     assert rects.count() == N
@@ -73,7 +58,7 @@ def main():
     counts = {}
     for _rep in range(REPEATS):
         for strategy in ("join", "grouped"):
-            before = stage_keys()
+            before = ui_stage_snapshot(spark)
             t0 = time.monotonic()
             pairs = polygon_self_overlap_pairs(
                 rects, res=8, strategy=strategy

@@ -135,6 +135,28 @@ def test_random_rects_match_bruteforce(spark, res):
     )
 
 
+def test_duplicate_ids_no_self_pairs_both_strategies(spark):
+    # two rows share id 1 and overlap each other and row 2: neither
+    # strategy may emit a (1, 1) self-pair
+    df = spark.createDataFrame(
+        [
+            (1, _rect_wkt(0.0, 0.0, 2.0, 2.0)),
+            (1, _rect_wkt(0.5, 0.5, 2.5, 2.5)),
+            (2, _rect_wkt(1.0, 1.0, 3.0, 3.0)),
+        ],
+        "id long, wkt string",
+    )
+    for strategy in ("join", "grouped"):
+        got = [
+            (r["id_a"], r["id_b"])
+            for r in polygon_self_overlap_pairs(
+                df, res=5, strategy=strategy
+            ).collect()
+        ]
+        assert all(a < b for a, b in got), (strategy, got)
+        assert set(got) == {(1, 2)}, (strategy, got)
+
+
 def test_max_bucket_above_family_size_identical(spark):
     rows = [(i, (float(i) * 0.5, 0.0, float(i) * 0.5 + 1.0, 1.0))
             for i in range(10)]

@@ -214,6 +214,38 @@ def test_clusters_composition(spark, tmp_path):
     assert 8 * 4 not in got
 
 
+def test_batch_mode_uncapped_by_default(spark):
+    # 40 mutually overlapping rects in one cell — far above a
+    # streaming-sized cap. Batch mode must NOT silently cap (it must
+    # equal the dissolve operator); an explicit cap still applies.
+    rows = [
+        (i, _rect_wkt(0.0 + i * 0.01, 0.0, 5.0 + i * 0.01, 5.0),
+         BASE + datetime.timedelta(minutes=i))
+        for i in range(40)
+    ]
+    df = local_df(spark, rows, ["poly_id", "wkt", "ts"])
+    df = df.withColumn("ts", df["ts"].cast("timestamp"))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spatial_overlap_stream(df, res=4).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in polygon_self_overlap_pairs(
+            df, id_col="poly_id", res=4
+        ).collect()
+    }
+    assert len(want) == 40 * 39 // 2
+    assert got == want
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in spatial_overlap_stream(
+            df, res=4, max_members=10
+        ).collect()
+    }
+    assert len(capped) < len(want)
+
+
 def test_bad_emit_mode_rejected(spark):
     df = local_df(
         spark, [(1, _rect_wkt(0, 0, 1, 1), BASE)],
