@@ -1237,6 +1237,33 @@ def _q_dissolve_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dissolve_rects_grouped(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    # the single-exchange grouped pair strategy against the SAME
+    # recursive-closure oracle — bit-level proof the group-walk
+    # variant computes identical components
+    from pure_python_geospatial_export_spark.operators.dissolve import (
+        dissolve_groups,
+    )
+
+    pts = _docs_points(spark, sf_dir).where(F.col("doc_id") % 21 == 0)
+    half = F.lit(0.5) + (F.col("doc_id") % 4).cast("double") * F.lit(0.3)
+    x0 = F.round(F.col("lon") - half, 6)
+    x1 = F.round(F.col("lon") + half, 6)
+    y0 = F.round(F.col("lat") - half, 6)
+    y1 = F.round(F.col("lat") + half, 6)
+    probe_wkt = F.format_string(
+        "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, "
+        "%.6f %.6f))",
+        x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
+    )
+    probes = pts.select(F.col("doc_id").alias("id"),
+                        probe_wkt.alias("wkt"))
+    return dissolve_groups(probes, res=6, strategy="grouped").select(
+        "group_id", "n_members", "xmin", "ymin", "xmax", "ymax"
+    )
+
+
 def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # geohash cell rollup: derived document points bucketed by a coarse
     # precision-2 geohash (pure column arithmetic, JVM-side), with the
@@ -1753,6 +1780,7 @@ _FOLDED_QUERIES = (
     "gpkg_roundtrip",
     "geohash_cells",
     "dissolve_rects",
+    "dissolve_rects_grouped",
 )
 
 
@@ -1799,6 +1827,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpkg_roundtrip": _q_gpkg_roundtrip,
         "geohash_cells": _q_geohash_cells,
         "dissolve_rects": _q_dissolve_rects,
+        "dissolve_rects_grouped": _q_dissolve_rects_grouped,
         "hh_sketch": _q_hh_sketch,
         "radius_pairs": _q_radius_pairs,
         "url_features": _q_url_features,
@@ -2700,6 +2729,33 @@ def _all_oracle_sql() -> dict[str, str]:
         "AS reached FROM e3 GROUP BY user_id"
     )
 
+    _dissolve_sql = (
+        PTS_CTE.replace("WITH pts", "WITH RECURSIVE pts", 1)
+        + ", rects AS (SELECT doc_id AS id, "
+          "round(lon - (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
+          " AS x0, "
+          "round(lon + (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
+          " AS x1, "
+          "round(lat - (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
+          " AS y0, "
+          "round(lat + (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
+          " AS y1 FROM pts WHERE doc_id % 21 = 0)"
+          ", prs AS (SELECT a.id AS ia, b.id AS ib FROM rects a"
+          " JOIN rects b ON a.id < b.id AND a.x0 <= b.x1"
+          " AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1)"
+          ", eg AS (SELECT ia AS src, ib AS dst FROM prs"
+          " UNION ALL SELECT ib, ia FROM prs)"
+          ", reach(node, r) AS (SELECT id, id FROM rects"
+          " UNION SELECT eg.dst, reach.r FROM reach"
+          " JOIN eg ON eg.src = reach.node)"
+          ", labels AS (SELECT node AS id, min(r) AS group_id"
+          " FROM reach GROUP BY node)"
+          " SELECT group_id, COUNT(*) AS n_members,"
+          " min(x0) AS xmin, min(y0) AS ymin,"
+          " max(x1) AS xmax, max(y1) AS ymax"
+          " FROM labels JOIN rects USING (id) GROUP BY 1"
+    )
+
     return {
         "pip_join": pip_sql,
         "pip_join_geodesic": _geodesic_oracle_sql(),
@@ -2738,32 +2794,9 @@ def _all_oracle_sql() -> dict[str, str]:
         # the pair graph in SQL and takes min-id components with a
         # recursive closure (reach(node, r): r reaches node; UNION
         # dedups so it terminates)
-        "dissolve_rects": (
-            PTS_CTE.replace("WITH pts", "WITH RECURSIVE pts", 1)
-            + ", rects AS (SELECT doc_id AS id, "
-              "round(lon - (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
-              " AS x0, "
-              "round(lon + (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
-              " AS x1, "
-              "round(lat - (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
-              " AS y0, "
-              "round(lat + (0.5 + CAST(doc_id % 4 AS DOUBLE) * 0.3), 6)"
-              " AS y1 FROM pts WHERE doc_id % 21 = 0)"
-              ", prs AS (SELECT a.id AS ia, b.id AS ib FROM rects a"
-              " JOIN rects b ON a.id < b.id AND a.x0 <= b.x1"
-              " AND b.x0 <= a.x1 AND a.y0 <= b.y1 AND b.y0 <= a.y1)"
-              ", eg AS (SELECT ia AS src, ib AS dst FROM prs"
-              " UNION ALL SELECT ib, ia FROM prs)"
-              ", reach(node, r) AS (SELECT id, id FROM rects"
-              " UNION SELECT eg.dst, reach.r FROM reach"
-              " JOIN eg ON eg.src = reach.node)"
-              ", labels AS (SELECT node AS id, min(r) AS group_id"
-              " FROM reach GROUP BY node)"
-              " SELECT group_id, COUNT(*) AS n_members,"
-              " min(x0) AS xmin, min(y0) AS ymin,"
-              " max(x1) AS xmax, max(y1) AS ymax"
-              " FROM labels JOIN rects USING (id) GROUP BY 1"
-        ),
+        "dissolve_rects": _dissolve_sql,
+        # the grouped pair strategy must compute the SAME components
+        "dissolve_rects_grouped": _dissolve_sql,
         "geohash_cells": (
             PTS_CTE
             + ", gh AS (SELECT %s AS gh2, %s AS gh9 FROM pts)"

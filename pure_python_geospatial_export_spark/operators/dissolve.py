@@ -303,12 +303,16 @@ def _members_from_bboxes(
     geodesic: bool,
     max_bucket: int | None,
     max_iters: int,
+    strategy: str = "join",
 ) -> DataFrame:
     from .dedup import duplicate_clusters
 
     # materialize pairs: duplicate_clusters walks its input once per
     # CC round — an unmaterialized self-join would re-run every round
-    pairs = _pairs_from_bboxes(
+    pair_fn = (
+        _pairs_grouped if strategy == "grouped" else _pairs_from_bboxes
+    )
+    pairs = pair_fn(
         with_bbox, res, geodesic, max_bucket
     ).localCheckpoint(eager=True)
     clustered = duplicate_clusters(pairs, max_iters=max_iters).select(
@@ -330,15 +334,18 @@ def dissolve(
     edges: str = "planar",
     max_bucket: int | None = None,
     max_iters: int = 20,
+    strategy: str = "join",
 ) -> DataFrame:
     """Overlap-connected component labels -> ``(id, group_id)`` with
     ``group_id`` = the minimum member id; polygons that touch nothing
     form singleton groups of themselves. Malformed geometries drop
-    (the P8 null-guard semantics — they join no group)."""
+    (the P8 null-guard semantics — they join no group). ``strategy``
+    as in :func:`polygon_self_overlap_pairs`."""
     geodesic = edges == "geodesic"
     with_bbox = _prepared_bboxes(df, id_col, wkt_col, geodesic)
     return _members_from_bboxes(
-        with_bbox, id_col, res, geodesic, max_bucket, max_iters
+        with_bbox, id_col, res, geodesic, max_bucket, max_iters,
+        strategy,
     )
 
 
@@ -350,17 +357,20 @@ def dissolve_groups(
     edges: str = "planar",
     max_bucket: int | None = None,
     max_iters: int = 20,
+    strategy: str = "join",
 ) -> DataFrame:
     """Dissolved-group rollup -> ``(group_id, n_members, xmin, ymin,
     xmax, ymax)`` — the merged VERTEX bbox of every member (planar
     extent; geodesic edge bulges pad only the internal cover, never
     the reported extent). The WKT parse runs ONCE: the same
     materialized frame feeds the pair join, the singleton set, and
-    this rollup."""
+    this rollup. ``strategy`` as in
+    :func:`polygon_self_overlap_pairs`."""
     geodesic = edges == "geodesic"
     with_bbox = _prepared_bboxes(df, id_col, wkt_col, geodesic)
     members = _members_from_bboxes(
-        with_bbox, id_col, res, geodesic, max_bucket, max_iters
+        with_bbox, id_col, res, geodesic, max_bucket, max_iters,
+        strategy,
     )
     boxes = with_bbox.select(
         F.col("_id").alias(id_col),
