@@ -202,7 +202,8 @@ def geohash_neighbors(gh: str) -> List[str]:
     return out
 
 
-def geohash_cover(rings, precision: int, edges: str = "planar"):
+def geohash_cover(rings, precision: int, edges: str = "planar",
+                  max_sagitta_rad: float = 2e-5):
     """Geohashes covering a polygon (GeoJSON ring list), tagged
     ``full`` -> [(geohash, is_full)].
 
@@ -216,16 +217,28 @@ def geohash_cover(rings, precision: int, edges: str = "planar"):
     cell rectangle is certainly entirely inside the polygon (all four
     corners inside and no polygon edge's bbox overlaps the cell —
     never false-positive), so points in full cells skip the exact
-    ray-cast refine. Planar edges only; for great-circle edges use the
-    engine grid's ``cells.polygon_cover(edges='geodesic')``.
+    ray-cast refine.
+
+    ``edges='geodesic'`` follows the engine's densify-then-planar
+    recipe (operators/tiles.py): rings densify along great circles to
+    ``max_sagitta_rad`` (default 2e-5 rad ~ 127 m) ONCE, then cover /
+    full-flag / any downstream refine all run planar on the densified
+    rings — mutually exact against consumers using the same densified
+    geometry.
     """
-    if edges != "planar":
-        raise ValueError(
-            "geohash_cover supports planar edges only; use "
-            "cells.polygon_cover(edges='geodesic') for the engine grid"
-        )
     from . import kernels
     from .kernels import points_in_polygon, ring_bbox
+
+    if edges == "geodesic":
+        from .geodesic import densify_ring_geodesic
+
+        rings = [
+            densify_ring_geodesic(r, max_sagitta_rad) for r in rings
+        ]
+    elif edges != "planar":
+        raise ValueError(
+            "edges must be 'planar' or 'geodesic', got %r" % edges
+        )
 
     precision = _check_precision(precision)
     _bits, lon_bits, lat_bits = _bit_split(precision)

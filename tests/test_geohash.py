@@ -269,7 +269,38 @@ def test_geohash_cover_antimeridian_and_errors():
     # but the world's far side is not blanket-covered
     assert str(encode_geohash([0.0], [15.0], 3)[0]) not in cover_set
     with pytest.raises(ValueError, match="planar"):
-        geohash_cover([seam], 3, edges="geodesic")
+        geohash_cover([seam], 3, edges="nope")
+
+
+def test_geohash_cover_geodesic_reaches_arc_bulge():
+    from pure_python_geospatial_export_spark.geo.geodesic import (
+        densify_ring_geodesic,
+    )
+    from pure_python_geospatial_export_spark.geo.geohash import (
+        geohash_cover,
+    )
+    from pure_python_geospatial_export_spark.geo.kernels import (
+        points_in_polygon,
+    )
+
+    # the dissolve fixture: an 80-degree chord at lat 40 bows poleward
+    # to ~47.6 under great-circle edges
+    tri = [[-40.0, 40.0], [40.0, 40.0], [0.0, 38.0], [-40.0, 40.0]]
+    p = 4
+    planar = {g for g, _ in geohash_cover([tri], p)}
+    geo = {g for g, _ in geohash_cover([tri], p, edges="geodesic")}
+    bulge = str(encode_geohash([0.0], [46.5], p)[0])
+    assert bulge in geo and bulge not in planar
+    # cover property vs the densified geometry: sampled interior
+    # points' geohashes are all covered
+    dense = [densify_ring_geodesic(tri)]
+    rng = np.random.default_rng(5)
+    xs = rng.uniform(-40.0, 40.0, 3000)
+    ys = rng.uniform(38.0, 48.0, 3000)
+    inside = points_in_polygon(xs, ys, dense)
+    ghs = encode_geohash(xs[inside], ys[inside], p)
+    assert inside.sum() > 100
+    assert all(str(g) in geo for g in ghs)
 
 
 def test_sql_registry_geohash(spark):
