@@ -1264,6 +1264,53 @@ def _q_dissolve_rects_grouped(spark: SparkSession,
     )
 
 
+def _q_geom_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # validity QA gate: five geometry classes built per doc_id residue
+    # (valid rect / bowtie / open ring / repeated vertex / degenerate
+    # triangle), classified geometrically by validate_geometries. The
+    # oracle knows each row's truth BY CONSTRUCTION (the residue), so
+    # the rollup proves the classifier end to end.
+    from pure_python_geospatial_export_spark.operators.validate import (
+        validate_geometries,
+    )
+
+    pts = _docs_points(spark, sf_dir)
+    x0, y0 = F.col("lon"), F.col("lat")
+    x1, y1 = F.col("lon") + F.lit(0.5), F.col("lat") + F.lit(0.5)
+    cls = F.col("doc_id") % 5
+    wkt = (
+        F.when(cls == 1, F.format_string(
+            "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, "
+            "%.6f %.6f))",
+            x0, y0, x1, y0, x0, y1, x1, y1, x0, y0))  # bowtie
+        .when(cls == 2, F.format_string(
+            "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f))",
+            x0, y0, x1, y0, x1, y1, x0, y1))          # open ring
+        .when(cls == 3, F.format_string(
+            "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, "
+            "%.6f %.6f, %.6f %.6f))",
+            x0, y0, x1, y0, x1, y0, x1, y1, x0, y1, x0, y0))  # repeat
+        .when(cls == 4, F.format_string(
+            "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f))",
+            x0, y0, x1, y1, x0, y0))                  # 3 points
+        .otherwise(F.format_string(
+            "POLYGON ((%.6f %.6f, %.6f %.6f, %.6f %.6f, %.6f %.6f, "
+            "%.6f %.6f))",
+            x0, y0, x1, y0, x1, y1, x0, y1, x0, y0))  # valid rect
+    )
+    probes = pts.select("doc_id", wkt.alias("wkt"))
+    return (
+        validate_geometries(probes)
+        .groupBy("reason")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.max(F.col("is_valid").cast("int")).alias("any_valid"),
+        )
+    )
+
+
 def _q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # geohash cell rollup: derived document points bucketed by a coarse
     # precision-2 geohash (pure column arithmetic, JVM-side), with the
@@ -1781,6 +1828,7 @@ _FOLDED_QUERIES = (
     "geohash_cells",
     "dissolve_rects",
     "dissolve_rects_grouped",
+    "geom_validate",
 )
 
 
@@ -1828,6 +1876,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_cells": _q_geohash_cells,
         "dissolve_rects": _q_dissolve_rects,
         "dissolve_rects_grouped": _q_dissolve_rects_grouped,
+        "geom_validate": _q_geom_validate,
         "hh_sketch": _q_hh_sketch,
         "radius_pairs": _q_radius_pairs,
         "url_features": _q_url_features,
@@ -2797,6 +2846,20 @@ def _all_oracle_sql() -> dict[str, str]:
         "dissolve_rects": _dissolve_sql,
         # the grouped pair strategy must compute the SAME components
         "dissolve_rects_grouped": _dissolve_sql,
+        # each row's validity is known BY CONSTRUCTION from its
+        # doc_id residue, so the oracle is a pure CASE rollup
+        "geom_validate": (
+            "SELECT CASE doc_id % 5"
+            " WHEN 1 THEN 'self_intersection'"
+            " WHEN 2 THEN 'open_ring'"
+            " WHEN 3 THEN 'repeated_point'"
+            " WHEN 4 THEN 'too_few_points' END AS reason,"
+            " COUNT(*) AS n_docs,"
+            " min(doc_id) AS min_doc, max(doc_id) AS max_doc,"
+            " CAST(max(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)"
+            " AS INTEGER) AS any_valid"
+            " FROM documents GROUP BY 1"
+        ),
         "geohash_cells": (
             PTS_CTE
             + ", gh AS (SELECT %s AS gh2, %s AS gh9 FROM pts)"

@@ -246,6 +246,72 @@ def clip_ring_bbox(ring, bbox) -> Optional[np.ndarray]:
     return arr
 
 
+def _edge_pair_hits(p: np.ndarray, q: np.ndarray):
+    """(proper, touch) boolean matrices over all edge pairs of closed
+    rings ``p`` and ``q`` — the matrix form of
+    :func:`segments_intersect_any` (which keeps its own early-exit
+    copy of this math for the hot join path). Used by ring-simplicity
+    validation, which needs per-pair results to mask adjacency."""
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    p1, p2 = p[:-1], p[1:]
+    q1, q2 = q[:-1], q[1:]
+
+    def cross(o, d, pts):
+        return (d[..., 0] * (pts[..., 1] - o[..., 1])
+                - d[..., 1] * (pts[..., 0] - o[..., 0]))
+
+    dp = p2 - p1
+    dq = q2 - q1
+    P1, P2 = p1[:, None, :], p2[:, None, :]
+    Q1, Q2 = q1[None, :, :], q2[None, :, :]
+    DP, DQ = dp[:, None, :], dq[None, :, :]
+    d1 = cross(P1, DP, Q1)
+    d2 = cross(P1, DP, Q2)
+    d3 = cross(Q1, DQ, P1)
+    d4 = cross(Q1, DQ, P2)
+    proper = (
+        ((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
+        & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
+    )
+
+    def on_seg(s1, s2, pts, d):
+        return (
+            (d == 0)
+            & (pts[..., 0] >= np.minimum(s1[..., 0], s2[..., 0]))
+            & (pts[..., 0] <= np.maximum(s1[..., 0], s2[..., 0]))
+            & (pts[..., 1] >= np.minimum(s1[..., 1], s2[..., 1]))
+            & (pts[..., 1] <= np.maximum(s1[..., 1], s2[..., 1]))
+        )
+
+    touch = (
+        on_seg(P1, P2, Q1, d1) | on_seg(P1, P2, Q2, d2)
+        | on_seg(Q1, Q2, P1, d3) | on_seg(Q1, Q2, P2, d4)
+    )
+    return proper, touch
+
+
+def ring_self_intersects(ring) -> bool:
+    """True when a CLOSED ring's boundary is not simple: any pair of
+    NON-adjacent edges crosses or touches (adjacent edges legitimately
+    share their common endpoint; the first and last edge are adjacent
+    through the closure point). Zero-length edges and spikes are
+    separate validity checks — this detects crossings only."""
+    arr = np.asarray(ring, dtype=np.float64)[:, :2]
+    n = len(arr) - 1  # edge count
+    if n < 3:
+        return False
+    proper, touch = _edge_pair_hits(arr, arr)
+    hits = proper | touch
+    idx = np.arange(n)
+    adjacent = (
+        (np.abs(idx[:, None] - idx[None, :]) <= 1)
+        | ((idx[:, None] == 0) & (idx[None, :] == n - 1))
+        | ((idx[:, None] == n - 1) & (idx[None, :] == 0))
+    )
+    return bool((hits & ~adjacent).any())
+
+
 def segments_intersect_any(a: np.ndarray, b: np.ndarray) -> bool:
     """True when ANY edge of closed ring ``a`` intersects any edge of
     closed ring ``b`` (proper crossings, collinear overlaps, and
